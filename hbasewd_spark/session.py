@@ -1,0 +1,45 @@
+"""SparkSession factory for the engine.
+
+Local-mode defaults tuned for the test/bench container (local[32],
+128 GiB). On a real cluster these settings are owned by the deploy; the
+only engine-required invariants are UTC session timezone (oracle
+comparability), AQE on (runtime re-planning, skew-join handling at
+scale) and Arrow enabled (fast pandas-UDF boundary).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "hbasewd_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all local cores.
+    ``spark.sql.shuffle.partitions`` is pinned to the core count: at
+    100 TB this would instead be sized so post-shuffle partitions are
+    ~128-256 MB (AQE coalescing handles the downward direction).
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the driver-generated events table stores ts as parquet
+        # TIMESTAMP(NANOS); Spark has no nanos timestamp type, so read as
+        # long and convert at the loader (sources/loaders.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,43 @@
+"""Loaders for the driver-generated test tables (TESTDATA.md).
+
+``events.ts`` is parquet TIMESTAMP(NANOS), which Spark cannot read
+natively; the session sets ``spark.sql.legacy.parquet.nanosAsLong`` and
+this loader converts to a microsecond TimestampType by truncation —
+bit-identical to DuckDB's TIMESTAMP_NS -> TIMESTAMP cast, so oracle
+comparisons line up.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos -> micros truncation (matches duckdb's ns->us cast)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every test table as a temp view for spark.sql queries."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,159 @@
+"""SaltedTable — the engine's table facade (write + scan + point get).
+
+This is the Spark-native replacement for the whole reference flow:
+``getDistributedKey`` at write time (README:43-47), ``DistributedScanner``
+for ordered range reads (DistributedScanner.java:35-186), and
+``WdTableInputFormat`` split multiplication for parallel batch reads
+(WdTableInputFormat.java:58-77).
+
+Physical layout: parquet dataset partitioned by the ``salt`` column
+(Hive-style ``salt=K/`` dirs = the reference's buckets = HBase region
+prefixes), rows sorted by key *within* each salt partition so parquet
+row-group min/max stats prune range scans — the columnar analogue of
+HBase's per-region key order.
+
+At 100 TB: bucket count trades write parallelism against scan fan-out
+exactly like the reference (README:37-40); with salt as a partition
+column the scan fan-out cost is only "more splits", which Spark's
+scheduler + AQE absorb. Within a salt partition, files split by
+row-group for free (FileSourceScanExec), replacing region enumeration.
+The distributor spec is persisted next to the data so readers need no
+out-of-band config (the ``Parametrizable``/``addInfo`` round-trip,
+AbstractRowKeyDistributor.java:83-89, as self-describing data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hbasewd_spark.plans.distributor import KeyDistributor, distributor_from_meta
+from hbasewd_spark.plans.intervals import range_predicate
+
+META_FILE = "_wd_distributor.json"
+SALT_COL = "salt"
+
+
+def salted(df: DataFrame, distributor: KeyDistributor, key_col: str) -> DataFrame:
+    """getDistributedKey as a bulk transform: add the salt column
+    (RowKeyDistributorByOneBytePrefix.java:47-53 / ByHashPrefix:111-114,
+    vectorized)."""
+    return df.withColumn(SALT_COL, distributor.salt_expr(key_col))
+
+
+class SaltedTable:
+    """Handle over a salted, key-sorted, salt-partitioned parquet table."""
+
+    def __init__(self, spark: SparkSession, path: str, distributor: KeyDistributor, key_col: str):
+        self.spark = spark
+        self.path = path
+        self.distributor = distributor
+        self.key_col = key_col
+
+    # ------------------------------------------------------------- write
+    @classmethod
+    def write(
+        cls,
+        df: DataFrame,
+        path: str,
+        distributor: KeyDistributor,
+        key_col: str,
+        mode: str = "overwrite",
+    ) -> "SaltedTable":
+        """Bulk salted ingest (P3 at DataFrame granularity).
+
+        ``repartition(salt)`` gives one shuffle that co-locates each
+        bucket (at 100 TB: one writer wave, no small files), then
+        ``sortWithinPartitions(salt, key)`` makes every parquet file
+        key-ordered so row-group stats are tight. This single shuffle
+        IS the anti-hot-spot move: the monotonic key stream fans out
+        over ``buckets`` concurrent writers instead of one hot region.
+        """
+        salted_df = salted(df, distributor, key_col)
+        n = distributor.buckets
+        (
+            salted_df.repartition(n, F.col(SALT_COL))
+            .sortWithinPartitions(SALT_COL, key_col)
+            .write.mode(mode)
+            .partitionBy(SALT_COL)
+            .parquet(path)
+        )
+        meta = {"key_col": key_col, **distributor.to_meta()}
+        with open(os.path.join(path, META_FILE), "w") as f:
+            json.dump(meta, f)
+        return cls(df.sparkSession, path, distributor, key_col)
+
+    # -------------------------------------------------------------- read
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "SaltedTable":
+        """Open a salted table, rehydrating its distributor from the
+        persisted metadata (O11 without reflection)."""
+        with open(os.path.join(path, META_FILE)) as f:
+            meta = json.load(f)
+        return cls(spark, path, distributor_from_meta(meta), meta["key_col"])
+
+    def df(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def scan(
+        self,
+        start: Any = None,
+        stop: Any = None,
+        ordered: bool = True,
+        columns: list[str] | None = None,
+        where: Any = None,
+        keep_salt: bool = False,
+    ) -> DataFrame:
+        """Salt-aware range scan (O7+O8+O9 fused).
+
+        ``[start, stop)`` on the original key; Catalyst pushes the key
+        predicate into every salt partition (the reference's per-bucket
+        interval fan-out, AbstractRowKeyDistributor.java:47-69, as
+        partition pruning + row-group skipping) and ``orderBy`` restores
+        global original-key order (the DistributedScanner k-way merge,
+        DistributedScanner.java:106-139, as a range-exchange sort over
+        per-partition pre-sorted runs). Caller filters/projections ride
+        along like Scan copies preserved options (ref :76-78).
+        """
+        out = self.df().where(range_predicate(self.key_col, start, stop))
+        if where is not None:
+            out = out.where(where)
+        if not keep_salt:
+            out = out.drop(SALT_COL)  # getOriginalKey (O3): salt is a column
+        if columns:
+            out = out.select(*columns)
+        if ordered:
+            out = out.orderBy(self.key_col)
+        return out
+
+    def point_get(self, key_value: Any) -> DataFrame:
+        """Get by original key (P2).
+
+        Hash-style (deterministic) salting recomputes the bucket and
+        prunes to ONE salt partition (README:75-78). Round-robin salting
+        can't — the engine scans all buckets, the columnar equivalent of
+        ``getAllDistributedKeys`` fan-out (O4,
+        RowKeyDistributorByOneBytePrefix.java:60-72).
+        """
+        df = self.df()
+        pred = F.col(self.key_col) == F.lit(key_value)
+        if self.distributor.deterministic:
+            salt_of_key = self.distributor.salt_expr(F.lit(key_value))
+            pred = pred & (F.col(SALT_COL) == salt_of_key)
+        return df.where(pred).drop(SALT_COL)
+
+    def scanner(self, start: Any = None, stop: Any = None) -> Iterator:
+        """ResultScanner-style incremental pull: ordered scan streamed
+        to the driver partition-at-a-time (the lazy per-bucket refill of
+        DistributedScanner.java:115-124 becomes Spark's incremental
+        partition fetch)."""
+        return self.scan(start, stop, ordered=True).toLocalIterator()
+
+    def parallel_read(self, start: Any = None, stop: Any = None) -> DataFrame:
+        """Unordered parallel batch read (§3.3, WdTableInputFormat
+        parity): same pruned scan, no order restoration — splits =
+        buckets × parquet row-groups, scheduled natively."""
+        return self.scan(start, stop, ordered=False)
