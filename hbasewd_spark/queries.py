@@ -1,0 +1,343 @@
+"""The engine's query registry — the driver correctness surface.
+
+Every entry maps one SURVEY.md §2 inventory item (or north-star
+extension operator) to a `(spark_fn, duckdb_oracle_sql)` pair. The
+Spark side is the engine's idiomatic plan; the oracle is ANSI-ish SQL
+DuckDB evaluates over the same parquet tables. Column names and value
+arithmetic are engineered to hash-match bit-for-bit:
+
+- double sums go through DECIMAL (order-independent) then cast to
+  double identically on both sides;
+- per-row float arithmetic uses identical fold orders;
+- timestamps are microsecond-truncated on both sides (loaders.py);
+- every computed column is aliased to the same name in both texts.
+
+Naming: ``oN_*``/``pN_*`` tie back to SURVEY.md §2.1/§2.2 operator ids,
+``rel_*`` to the §2.3 relational surface, ``ext_*`` to the north-star
+extension operators.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hbasewd_spark.functions.codec import sql_hash31_of_long, sql_md5_long
+from hbasewd_spark.sources.loaders import load_table, register_views
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None -> rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str, tables=None) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(text)
+
+
+# ===========================================================================
+# Core distribution operators (SURVEY §2.1)
+# ===========================================================================
+
+RR_BUCKETS = 12  # RowKeyDistributorByOneBytePrefixTest.java:23
+H31_BUCKETS = 15  # _OneByteSimpleHashTest.java:5
+
+# Portable round-robin-in-write-order salt (O1): the reference's
+# per-writer counter (RowKeyDistributorByOneBytePrefix.java:47-53)
+# pinned to the deterministic write order event_id.
+_RR_SALT = f"((row_number() OVER (ORDER BY event_id)) - 1) % {RR_BUCKETS}"
+
+_O1_SQL = f"""
+SELECT salt, count(*) AS n, count(DISTINCT event_id) AS n_keys
+FROM (SELECT event_id, {_RR_SALT} AS salt FROM events) t
+GROUP BY salt
+"""
+
+
+@q(
+    "o1_roundrobin_salt_balance",
+    _O1_SQL,
+    "O1 round-robin salting is key-independent and perfectly balanced "
+    "(RowKeyDistributorByOneBytePrefix.java:47-53).",
+)
+def o1_roundrobin_salt_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _O1_SQL)
+
+
+_H31_SALT = sql_hash31_of_long("event_id", H31_BUCKETS)
+
+_O2_SQL = f"""
+SELECT salt, count(*) AS n
+FROM (SELECT {_H31_SALT} AS salt FROM events) t
+GROUP BY salt
+"""
+
+
+@q(
+    "o2_hash31_salt_distribution",
+    _O2_SQL,
+    "O2+O5 deterministic 31-polynomial hash salting of the 8-byte BE key "
+    "(RowKeyDistributorByHashPrefix.java:102-114), bucket histogram.",
+)
+def o2_hash31_salt_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _O2_SQL)
+
+
+@q(
+    "o3_desalt_roundtrip",
+    "SELECT count(*) AS n_total, count(*) AS n_roundtrip FROM events",
+    "O3 getOriginalKey∘getDistributedKey = identity "
+    "(RowKeyDistributorTestBase.java:85): every key survives the "
+    "encode→salt→strip→decode round trip.",
+)
+def o3_desalt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.functions import codec
+
+    ev = load_table(spark, sf_dir, "events")
+    enc = codec.encode_long_be("event_id")
+    salted_key = F.concat(F.unhex(F.lpad(F.hex(F.lit(3)), 2, "0")), enc)  # prefix ‖ key
+    back = codec.decode_long_be(codec.strip_salt_prefix(salted_key, 1))
+    return ev.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(back == F.col("event_id"), 1)).alias("n_roundtrip"),
+    )
+
+
+_POINT_KEYS = "(5, 77, 123, 500)"
+
+_O4_SQL = f"""
+SELECT event_id, event_type, value
+FROM events WHERE event_id IN {_POINT_KEYS}
+"""
+
+
+@q(
+    "o4_point_get_roundrobin_fanout",
+    _O4_SQL,
+    "O4 getAllDistributedKeys: under round-robin salting a point get "
+    "fans out over every bucket (salt IN all) "
+    "(RowKeyDistributorByOneBytePrefix.java:60-72).",
+)
+def o4_point_get_roundrobin_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.plans.distributor import RoundRobinDistributor
+    from hbasewd_spark.sources.salted_table import salted
+
+    ev = load_table(spark, sf_dir, "events")
+    d = RoundRobinDistributor(RR_BUCKETS)
+    sdf = salted(ev, d, "event_id")
+    # salt is key-independent -> the engine must search all buckets
+    fanout = sdf.where(
+        F.col("salt").isin(d.all_salts()) & F.col("event_id").isin(5, 77, 123, 500)
+    )
+    return fanout.select("event_id", "event_type", "value")
+
+
+@q(
+    "o6_prefix_domain_counts",
+    f"""
+    SELECT d.salt, count(e.event_id) AS n
+    FROM (SELECT unnest(range(0, {H31_BUCKETS})) AS salt) d
+    LEFT JOIN (SELECT {_H31_SALT} AS salt, event_id FROM events) e USING (salt)
+    GROUP BY d.salt
+    """,
+    "O6 getAllPossiblePrefixes: the full declared salt domain, "
+    "including buckets that happen to be empty "
+    "(RowKeyDistributorByHashPrefix.java:67-74).",
+)
+def o6_prefix_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT d.salt, count(e.event_id) AS n
+        FROM (SELECT explode(sequence(0, {H31_BUCKETS - 1})) AS salt) d
+        LEFT JOIN (SELECT {_H31_SALT} AS salt, event_id FROM events) e USING (salt)
+        GROUP BY d.salt
+        """
+    )
+
+
+# half-open [min+12h, min+36h) window over the monotonic event stream —
+# sf-independent, non-empty at every scale factor
+_TS_LO = "(SELECT min(ts) + INTERVAL '12' HOUR FROM events)"
+_TS_HI = "(SELECT min(ts) + INTERVAL '36' HOUR FROM events)"
+
+_O7_SQL = f"""
+SELECT {_H31_SALT} AS salt, count(*) AS n,
+       min(event_id) AS min_key, max(event_id) AS max_key
+FROM events
+WHERE ts >= {_TS_LO} AND ts < {_TS_HI}
+GROUP BY 1
+"""
+
+
+@q(
+    "o7_interval_fanout_counts",
+    _O7_SQL,
+    "O7+O8 interval fan-out: one logical [start,stop) range scan becomes "
+    "a per-bucket pruned scan; per-bucket row counts and key extents "
+    "(AbstractRowKeyDistributor.java:47-81).",
+)
+def o7_interval_fanout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _O7_SQL)
+
+
+_O9_SQL = f"""
+SELECT row_number() OVER (ORDER BY ts, event_id) AS rn,
+       event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+FROM events
+WHERE ts >= {_TS_LO} AND ts < {_TS_HI}
+"""
+
+
+@q(
+    "o9_ordered_range_scan",
+    _O9_SQL,
+    "O9 the flagship: salted write + salt-aware range scan + global "
+    "original-key order restoration (DistributedScanner.java:106-139 as "
+    "partition-pruned scan + range-exchange sort). rn makes the restored "
+    "order part of the hash-checked values.",
+)
+def o9_ordered_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return salted_scan_events(spark, sf_dir)
+
+
+def salted_scan_events(spark: SparkSession, sf_dir: str, write: bool = True) -> DataFrame:
+    """The M1 end-to-end slice: salt events by hash31(event_id), write a
+    salt-partitioned key-sorted table, then run the pruned ordered scan.
+    """
+    from pyspark.sql import Window
+    from hbasewd_spark.plans.distributor import Hash31Distributor
+    from hbasewd_spark.sources.salted_table import SaltedTable
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL '12' HOUR")).alias("lo"),
+        (F.min("ts") + F.expr("INTERVAL '36' HOUR")).alias("hi"),
+    ).collect()[0]
+
+    d = Hash31Distributor(H31_BUCKETS)
+    path = os.path.join(
+        tempfile.gettempdir(), "hbasewd_cache", os.path.basename(os.path.normpath(sf_dir)), "events_salted"
+    )
+    if write:
+        # salt on the 8-BE-byte encoding of event_id (the reference's key form)
+        class _EventDist(Hash31Distributor):
+            def salt_expr(self, key):
+                return self.salt_expr_long(key)
+
+        t = SaltedTable.write(ev, path, _EventDist(H31_BUCKETS), "ts")
+    else:
+        t = SaltedTable.load(spark, path)
+
+    scanned = t.scan(start=bounds.lo, stop=bounds.hi, ordered=True)
+    w = Window.orderBy("ts", "event_id")
+    return scanned.select(
+        F.row_number().over(w).alias("rn"), "event_id", "ts", "event_type", "value"
+    )
+
+
+_P2_SQL = f"""
+SELECT event_id, {_H31_SALT} AS salt, event_type, value
+FROM events WHERE event_id IN {_POINT_KEYS}
+"""
+
+
+@q(
+    "p2_point_get_hash_pruned",
+    _P2_SQL,
+    "P2 point lookup under deterministic hash salting: the engine "
+    "recomputes the bucket and prunes to ONE salt partition "
+    "(README:75-78); output includes the pruned-to salt.",
+)
+def p2_point_get_hash_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _P2_SQL)
+
+
+_P6_SQL = f"""
+SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+FROM events WHERE ts >= {_TS_LO} AND ts < {_TS_HI}
+"""
+
+
+@q(
+    "p6_count_range",
+    _P6_SQL,
+    "P6 RowCounterMapper parity: count over a salted key range via the "
+    "unordered parallel read path (RowKeyDistributorTestBase.java:210-223).",
+)
+def p6_count_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _P6_SQL)
+
+
+_P7_SQL = """
+SELECT rn, event_id, event_type, value FROM (
+  SELECT row_number() OVER (ORDER BY event_id) AS rn,
+         event_id, event_type, value
+  FROM events
+) t WHERE rn <= 1000
+"""
+
+
+@q(
+    "p7_limit_dump",
+    _P7_SQL,
+    "P7 DebugUtil.getContent parity: first 1000 rows in key order "
+    "(DebugUtil.java:38-60).",
+)
+def p7_limit_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _P7_SQL)
+
+
+@q(
+    "p8_key_codec_hex",
+    """
+    SELECT event_id,
+           printf('%016x', event_id) AS key_hex,
+           CAST(event_id AS BIGINT) AS decoded
+    FROM events WHERE event_id < 100
+    """,
+    "P8 Bytes.toBytes(long) codec: 8-byte big-endian encode shown as "
+    "hex, plus decode round-trip (Bytes.java semantics via "
+    "functions/codec.py).",
+)
+def p8_key_codec_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.functions import codec
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 100)
+    enc = codec.encode_long_be("event_id")
+    return ev.select(
+        "event_id",
+        F.lower(F.hex(enc)).alias("key_hex"),
+        codec.decode_long_be(enc).alias("decoded"),
+    )
+
+
+# ===========================================================================
+# public surface consumed by __spark_entry__.py
+# ===========================================================================
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
