@@ -1,0 +1,514 @@
+"""Relational query surface (SURVEY.md §2.3).
+
+The reference delegates all relational work to HBase scan options; the
+engine exposes Spark's native relational operators directly. This
+module holds the DataFrame-API implementations used by the query
+registry — each written the way you'd want the plan to look at 100 TB:
+dimension joins broadcast, aggregations decimal-typed for exactness
+(and order-independence, so results are reproducible under any
+partitioning), window functions partitioned to shuffle once.
+
+Numeric discipline: every SUM over parquet doubles goes through a
+DECIMAL cast so partial aggregation order cannot perturb low bits, then
+casts back to double — making results bit-identical across Spark,
+DuckDB, and any executor count. AVG is expressed as
+``cast(decimal_sum as double) / count`` for the same reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from hbasewd_spark.sources.loaders import load_table
+
+MONEY = "decimal(18,4)"
+
+
+def dec(col: str | Column, typ: str = MONEY) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+def dsum(col: str | Column, typ: str = MONEY) -> Column:
+    """Order-independent sum of a double column (via decimal), as double."""
+    return F.sum(dec(col, typ)).cast("double")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over lineitem: grouped 8-aggregate scan.
+
+    At scale: a single map-side-combinable hash aggregate over the
+    parquet scan — no join, one shuffle on the tiny group domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount", "decimal(12,4)"))
+    # intermediate cast keeps the product chain within 38-digit decimal
+    # precision on BOTH engines (raw (32,8)x(9,4) would overflow to 42
+    # and Spark/DuckDB reduce precision differently -> low-bit drift)
+    charge = disc_price.cast("decimal(24,8)") * (F.lit(1).cast("decimal(8,4)") + dec("l_tax", "decimal(8,4)"))
+    # decimal -> double casts are only bit-identical across engines when
+    # the scaled integer fits 2^53 (DuckDB converts int128 then divides,
+    # double-rounding otherwise). The products have bounded *effective*
+    # scale (prices/discounts/taxes carry 2 decimals each), so reducing
+    # to that scale first is exact and keeps the numerator small.
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(25,4)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(27,6)").cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(dec("l_discount", "decimal(12,4)")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(25,4)) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(24,8)) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS DECIMAL(27,6)) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def join_broadcast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with an explicit broadcast of the dimension — at 100 TB
+    the customer dim is MBs while orders is TBs; broadcasting avoids
+    shuffling the fact table entirely."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            dsum("o_totalprice").alias("revenue"),
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+JOIN_BROADCAST_ORACLE = """
+SELECT c_mktsegment,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def join_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact ⋈ 4 dims with all dims broadcast — one
+    shuffle total (the final aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount", "decimal(12,4)"))
+    return (
+        li.join(F.broadcast(orders.where(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.sum(revenue).cast("decimal(25,4)").cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+JOIN_MULTIWAY_ORACLE = """
+SELECT r_name,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(25,4)) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (EXISTS) and left_anti (NOT EXISTS) — per nation, how
+    many customers have / don't have orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+    without_orders = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    return (
+        customer.groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+        .join(with_orders, "c_nationkey", "left")
+        .join(without_orders, "c_nationkey", "left")
+        .select(
+            "c_nationkey",
+            "n_customers",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+JOIN_SEMI_ANTI_ORACLE = """
+SELECT c_nationkey,
+       count(*) AS n_customers,
+       count(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+       count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total + sequence number — one shuffle
+    on o_custkey, sort within partition (no global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.sum(dec("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double").alias("running_total"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+WINDOW_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS order_seq,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       lag(o_orderkey) OVER w AS prev_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per market segment — windowed top-k,
+    the scalable alternative to a global sort+limit."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+TOPK_ORACLE = """
+SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) t WHERE rk <= 3
+"""
+
+
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count("*").alias("n"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       count(*) AS n,
+       grouping(l_returnflag) AS g_flag,
+       grouping(l_linestatus) AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            dsum("o_totalprice").alias("revenue"),
+            F.count("*").alias("n"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+        )
+    )
+
+
+CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except over nation-key sets."""
+    customer = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    supplier = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    both = customer.intersect(supplier).withColumn("op", F.lit("both"))
+    cust_only = customer.distinct().exceptAll(supplier.distinct()).withColumn("op", F.lit("customer_only"))
+    any_n = customer.union(supplier).distinct().withColumn("op", F.lit("any"))
+    return both.unionByName(cust_only).unionByName(any_n).select("op", "nk")
+
+
+SET_OPS_ORACLE = """
+SELECT 'both' AS op, nk FROM
+  (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier) t1
+UNION ALL
+SELECT 'customer_only' AS op, nk FROM
+  (SELECT DISTINCT c_nationkey AS nk FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier) t2
+UNION ALL
+SELECT 'any' AS op, nk FROM
+  (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier) t3
+"""
+
+
+def scalar_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / math / date scalar functions, all Catalyst built-ins."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        (F.col("p_size") % 5).alias("size_mod"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        F.coalesce(F.nullif("p_brand", F.lit("Brand#1")), F.lit("OTHER")).alias("brand_or_other"),
+    )
+
+
+SCALAR_ORACLE = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       length(p_name) AS name_len,
+       substring(p_type, 1, 5) AS type_prefix,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       abs(p_size - 25) AS size_dev,
+       p_size % 5 AS size_mod,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       coalesce(nullif(p_brand, 'Brand#1'), 'OTHER') AS brand_or_other
+FROM part
+"""
+
+
+def date_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.month("o_orderdate").alias("m"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            dec("o_totalprice").alias("price_dec"),
+        )
+        .groupBy("y", "q", "m", "month_start")
+        .agg(F.sum("price_dec").cast("double").alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+DATE_ORACLE = """
+SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q, month(o_orderdate) AS m,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM orders GROUP BY 1, 2, 3, 4
+"""
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event counts per user-decile × event type."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.withColumn("user_decile", (F.col("user_id") % 10).cast("int"))
+        .groupBy("user_decile")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+PIVOT_ORACLE = """
+SELECT CAST(user_id % 10 AS INTEGER) AS user_decile,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY 1
+"""
+
+
+def range_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: for a sample of orders, count events whose
+    ts falls in [min_ts + k hours, +6h) derived from the order key — a
+    pure interval-overlap join. At 100 TB this is the shape you bucket
+    by time and equi-join on bucket; here the demonstrator keeps the
+    build side tiny so Spark broadcasts it (nested-loop with broadcast)."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 199 == 0)
+    tmin = ev.agg(F.min("ts").alias("t0"))
+    win = (
+        orders.crossJoin(F.broadcast(tmin))
+        .select(
+            "o_orderkey",
+            (F.col("t0") + F.make_interval(hours=(F.col("o_orderkey") % 600).cast("int"))).alias("win_lo"),
+            (F.col("t0") + F.make_interval(hours=((F.col("o_orderkey") % 600) + 6).cast("int"))).alias("win_hi"),
+        )
+    )
+    joined = ev.join(
+        F.broadcast(win),
+        (ev.ts >= win.win_lo) & (ev.ts < win.win_hi),
+        "inner",
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("sum_value")
+    )
+
+
+RANGE_JOIN_ORACLE = """
+WITH t0 AS (SELECT min(ts) AS t0 FROM events),
+win AS (
+  SELECT o_orderkey,
+         t0 + (o_orderkey % 600) * INTERVAL '1' HOUR AS win_lo,
+         t0 + ((o_orderkey % 600) + 6) * INTERVAL '1' HOUR AS win_hi
+  FROM orders, t0 WHERE o_orderkey % 199 = 0
+)
+SELECT o_orderkey, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events JOIN win ON ts >= win_lo AND ts < win_hi
+GROUP BY o_orderkey
+"""
+
+
+def asof_prev_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (previous-row) join expressed Spark-first: lag() over the
+    per-user event stream — one shuffle on user_id, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)).alias("gap_us"),
+    )
+
+
+ASOF_ORACLE = """
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       lag(event_id) OVER w AS prev_event_id,
+       epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle timeout): lag + cumulative
+    sum of session-break flags — the batch twin of
+    session_window() in streaming."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    with_sess = ev.select("user_id", "event_id", "ts", sess_id.alias("session_id"))
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows — the batch twin of the
+    streaming windowed aggregation (streaming/ingest.py runs the same
+    plan via readStream; see tests/test_streaming.py for parity)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '1' HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""

@@ -331,6 +331,74 @@ def p8_key_codec_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Relational surface (SURVEY §2.3) — joins/aggs/windows/setops/scalars
+# ===========================================================================
+
+from hbasewd_spark.operators import relational as R  # noqa: E402
+
+
+def _rel(name: str, fn, oracle: str, doc: str = "") -> None:
+    REGISTRY[name] = QuerySpec(
+        lambda spark, sf_dir, _fn=fn: _fn(spark, sf_dir), oracle, doc
+    )
+
+
+_rel("rel_q1_pricing_summary", R.q1_pricing_summary, R.Q1_ORACLE,
+     "TPC-H Q1: grouped 8-aggregate scan, decimal-exact sums")
+_rel("rel_join_broadcast", R.join_broadcast_revenue, R.JOIN_BROADCAST_ORACLE,
+     "fact⋈dim broadcast hash join + countDistinct")
+_rel("rel_join_multiway", R.join_multiway_region_revenue, R.JOIN_MULTIWAY_ORACLE,
+     "TPC-H Q5 shape: 5-table star join, all dims broadcast")
+_rel("rel_join_semi_anti", R.join_semi_anti, R.JOIN_SEMI_ANTI_ORACLE,
+     "left_semi/left_anti (EXISTS / NOT EXISTS)")
+_rel("rel_window_running", R.window_running_total, R.WINDOW_RUNNING_ORACLE,
+     "running sum + row_number + lag per customer")
+_rel("rel_topk_per_group", R.topk_per_group, R.TOPK_ORACLE,
+     "windowed top-k per group")
+_rel("rel_rollup", R.rollup_lineitem, R.ROLLUP_ORACLE, "ROLLUP + grouping()")
+_rel("rel_cube", R.cube_orders, R.CUBE_ORACLE, "CUBE + grouping()")
+_rel("rel_set_ops", R.set_ops_nations, R.SET_OPS_ORACLE,
+     "union/intersect/except")
+_rel("rel_scalar_gallery", R.scalar_gallery, R.SCALAR_ORACLE,
+     "string/math scalar built-ins")
+_rel("rel_date_gallery", R.date_gallery, R.DATE_ORACLE,
+     "date part extraction + date_trunc rollup")
+_rel("rel_pivot", R.pivot_event_counts, R.PIVOT_ORACLE,
+     "pivot event_type -> columns")
+_rel("rel_range_join", R.range_join_order_events, R.RANGE_JOIN_ORACLE,
+     "non-equi interval join with broadcast build side")
+_rel("rel_asof_lag", R.asof_prev_event, R.ASOF_ORACLE,
+     "as-of previous-event join via lag window")
+_rel("rel_sessionization", R.sessionize, R.SESSIONIZE_ORACLE,
+     "gap-based sessionization via lag+cumsum")
+_rel("rel_window_tumbling", R.tumbling_window_agg, R.TUMBLING_ORACLE,
+     "tumbling event-time windows (batch twin of streaming agg)")
+
+
+@q(
+    "rel_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "GROUPING SETS via SQL (identical text both engines)",
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+    )
+
+
+# ===========================================================================
 # public surface consumed by __spark_entry__.py
 # ===========================================================================
 
