@@ -1,0 +1,378 @@
+"""Deduplication operators for training-data pipelines (north-star
+extension): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.
+
+Design for 100 TB:
+- exact dedup is a single hash aggregation on a fingerprint column
+  (map-side combinable; no full-text shuffle — only the 8-byte hash and
+  the kept doc_id move);
+- MinHash/LSH follows shingle→minhash→band→bucket-join: candidate
+  generation is an equi-join on (band, band_hash) — a shuffle whose
+  keys are uniformly distributed by construction — followed by exact
+  Jaccard verification on only the candidate pairs (never the n²
+  cross product);
+- SimHash uses bit-sliced aggregation: explode(tokens)→hash→per-bit
+  majority vote, then 16-bit block LSH for candidate pairs within
+  Hamming distance;
+- all hashes are md5-derived (portable, seedable), so the DuckDB
+  oracle reproduces every stage bit-for-bit.
+
+Every operator returns deterministic results under any partitioning:
+kept-row choices are min(doc_id), pair outputs are (a < b) ordered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hbasewd_spark.functions.codec import sql_md5_long
+from hbasewd_spark.functions.text import fingerprint, sql_fingerprint, sql_tokens, tokens
+from hbasewd_spark.sources.loaders import load_table
+
+# MinHash parameters: 16 permutations in 4 bands of 4 rows.
+MH_PERMS = 16
+MH_BANDS = 4
+MH_ROWS = MH_PERMS // MH_BANDS
+MH_PRIME = 2_147_483_647
+# deterministic permutation coefficients (any fixed odd/positive work)
+MH_A = [2 * i + 1 for i in range(1, MH_PERMS + 1)]
+MH_B = [7919 * i + 13 for i in range(MH_PERMS)]
+
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.35
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized-content fingerprint: one row kept
+    per fingerprint (min doc_id), with the duplicate count. At scale:
+    groupBy on a bigint — map-side partial agg, tiny shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup_oracle() -> str:
+    fp = sql_fingerprint("text", "duckdb")
+    return f"""
+    SELECT {fp} AS fp, min(doc_id) AS kept_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash signatures
+# ---------------------------------------------------------------------------
+
+
+def _shingles_expr():
+    """Word 3-shingles of the token stream, as a deduped array."""
+    toks = tokens("text")
+    k = SHINGLE_K
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+def sql_shingles_over_toks(dialect: str) -> str:
+    """Shingle expression over a column named ``toks`` (use inside a
+    CTE that computed the token array — avoids correlated subqueries)."""
+    k = SHINGLE_K
+    if dialect == "spark":
+        parts = ", ".join(f"element_at(toks, CAST(i + {j} AS INT))" for j in range(k))
+        return (
+            f"array_distinct(transform(sequence(1, greatest(size(toks) - {k-1}, 0)),"
+            f" i -> concat_ws(' ', {parts})))"
+        )
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len(toks) - {k-1}, 0)),"
+        f" i -> {parts}))"
+    )
+
+
+def _minhash_sig(shingles_col):
+    """MinHash signature: for each permutation j, min over shingles of
+    (a_j * H(s) + b_j) % p, where H is the portable md5-based hash.
+    Empty shingle sets get sentinel p (can't collide with real sigs)."""
+    h = F.transform(
+        shingles_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    )
+
+    def perm(j: int):
+        a, b = MH_A[j], MH_B[j]
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MH_PRIME
+
+    return [
+        F.coalesce(F.array_min(F.transform(h, perm(j))), F.lit(MH_PRIME)).alias(f"mh{j}")
+        for j in range(MH_PERMS)
+    ]
+
+
+def sql_minhash_band_hash(dialect: str, band: int) -> str:
+    """Band hash over a column named ``hs`` (the per-shingle hash
+    array): md5-long of the '_'-joined band signature values."""
+    mins = []
+    for j in range(band * MH_ROWS, (band + 1) * MH_ROWS):
+        perm = (
+            f"list_transform(hs, x -> ({MH_A[j]} * x + {MH_B[j]}) % {MH_PRIME})"
+            if dialect == "duckdb"
+            else f"transform(hs, x -> ({MH_A[j]} * x + {MH_B[j]}) % {MH_PRIME})"
+        )
+        m = f"list_min({perm})" if dialect == "duckdb" else f"array_min({perm})"
+        mins.append(f"coalesce({m}, {MH_PRIME})")
+    concat = " || '_' || ".join(f"CAST({m} AS VARCHAR)" for m in mins)
+    return sql_md5_long(f"({concat})", dialect)
+
+
+def minhash_band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_hash) — the LSH bucketing relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles_expr().alias("sh"))
+    sig = sh.select("doc_id", "sh", *_minhash_sig(F.col("sh")))
+    bands = []
+    for b in range(MH_BANDS):
+        cols = [F.col(f"mh{j}").cast("string") for j in range(b * MH_ROWS, (b + 1) * MH_ROWS)]
+        band_key = F.concat_ws("_", *cols)
+        band_hash = F.conv(F.substring(F.md5(band_key), 1, 8), 16, 10).cast("bigint")
+        bands.append(
+            sig.select("doc_id", F.lit(b).alias("band"), band_hash.alias("band_hash"))
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: LSH candidates (same band hash in any band),
+    verified with exact shingle-set Jaccard >= threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles_expr().alias("sh"))
+    bands = minhash_band_df(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_hash") == F.col("b.band_hash")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union", F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("n_union") > 0, F.col("n_inter").cast("double") / F.col("n_union").cast("double")).otherwise(0.0),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
+
+
+def minhash_pairs_oracle() -> str:
+    toks = sql_tokens("text", "duckdb")
+    shing = sql_shingles_over_toks("duckdb")
+    shingle_hash = sql_md5_long("s", "duckdb")
+    band_hashes = ", ".join(
+        f"{sql_minhash_band_hash('duckdb', b)} AS bh{b}" for b in range(MH_BANDS)
+    )
+    bh_unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, bh{b} AS band_hash FROM sigs" for b in range(MH_BANDS)
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+    sh AS (SELECT doc_id, {shing} AS sh FROM tk),
+    hsrel AS (SELECT doc_id, sh, list_transform(sh, s -> {shingle_hash}) AS hs FROM sh),
+    sigs AS (SELECT doc_id, {band_hashes} FROM hsrel),
+    bands AS ({bh_unpivot}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.sh, sb.sh)) AS n_inter,
+             len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS n_union
+      FROM cand
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, n_inter, n_union,
+           CASE WHEN n_union > 0 THEN CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) ELSE 0.0 END AS jaccard
+    FROM verified
+    WHERE (CASE WHEN n_union > 0 THEN CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) ELSE 0.0 END) >= {JACCARD_THRESHOLD}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document via bit-sliced aggregation:
+    explode(tokens) → md5-long → one majority-vote sum per bit →
+    reassemble. One shuffle (groupBy doc_id); the 32 sums are a single
+    aggregate pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    tok = tok.select("doc_id", h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_oracle() -> str:
+    toks = sql_tokens("text", "duckdb")
+    h = sql_md5_long("tok", "duckdb")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {h} AS h
+      FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents) _t
+    ),
+    agg AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id)
+    SELECT doc_id, {fp} AS simhash FROM agg
+    """
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs within Hamming distance 3 of the 32-bit SimHash,
+    via 4×8-bit block LSH (any pair within distance 3 shares at least
+    one exact block — pigeonhole), then exact popcount verification."""
+    sh = simhash_df(spark, sf_dir)
+    blocks = []
+    for blk in range(4):
+        b = F.shiftright(F.col("simhash"), blk * 8).bitwiseAND(F.lit(0xFF))
+        blocks.append(sh.select("doc_id", "simhash", F.lit(blk).alias("blk"), b.alias("bval")))
+    bdf = blocks[0]
+    for x in blocks[1:]:
+        bdf = bdf.unionByName(x)
+    a, b = bdf.alias("a"), bdf.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bval") == F.col("b.bval")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).where(F.col("hamming") <= 3)
+
+
+def simhash_pairs_oracle() -> str:
+    inner = simhash_oracle()
+    blocks = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {blk} AS blk, (simhash >> {blk*8}) & 255 AS bval FROM sh"
+        for blk in range(4)
+    )
+    return f"""
+    WITH sh AS ({inner}),
+    blocks AS ({blocks}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.bval = b.bval
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (no LSH — banded by a cheap blocking key)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram Jaccard over same-`lang` document pairs (the
+    blocking key keeps the pair space linear-ish; at 100 TB you'd block
+    on a rare-ngram bucket instead). Exact set arithmetic via
+    array_intersect on deduped gram arrays."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    n = F.length(norm)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 3, F.lit(0))),
+            lambda i: norm.substr(i, F.lit(4)),
+        )
+    )
+    g = docs.select("doc_id", "lang", grams.alias("g")).where(F.col("doc_id") % 5 == 0)
+    a = g.select(F.col("lang"), F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
+    b = g.select(F.col("lang"), F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    pairs = (
+        a.join(b, "lang")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("n_inter", F.size(F.array_intersect("g_a", "g_b")))
+        .withColumn("n_union", F.size("g_a") + F.size("g_b") - F.col("n_inter"))
+        .withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union").cast("double"))
+        .where(F.col("jaccard") >= 0.35)
+    )
+    return pairs.select("lang", "doc_a", "doc_b", "jaccard")
+
+
+def ngram_jaccard_oracle() -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    grams = (
+        f"list_distinct(list_transform(generate_series(1, greatest(length({norm}) - 3, 0)),"
+        f" i -> substring({norm}, i, 4)))"
+    )
+    return f"""
+    WITH g AS (
+      SELECT doc_id, lang, {grams} AS g FROM documents WHERE doc_id % 5 = 0
+    ),
+    pairs AS (
+      SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.g, b.g)) AS n_inter,
+             len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS n_union
+      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT lang, doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+    FROM pairs
+    WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.35
+    """

@@ -1,0 +1,228 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two paths, mirroring how you'd serve ANN at 100 TB:
+
+- **brute-force cosine top-k** — the exact baseline: broadcast the
+  (small) query set against the corpus, fold the dot product inside
+  codegen (``transform``+``aggregate`` over the array column — no
+  Python), windowed top-k. Scales linearly in corpus size and is the
+  right answer whenever the query set is small enough to broadcast.
+- **IVF (inverted-file) top-k** — the scale path: partition the corpus
+  into Voronoi cells around seed centroids, probe only the closest
+  ``NPROBE`` cells per query, exact re-rank inside probed cells. Here
+  the centroid set is a deterministic corpus sample (lowest vec_ids)
+  so the DuckDB oracle can replay the identical plan bit-for-bit; a
+  production deployment would k-means the sample and persist centroids
+  as table metadata (same mechanism as the distributor spec, O11).
+- **embedding near-dup pairs** — brute cosine >= τ self-join over a
+  blocked candidate space; the LSH-bucketed variant (signed random
+  projections) is exercised in tests/test_extensions.py.
+
+All float math folds arrays element-by-element in a fixed order after
+an exact float→double widening, so Spark and DuckDB produce
+bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from hbasewd_spark.sources.loaders import load_table
+
+DIM = 64
+TOPK = 5
+N_QUERIES = 10
+N_CENTROIDS = 16
+NPROBE = 4
+
+
+def _dvec(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of the elementwise product — identical
+    summation order on both engines."""
+    prods = F.zip_with(a, b, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB twin of :func:`_dot` (same fold order).
+
+    ``list_reduce(list_prepend(0.0, prods), +)`` folds left-to-right
+    from the 0.0 seed, exactly like Spark's ``aggregate``."""
+    prods = f"list_transform(generate_series(1, {DIM}), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))"
+    return f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {prods}), (acc, x) -> acc + x)"
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"
+
+
+def brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: query vectors (vec_id < N_QUERIES) vs the
+    whole corpus. Query side broadcast -> no shuffle of the corpus;
+    the top-k window shuffles only (corpus_rows × N_QUERIES) slim rows."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", _dvec("embedding").alias("v"))
+    queries = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), _dvec("embedding").alias("q"))
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine(F.col("q"), F.col("v")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "vec_id", "cos_sim")
+    )
+
+
+def brute_topk_oracle() -> str:
+    cos = sql_cosine("q.embedding", "c.embedding")
+    return f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {cos} AS cos_sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= {TOPK}
+    """
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign corpus vectors to the nearest of N_CENTROIDS
+    seed centroids (deterministic sample: lowest vec_ids), probe the
+    NPROBE nearest cells per query, exact cosine re-rank within probed
+    cells. At 100 TB the assignment is a broadcast join + argmin (one
+    scan), the probe prunes ~(1 - NPROBE/N_CENTROIDS) of the corpus,
+    and cells are the partition key so a probe touches few partitions."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", _dvec("embedding").alias("v"))
+    cents = (
+        emb.where(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("cv"))
+    )
+    # nearest-centroid assignment (argmin by cosine, ties -> lower cent_id)
+    ac = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id").asc())
+    assigned = (
+        ac.withColumn("rk", F.row_number().over(w_assign)).where(F.col("rk") == 1)
+        .select("vec_id", "v", F.col("cent_id").alias("cell"))
+    )
+    # query-side probe list: NPROBE nearest centroids
+    queries = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), _dvec("embedding").alias("q"))
+    )
+    qc = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id", "q", "cent_id", cosine(F.col("q"), F.col("cv")).alias("sim")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cent_id").asc())
+    probes = (
+        qc.withColumn("rk", F.row_number().over(w_probe)).where(F.col("rk") <= NPROBE)
+        .select("query_id", "q", F.col("cent_id").alias("cell"))
+    )
+    # search only probed cells, exact re-rank
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine(F.col("q"), F.col("v")).alias("cos_sim"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "vec_id", "cos_sim")
+    )
+
+
+def ivf_topk_oracle() -> str:
+    sim_vc = sql_cosine("c.embedding", "ct.embedding")
+    sim_qc = sql_cosine("q.embedding", "ct.embedding")
+    cos = sql_cosine("q.embedding", "c.embedding")
+    return f"""
+    WITH cents AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT c.vec_id, ct.cent_id AS cell,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY {sim_vc} DESC, ct.cent_id ASC) AS rk
+        FROM embeddings c CROSS JOIN cents ct
+      ) t WHERE rk = 1
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, ct.cent_id AS cell,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY {sim_qc} DESC, ct.cent_id ASC) AS rk
+        FROM embeddings q CROSS JOIN cents ct
+        WHERE q.vec_id < {N_QUERIES}
+      ) t WHERE rk <= {NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id, {cos} AS cos_sim
+      FROM probes p
+      JOIN assigned a ON a.cell = p.cell
+      JOIN embeddings c ON c.vec_id = a.vec_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, rank, vec_id, cos_sim FROM (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) t WHERE rank <= {TOPK}
+    """
+
+
+NEARDUP_TAU = 0.30  # calibrated: 99th pct of same-label cosine is ~0.295
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= τ, blocked by label
+    (same-label pairs only — the cheap blocking key; the LSH-bucketed
+    variant replaces the label with a random-hyperplane signature)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", _dvec("embedding").alias("v"))
+    a = v.select(F.col("label"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = v.select(F.col("label"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "label")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("label", "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= NEARDUP_TAU)
+    )
+
+
+def embedding_neardup_oracle() -> str:
+    cos = sql_cosine("a.embedding", "b.embedding")
+    return f"""
+    SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {cos} >= {NEARDUP_TAU}
+    """

@@ -399,6 +399,143 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# North-star extensions: text analysis / dedup / similarity / multimodal
+# ===========================================================================
+
+from hbasewd_spark.functions import text as TX  # noqa: E402
+from hbasewd_spark.operators import dedup as DD  # noqa: E402
+from hbasewd_spark.operators import multimodal as MM  # noqa: E402
+from hbasewd_spark.operators import similarity as SIM  # noqa: E402
+
+
+@q(
+    "ext_text_stats",
+    f"""
+    SELECT doc_id, lang,
+           {TX.sql_token_count('text', 'duckdb')} AS n_tokens,
+           {TX.sql_bpe_ish_token_count('text', 'duckdb')} AS n_bpe_tokens,
+           {TX.sql_alpha_ratio('text', 'duckdb')} AS alpha_ratio
+    FROM documents
+    """,
+    "token counting (whitespace + BPE-ish regex) and character-class "
+    "stats, all inside codegen",
+)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        TX.alpha_ratio("text").alias("alpha_ratio"),
+    )
+
+
+@q(
+    "ext_text_language_id",
+    f"""
+    SELECT {TX.sql_lang_id('text', 'duckdb')} AS lang_pred, lang AS lang_true,
+           count(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+    "stopword-marker language-ID heuristic, confusion counts vs the "
+    "labeled lang column",
+)
+def ext_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(TX.lang_id("text").alias("lang_pred"), F.col("lang").alias("lang_true"))
+        .groupBy("lang_pred", "lang_true")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "ext_text_quality",
+    f"""
+    SELECT doc_id, {TX.sql_quality_score('text', 'duckdb')} AS quality
+    FROM documents
+    """,
+    "deterministic [0,1] quality score (length/alpha/word-shape mix)",
+)
+def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+@q(
+    "ext_text_fingerprint",
+    f"""
+    SELECT doc_id, {TX.sql_fingerprint('text', 'duckdb')} AS fp
+    FROM documents
+    """,
+    "rolling 31-polynomial content fingerprint mod 1e9+7",
+)
+def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+REGISTRY["ext_dedup_exact"] = QuerySpec(
+    DD.exact_dedup, DD.exact_dedup_oracle(), "exact dedup via fingerprint groupBy"
+)
+REGISTRY["ext_dedup_minhash_pairs"] = QuerySpec(
+    DD.minhash_dedup_pairs,
+    DD.minhash_pairs_oracle(),
+    "MinHash(16 perms, 4 bands)+LSH candidates, exact-Jaccard verified",
+)
+REGISTRY["ext_dedup_simhash"] = QuerySpec(
+    DD.simhash_df, DD.simhash_oracle(), "32-bit SimHash fingerprints (bit-sliced agg)"
+)
+REGISTRY["ext_dedup_simhash_pairs"] = QuerySpec(
+    DD.simhash_neardup_pairs,
+    DD.simhash_pairs_oracle(),
+    "SimHash near-dups: 8-bit-block LSH + Hamming<=3 verify",
+)
+REGISTRY["ext_dedup_ngram_jaccard"] = QuerySpec(
+    DD.ngram_jaccard_pairs,
+    DD.ngram_jaccard_oracle(),
+    "char-4-gram Jaccard pairs, lang-blocked",
+)
+REGISTRY["ext_sim_brute_topk"] = QuerySpec(
+    SIM.brute_topk, SIM.brute_topk_oracle(), "exact cosine top-k (broadcast queries)"
+)
+REGISTRY["ext_sim_ivf_topk"] = QuerySpec(
+    SIM.ivf_topk, SIM.ivf_topk_oracle(), "IVF ANN: cell assignment + probe + re-rank"
+)
+REGISTRY["ext_embed_neardup_pairs"] = QuerySpec(
+    SIM.embedding_neardup_pairs,
+    SIM.embedding_neardup_oracle(),
+    "embedding cosine near-dup pairs, label-blocked",
+)
+REGISTRY["ext_multimodal_stats"] = QuerySpec(
+    MM.media_stats,
+    MM.MEDIA_STATS_ORACLE,
+    "binary media columns: mapInPandas fake-decode -> per-format rollup",
+)
+
+
+@q(
+    "stream_windowed_agg",
+    """
+    SELECT time_bucket(INTERVAL '1' HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "ACTUAL Structured Streaming execution (availableNow -> memory "
+    "sink) of the watermarked tumbling-window aggregation; oracle is "
+    "the batch SQL equivalent",
+)
+def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.streaming import ingest as ST
+
+    stream = ST.stream_events(spark, sf_dir)
+    agg = ST.windowed_agg_stream(stream)
+    return ST.run_stream_to_memory(spark, agg, "stream_windowed_agg_out")
+
+
+# ===========================================================================
 # public surface consumed by __spark_entry__.py
 # ===========================================================================
 

@@ -1,0 +1,126 @@
+"""Structured Streaming ingest & analytics (SURVEY §3.1 / §2.3).
+
+The reference's write path is conceptually streaming ingest — a client
+loop of ``hTable.put(saltedKey, ...)`` (README:43-47). The engine's
+twin is a Structured Streaming pipeline: ``readStream →
+withColumn(salt) → writeStream.foreachBatch(salted append)``. Salting
+is stateless and per-row, so it composes with any source/sink and adds
+no state store.
+
+Also provided: event-time windowed aggregation with watermarking (late
+data), and a custom stateful per-user counter via
+``applyInPandasWithState`` — the streaming operators the reference
+never had but a Spark-native engine exposes as first-class.
+
+At 100 TB/day: the foreachBatch append writes one file per salt
+partition per micro-batch; compaction is a downstream batch job over
+the same salt layout (no reshuffle — salt stays the partition key).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hbasewd_spark.plans.distributor import KeyDistributor
+from hbasewd_spark.sources.salted_table import SALT_COL, salted
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture (schema pinned; one file =
+    one micro-batch under availableNow)."""
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # FileStreamSource wants a directory: stream sf_dir, glob-filtered
+    # to the events file (one file -> one availableNow micro-batch)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def salted_stream_ingest(
+    stream: DataFrame,
+    dest_path: str,
+    distributor: KeyDistributor,
+    key_col: str,
+    checkpoint: str,
+):
+    """Hot-spot-free streaming ingest: stateless salting + per-batch
+    salted append. Returns the started StreamingQuery."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            salted(batch_df, distributor, key_col)
+            .repartition(distributor.buckets, F.col(SALT_COL))
+            .sortWithinPartitions(SALT_COL, key_col)
+            .write.mode("append")
+            .partitionBy(SALT_COL)
+            .parquet(dest_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_agg_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Event-time tumbling windows with a watermark for late data —
+    the streaming twin of relational.tumbling_window_agg (same plan
+    shape, same results once the stream drains)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def run_stream_to_memory(spark: SparkSession, agg: DataFrame, name: str) -> DataFrame:
+    """Drain an availableNow streaming aggregation into a memory sink
+    and return the result table (batch-queryable)."""
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def stateful_user_counter(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    running per-user event count + last-seen timestamp (the
+    'profile-builder' shape). State is one row per user."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, last_ts timestamp"
+    state_schema = "n long"
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        last = None
+        for pdf in pdfs:
+            n += len(pdf)
+            m = pdf["ts"].max()
+            last = m if last is None or m > last else last
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "last_ts": [last]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1,0 +1,81 @@
+"""Structured Streaming tests: salted streaming ingest parity with the
+batch write path, windowed-agg parity, and the custom stateful operator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbasewd_spark.plans.distributor import HashDistributor
+from hbasewd_spark.sources.salted_table import SaltedTable
+from hbasewd_spark.streaming import ingest as ST
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    from hbasewd_spark.sources.loaders import load_table
+
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def test_salted_stream_ingest_matches_batch(spark, sf_dir, events, tmp_path_factory):
+    """readStream -> salt -> foreachBatch append produces the same
+    salted table contents as a batch SaltedTable.write."""
+    base = tmp_path_factory.mktemp("stream")
+    dest, ckpt = str(base / "tbl"), str(base / "ckpt")
+    d = HashDistributor(8)
+    stream = ST.stream_events(spark, sf_dir)
+    q = ST.salted_stream_ingest(stream, dest, d, "ts", ckpt)
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(dest)
+    assert streamed.count() == events.count()
+    # same salt assignment as the batch path (stateless deterministic salt)
+    batch_path = str(base / "batch")
+    SaltedTable.write(events, batch_path, d, "ts")
+    batch = spark.read.parquet(batch_path)
+    a = streamed.groupBy("salt").count().orderBy("salt").collect()
+    b = batch.groupBy("salt").count().orderBy("salt").collect()
+    assert [(r.salt, r["count"]) for r in a] == [(r.salt, r["count"]) for r in b]
+    # scans over the streamed table behave like a SaltedTable
+    t = SaltedTable(spark, dest, d, "ts")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    n = t.scan(start=lo, stop=hi).count()  # stop exclusive -> drops max row(s)
+    n_max = events.where(F.col("ts") == hi).count()
+    assert n == events.count() - n_max
+
+
+def test_windowed_agg_stream_matches_batch(spark, sf_dir, events):
+    stream = ST.stream_events(spark, sf_dir)
+    agg = ST.windowed_agg_stream(stream)
+    out = ST.run_stream_to_memory(spark, agg, "t_win_agg")
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    got = {(r.window_start, r.event_type): (r.n, r.sum_value) for r in out.collect()}
+    exp = {(r.window_start, r.event_type): (r.n, r.sum_value) for r in batch.collect()}
+    assert got == exp
+
+
+def test_stateful_user_counter(spark, sf_dir, events):
+    stream = ST.stream_events(spark, sf_dir)
+    counted = ST.stateful_user_counter(stream)
+    q = (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_user_counter")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: r.n_events
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events FROM t_user_counter GROUP BY user_id"
+        ).collect()
+    }
+    exp = {r.user_id: r["count"] for r in events.groupBy("user_id").count().collect()}
+    assert got == exp
