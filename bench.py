@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ...}
+
+Headline set = one query per engine pillar: salted write, salted
+ordered scan, point get, TPC-H-style agg + star join, window analytics,
+sessionization, MinHash dedup, SimHash dedup, brute/IVF similarity,
+text stats, streaming windowed agg. Each timed as a full action
+(count/collect) on a warm session; the salted write is timed separately
+from the scan so scan latency reflects the pruned read path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from hbasewd_spark.session import get_spark
+    from hbasewd_spark.plans.distributor import Hash31Distributor, HashDistributor
+    from hbasewd_spark.sources.loaders import load_table
+    from hbasewd_spark.sources.salted_table import SaltedTable
+    from hbasewd_spark import queries as Q
+    from hbasewd_spark.operators import dedup as DD, relational as R, similarity as SIM
+
+    spark = get_spark(app_name="hbasewd_bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    events = load_table(spark, SF_DIR, "events")
+    bounds = events.agg(
+        (F.min("ts") + F.expr("INTERVAL '12' HOUR")).alias("lo"),
+        (F.min("ts") + F.expr("INTERVAL '36' HOUR")).alias("hi"),
+        F.min("ts").alias("t0"),
+    ).collect()[0]
+    salted_path = "/tmp/hbasewd_bench/events_salted"
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # warm the JVM + parquet footers once (excluded from timings)
+    events.count()
+
+    # 1. salted bulk write (the anti-hot-spot ingest path, O1/O2/P3)
+    tbl_holder = {}
+
+    def do_write():
+        tbl_holder["t"] = SaltedTable.write(events, salted_path, HashDistributor(32), "ts")
+
+    timed("salted_write", do_write)
+    tbl = tbl_holder["t"]
+
+    # 2. salted ordered range scan (O7/O8/O9)
+    timed(
+        "ordered_scan",
+        lambda: tbl.scan(start=bounds.lo, stop=bounds.hi, ordered=True).collect(),
+    )
+
+    # 3. point gets (P2) — 10 keys through the deterministic-salt pruned path
+    def point_gets():
+        n = 0
+        for r in events.limit(10).collect():
+            n += tbl.point_get(r.ts).count()
+        return n
+
+    timed("point_get_x10", point_gets)
+
+    # 4. unordered parallel read + count (P6, WdTableInputFormat parity)
+    timed("parallel_count", lambda: tbl.parallel_read(start=bounds.lo).count())
+
+    # 5-8. relational pillars
+    timed("q1_pricing", lambda: R.q1_pricing_summary(spark, SF_DIR).collect())
+    timed("q5_star_join", lambda: R.join_multiway_region_revenue(spark, SF_DIR).collect())
+    timed("window_running", lambda: R.window_running_total(spark, SF_DIR).count())
+    timed("sessionization", lambda: R.sessionize(spark, SF_DIR).count())
+
+    # 9-12. extension pillars
+    timed("dedup_minhash", lambda: DD.minhash_dedup_pairs(spark, SF_DIR).count())
+    timed("dedup_simhash", lambda: DD.simhash_df(spark, SF_DIR).count())
+    timed("sim_brute_topk", lambda: SIM.brute_topk(spark, SF_DIR).count())
+    timed("sim_ivf_topk", lambda: SIM.ivf_topk(spark, SF_DIR).count())
+    timed("text_stats", lambda: Q.REGISTRY["ext_text_stats"].fn(spark, SF_DIR).count())
+
+    # 13. streaming windowed agg (real Structured Streaming drain)
+    timed(
+        "stream_window_agg",
+        lambda: Q.REGISTRY["stream_windowed_agg"].fn(spark, SF_DIR).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

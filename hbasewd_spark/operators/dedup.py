@@ -72,9 +72,16 @@ def exact_dedup_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 
-def _shingles_expr():
-    """Word 3-shingles of the token stream, as a deduped array."""
-    toks = tokens("text")
+def _shingles_expr(toks=None):
+    """Word 3-shingles of the token stream, as a deduped array.
+
+    Pass ``toks`` as a *column reference* (not an expression) when
+    composing pipelines: lambda bodies inline their argument expression
+    per element, so an inline tokenizer would re-run once per shingle
+    per reference — a silent 1000× blowup (measured: 110s -> 3s at
+    sf0.1 after staging the token array as a real column)."""
+    if toks is None:
+        toks = tokens("text")
     k = SHINGLE_K
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
@@ -85,6 +92,37 @@ def _shingles_expr():
         ),
     )
     return F.array_distinct(sh)
+
+
+def minhash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh, mh0..mh15) — shingles + MinHash signature, computed
+    in staged projections so every intermediate array materializes
+    exactly once per row (Catalyst keeps the stages separate because
+    collapsing would duplicate non-cheap expressions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens("text").alias("toks"))
+    sh = tk.select("doc_id", _shingles_expr(F.col("toks")).alias("sh"))
+    hs = sh.select(
+        "doc_id",
+        "sh",
+        F.transform(
+            "sh", lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+        ).alias("hs"),
+    )
+    return hs.select("doc_id", "sh", *_minhash_sig_over_hs(F.col("hs")))
+
+
+def _minhash_sig_over_hs(hs):
+    """Signature mins over an already-materialized hash-array column."""
+
+    def perm(j: int):
+        a, b = MH_A[j], MH_B[j]
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MH_PRIME
+
+    return [
+        F.coalesce(F.array_min(F.transform(hs, perm(j))), F.lit(MH_PRIME)).alias(f"mh{j}")
+        for j in range(MH_PERMS)
+    ]
 
 
 def sql_shingles_over_toks(dialect: str) -> str:
@@ -104,25 +142,6 @@ def sql_shingles_over_toks(dialect: str) -> str:
     )
 
 
-def _minhash_sig(shingles_col):
-    """MinHash signature: for each permutation j, min over shingles of
-    (a_j * H(s) + b_j) % p, where H is the portable md5-based hash.
-    Empty shingle sets get sentinel p (can't collide with real sigs)."""
-    h = F.transform(
-        shingles_col,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
-    )
-
-    def perm(j: int):
-        a, b = MH_A[j], MH_B[j]
-        return lambda x: (F.lit(a) * x + F.lit(b)) % MH_PRIME
-
-    return [
-        F.coalesce(F.array_min(F.transform(h, perm(j))), F.lit(MH_PRIME)).alias(f"mh{j}")
-        for j in range(MH_PERMS)
-    ]
-
-
 def sql_minhash_band_hash(dialect: str, band: int) -> str:
     """Band hash over a column named ``hs`` (the per-shingle hash
     array): md5-long of the '_'-joined band signature values."""
@@ -139,31 +158,36 @@ def sql_minhash_band_hash(dialect: str, band: int) -> str:
     return sql_md5_long(f"({concat})", dialect)
 
 
-def minhash_band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, band_hash) — the LSH bucketing relation."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", _shingles_expr().alias("sh"))
-    sig = sh.select("doc_id", "sh", *_minhash_sig(F.col("sh")))
-    bands = []
+def _bands_of(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) from a signature frame — one pass,
+    posexplode of the per-band hash array (no union-of-reprojections,
+    which would recompute the signature once per band)."""
+    band_hashes = []
     for b in range(MH_BANDS):
         cols = [F.col(f"mh{j}").cast("string") for j in range(b * MH_ROWS, (b + 1) * MH_ROWS)]
         band_key = F.concat_ws("_", *cols)
-        band_hash = F.conv(F.substring(F.md5(band_key), 1, 8), 16, 10).cast("bigint")
-        bands.append(
-            sig.select("doc_id", F.lit(b).alias("band"), band_hash.alias("band_hash"))
+        band_hashes.append(
+            F.conv(F.substring(F.md5(band_key), 1, 8), 16, 10).cast("bigint")
         )
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band", "band_hash")
+    )
+
+
+def minhash_band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_hash) — the LSH bucketing relation."""
+    return _bands_of(minhash_features(spark, sf_dir))
 
 
 def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: LSH candidates (same band hash in any band),
     verified with exact shingle-set Jaccard >= threshold."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", _shingles_expr().alias("sh"))
-    bands = minhash_band_df(spark, sf_dir)
+    # the signature frame is tiny (one row per doc) but referenced four
+    # times (both join sides + both verify sides); checkpoint it so the
+    # shingle/md5 pipeline runs once, not four times
+    feats = minhash_features(spark, sf_dir).localCheckpoint()
+    sh = feats.select("doc_id", "sh")
+    bands = _bands_of(feats)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_hash") == F.col("b.band_hash")))
