@@ -512,3 +512,179 @@ SELECT time_bucket(INTERVAL '1' HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
+
+
+# ===========================================================================
+# Wave 4: JSON, advanced windows, subqueries, string agg, unpivot
+# ===========================================================================
+
+
+def json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the events.props payload column —
+    extraction stays in codegen (get_json_object), no UDFs."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct(F.col("k")).alias("n_distinct_k"),
+        )
+    )
+
+
+JSON_ORACLE = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_distinct_k
+FROM events GROUP BY event_type
+"""
+
+
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/analytic window battery: rank, dense_rank, ntile,
+    percent_rank, cume_dist, first/last over a running frame, lead."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w_price).alias("price_rank"),
+        F.dense_rank().over(w_price).alias("price_dense_rank"),
+        F.ntile(4).over(w_price).alias("price_quartile"),
+        F.percent_rank().over(w_price).alias("price_pct_rank"),
+        F.cume_dist().over(w_price).alias("price_cume_dist"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("last_so_far"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+WINDOW_ANALYTICS_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       rank() OVER wp AS price_rank,
+       dense_rank() OVER wp AS price_dense_rank,
+       ntile(4) OVER wp AS price_quartile,
+       percent_rank() OVER wp AS price_pct_rank,
+       cume_dist() OVER wp AS price_cume_dist,
+       first_value(o_orderkey) OVER w AS first_orderkey,
+       last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_so_far,
+       lead(o_orderkey) OVER w AS next_orderkey
+FROM orders
+WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wp AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per part-size cohort, revenue of parts within
+    ±2 size units (a value-range sliding window, not a row count)."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_size").rangeBetween(-2, 2)
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.count("*").over(w).alias("n_nearby_sizes"),
+        F.sum(dec("p_retailprice")).over(w).cast("double").alias("nearby_revenue"),
+    )
+
+
+RANGE_FRAME_ORACLE = """
+SELECT p_brand, p_partkey, p_size,
+       count(*) OVER w AS n_nearby_sizes,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS nearby_revenue
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+"""
+
+
+def subquery_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / IN / scalar subqueries via SQL (Catalyst rewrites them
+    into semi joins — same plan family the DataFrame API produces)."""
+    from hbasewd_spark.sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SUBQUERY_SQL_SPARK)
+
+
+SUBQUERY_SQL_SPARK = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       count(CASE WHEN EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000
+       ) THEN 1 END) AS n_big_spenders,
+       count(CASE WHEN c_nationkey IN (
+           SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+       ) THEN 1 END) AS n_region0,
+       count(CASE WHEN c_acctbal > (SELECT avg(c_acctbal) FROM customer) THEN 1 END) AS n_above_avg
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+SUBQUERY_ORACLE = SUBQUERY_SQL_SPARK  # identical text runs on DuckDB
+
+
+def string_agg_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: sorted concat of customer ids
+    per (nation, segment) — collect_list + array_sort + concat (the
+    order-stable form; raw collect_list order is partition-dependent)."""
+    cust = load_table(spark, sf_dir, "customer")
+    small = cust.where(F.col("c_custkey") % 20 == 0)
+    return (
+        small.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(F.col("c_custkey").cast("string")))
+            ).alias("custkeys"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+STRING_AGG_ORACLE = """
+SELECT c_nationkey, c_mktsegment,
+       string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY CAST(c_custkey AS VARCHAR)) AS custkeys,
+       count(*) AS n
+FROM customer WHERE c_custkey % 20 = 0
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long) via stack: one row per (part, measure)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice)"
+        ).alias("measure", "value"),
+    ).where(F.col("p_partkey") < 100)
+
+
+UNPIVOT_ORACLE = """
+SELECT p_partkey, measure, value FROM (
+  SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+  UNION ALL
+  SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value FROM part
+) t WHERE p_partkey < 100
+"""
+
+
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximations (HLL++ distinct, quantile sketch) —
+    no cross-engine oracle (sketches differ by design); the driver
+    records a rows-only check and tests bound the error vs exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("price_quantiles"),
+        F.count("*").alias("n"),
+    )

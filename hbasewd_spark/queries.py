@@ -399,6 +399,66 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Wave 4: JSON / advanced windows / subqueries / skew-salted agg / byte-compat
+# ===========================================================================
+
+from hbasewd_spark.operators import skew as SK  # noqa: E402
+
+_rel2 = _rel  # same registration helper
+
+
+@q(
+    "p8_bytecompat_salted_keys",
+    f"""
+    SELECT event_id,
+           printf('%02x', {sql_hash31_of_long('event_id', 15)}) || printf('%016x', event_id) AS salted_hex,
+           event_id AS recovered
+    FROM events WHERE event_id < 200
+    """,
+    "byte-compat physical salted key: prefix byte ‖ 8-byte BE key "
+    "(Bytes.add parity, RowKeyDistributorByOneBytePrefix.java:49), "
+    "strip+decode round-trip",
+)
+def p8_bytecompat_salted_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.functions import codec
+    from hbasewd_spark.plans.distributor import Hash31Distributor
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    d = Hash31Distributor(15)
+    key = codec.encode_long_be("event_id")
+    staged = ev.select("event_id", key.alias("key")).select(
+        "event_id", "key", d.salt_expr("key").alias("salt")
+    )
+    salted_key = codec.concat_salted_key(d.prefix_expr("salt"), F.col("key"))
+    return staged.select(
+        "event_id",
+        F.lower(F.hex(salted_key)).alias("salted_hex"),
+        codec.decode_long_be(codec.strip_salt_prefix(salted_key, d.prefix_length)).alias("recovered"),
+    )
+
+
+_rel("rel_json_extract", R.json_extract_stats, R.JSON_ORACLE,
+     "JSON scalar extraction + agg over events.props")
+_rel("rel_window_analytics", R.window_analytics, R.WINDOW_ANALYTICS_ORACLE,
+     "rank/dense_rank/ntile/percent_rank/cume_dist/first/last/lead")
+_rel("rel_range_frame", R.range_frame_window, R.RANGE_FRAME_ORACLE,
+     "RANGE BETWEEN value-window frames")
+_rel("rel_subqueries", R.subquery_battery, R.SUBQUERY_ORACLE,
+     "EXISTS / IN / scalar subqueries (identical SQL both engines)")
+_rel("rel_string_agg", R.string_agg_per_nation, R.STRING_AGG_ORACLE,
+     "order-stable string aggregation")
+_rel("rel_unpivot", R.unpivot_part_measures, R.UNPIVOT_ORACLE,
+     "unpivot wide->long via stack()")
+REGISTRY["rel_approx_stats"] = QuerySpec(
+    R.approx_stats, None,
+    "HLL++ approx distinct + quantile sketch (rows-only: sketches are "
+    "engine-specific by design; error bounds asserted in tests)",
+)
+_rel("perf_skew_salted_rollup", SK.skewed_user_rollup, SK.SKEWED_ROLLUP_ORACLE,
+     "two-phase salt-split aggregation (skew-immune groupBy)")
+
+
+# ===========================================================================
 # North-star extensions: text analysis / dedup / similarity / multimodal
 # ===========================================================================
 

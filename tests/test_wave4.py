@@ -1,0 +1,89 @@
+"""Wave-4 tests: skew operators, approx error bounds, format
+round-trips, HBase sink seam."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbasewd_spark.operators import relational as R, skew as SK
+from hbasewd_spark.sources import formats as FMT
+from hbasewd_spark.sources.loaders import load_table
+
+
+def test_salted_groupby_matches_direct(spark, sf_dir):
+    direct = {
+        r.user_id: (r["count"],)
+        for r in load_table(spark, sf_dir, "events").groupBy("user_id").count().collect()
+    }
+    two_phase = {r.user_id: (r.n_events,) for r in SK.skewed_user_rollup(spark, sf_dir).collect()}
+    assert {k: v[0] for k, v in two_phase.items()} == {k: v[0] for k, v in direct.items()}
+
+
+def test_salted_skew_join_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    # a skewed dimension: one row per user
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("user_n"))
+    plain = SK.salted_skew_join(ev, dim, "user_id", buckets=4)
+    expect = ev.join(dim, "user_id")
+    assert plain.count() == expect.count()
+    a = plain.agg(F.sum("user_n")).collect()[0][0]
+    b = expect.agg(F.sum("user_n")).collect()[0][0]
+    assert a == b
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = R.approx_stats(spark, sf_dir).collect()
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        rel_err = abs(r.approx_orders - exact[r.l_returnflag]) / exact[r.l_returnflag]
+        assert rel_err < 0.1, (r.l_returnflag, r.approx_orders, exact[r.l_returnflag])
+        q50, q90, q99 = r.price_quantiles
+        assert q50 <= q90 <= q99
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+def test_format_roundtrip(spark, sf_dir, tmp_path, fmt):
+    orders = load_table(spark, sf_dir, "orders").limit(500)
+    path = str(tmp_path / f"orders_{fmt}")
+    FMT.write_table(orders, path, fmt)
+    back = FMT.read_table(spark, path, fmt, orders.schema)
+    assert back.count() == 500
+    a = orders.agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s")).collect()[0].s
+    b = back.agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s")).collect()[0].s
+    assert a == b
+    assert back.schema == orders.schema
+
+
+def test_hbase_sink_seam(spark, sf_dir):
+    """to_puts builds physical salted rowkeys; save() fails loudly
+    without the connector jar (no silent no-op)."""
+    from hbasewd_spark.plans.distributor import Hash31Distributor
+
+    ev = load_table(spark, sf_dir, "events").limit(20)
+    sink = FMT.HBaseSink("events_table")
+    puts = sink.to_puts(ev, Hash31Distributor(15), "event_id")
+    rows = puts.select("rowkey", "event_id").collect()
+    for r in rows:
+        rk = bytes(r.rowkey)
+        assert len(rk) == 9  # 1 prefix byte + 8-byte BE key
+        assert int.from_bytes(rk[1:], "big", signed=True) == r.event_id
+        assert 0 <= rk[0] < 15
+    with pytest.raises(NotImplementedError, match="connector"):
+        sink.save(puts)
+
+
+def test_json_extract_matches_direct(spark, sf_dir):
+    got = {r.event_type: r.sum_k for r in R.json_extract_stats(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exp = {
+        r.event_type: r.s
+        for r in ev.groupBy("event_type")
+        .agg(F.sum(F.get_json_object("props", "$.k").cast("int")).alias("s"))
+        .collect()
+    }
+    assert got == exp
