@@ -226,3 +226,63 @@ def embedding_neardup_oracle() -> str:
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {cos} >= {NEARDUP_TAU}
     """
+
+
+# ===========================================================================
+# Iterative algorithm: Lloyd's k-means over the embedding corpus
+# ===========================================================================
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd's, fixed iterations, deterministic init = lowest
+    vec_ids) expressed as iterated DataFrame plans: assignment is a
+    broadcast-argmin, the centroid update is a per-dimension mean via
+    posexplode+groupBy (associative — safe partial aggregation).
+
+    Iterative algorithms don't fit one SQL statement (driver records a
+    rows-only check); tests assert monotone inertia descent instead.
+    At 100 TB: per-iteration cost is one broadcast join + one
+    (cluster, dim)-keyed aggregation of slim rows; centroids stay tiny
+    and the corpus is never shuffled.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", _dvec("embedding").alias("v")).localCheckpoint()
+    cents = (
+        emb.where(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").cast("int").alias("cid"), _dvec("embedding").alias("cv"))
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        ac = corpus.crossJoin(F.broadcast(cents_df)).select(
+            "vec_id", "v", "cid",
+            _dot(F.zip_with("v", "cv", lambda a, b: a - b),
+                 F.zip_with("v", "cv", lambda a, b: a - b)).alias("dist2"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("cid").asc())
+        return (
+            ac.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+            .select("vec_id", "v", "cid", "dist2")
+        )
+
+    assigned = assign(cents)
+    for _ in range(KMEANS_ITERS):
+        # centroid update: mean per (cluster, dimension)
+        dims = assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+        means = (
+            dims.groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cid", F.transform("dm", lambda s: s["m"]).alias("cv"))
+        )
+        assigned = assign(means.localCheckpoint())
+
+    return assigned.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.col("dist2").cast("decimal(28,12)")).cast("double").alias("inertia"),
+    )

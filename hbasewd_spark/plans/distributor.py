@@ -277,6 +277,37 @@ def register_distributor(cls: type[KeyDistributor]) -> None:
     _REGISTRY[cls.name] = cls
 
 
+PARAM_DELIM = "--"  # the reference's nested-param delimiter
+
+
+def to_param_string(d: KeyDistributor) -> str:
+    """String round-trip in the reference's ``Parametrizable`` wire
+    shape: ``name--k=v--k=v`` (the reference nests
+    ``params--hasherClassName`` with the same ``--`` delimiter,
+    RowKeyDistributorByHashPrefix.java:28,137-152; here the 'class
+    name' is the registry name, no reflection)."""
+    parts = [d.name] + [f"{k}={v}" for k, v in sorted(d.params().items())]
+    return PARAM_DELIM.join(parts)
+
+
+def from_param_string(s: str) -> KeyDistributor:
+    name, *kvs = s.split(PARAM_DELIM)
+    params: dict[str, Any] = {}
+    for kv in kvs:
+        k, _, v = kv.partition("=")
+        if v == "None":
+            params[k] = None
+        elif v in ("True", "False"):
+            params[k] = v == "True"
+        elif v.lstrip("-").isdigit():
+            params[k] = int(v)
+        elif v.startswith("["):  # hex prefix list
+            params[k] = [p.strip(" '\"") for p in v.strip("[]").split(",")]
+        else:
+            params[k] = v
+    return distributor_from_meta({"strategy": name, "params": params})
+
+
 def distributor_from_meta(meta: dict[str, Any]) -> KeyDistributor:
     """Rehydrate a distributor from persisted table metadata — the
     engine's ``WdTableInputFormat.setConf`` (WdTableInputFormat.java:

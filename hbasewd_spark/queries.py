@@ -575,6 +575,82 @@ REGISTRY["ext_multimodal_stats"] = QuerySpec(
 )
 
 
+CURATION_QUALITY_MIN = 0.7
+
+
+@q(
+    "ext_pipeline_corpus_curation",
+    None,  # oracle assembled below (needs the minhash CTE chain)
+    "END-TO-END training-data curation: quality gate -> language gate "
+    "-> exact dedup -> MinHash near-dup removal -> per-source corpus "
+    "stats. Composes the proven pieces; greedy keep-lowest-doc_id.",
+)
+def ext_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        TX.quality_score("text").alias("quality"),
+        TX.lang_id("text").alias("lang_pred"),
+        TX.fingerprint("text").alias("fp"),
+        TX.token_count("text").alias("n_tokens"),
+    )
+    alive = enriched.where(
+        (F.col("quality") >= CURATION_QUALITY_MIN) & (F.col("lang_pred") == "en")
+    )
+    # exact dedup: keep the lowest doc_id per fingerprint
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    alive = alive.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1).drop("rk")
+    # near-dup removal: greedy — drop the higher id of each verified pair
+    removed = DD.minhash_dedup_pairs(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = alive.join(removed, "doc_id", "left_anti")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("quality").cast("decimal(18,12)")).cast("double").alias("sum_quality"),
+    )
+
+
+def _curation_oracle() -> str:
+    quality = TX.sql_quality_score("text", "duckdb")
+    lang = TX.sql_lang_id("text", "duckdb")
+    fp = TX.sql_fingerprint("text", "duckdb")
+    ntok = TX.sql_token_count("text", "duckdb")
+    pairs = DD.minhash_pairs_oracle()
+    return f"""
+    WITH enriched AS (
+      SELECT doc_id, source, {quality} AS quality, {lang} AS lang_pred,
+             {fp} AS fp, {ntok} AS n_tokens
+      FROM documents
+    ),
+    alive AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        FROM enriched
+        WHERE quality >= {CURATION_QUALITY_MIN} AND lang_pred = 'en'
+      ) WHERE rk = 1
+    ),
+    removed AS (SELECT DISTINCT doc_b AS doc_id FROM ({pairs})),
+    kept AS (SELECT * FROM alive WHERE doc_id NOT IN (SELECT doc_id FROM removed))
+    SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+           CAST(sum(CAST(quality AS DECIMAL(18,12))) AS DOUBLE) AS sum_quality
+    FROM kept GROUP BY source
+    """
+
+
+REGISTRY["ext_pipeline_corpus_curation"].oracle = _curation_oracle()
+
+REGISTRY["ext_kmeans_clusters"] = QuerySpec(
+    SIM.kmeans_clusters,
+    None,
+    "iterative Lloyd's k-means (3 rounds) over embeddings — rows-only "
+    "(iteration doesn't fit one SQL statement); inertia descent "
+    "asserted in tests",
+)
+
+
 @q(
     "stream_windowed_agg",
     """

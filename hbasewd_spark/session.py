@@ -39,6 +39,7 @@ def get_spark(app_name: str = "hbasewd_spark", cpus: int | None = None) -> Spark
         # TIMESTAMP(NANOS); Spark has no nanos timestamp type, so read as
         # long and convert at the loader (sources/loaders.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/hbasewd_warehouse"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,121 @@
+"""Wave-5 tests: bucketed co-located joins, streaming session windows,
+param-string round-trip, DebugUtil dump parity, k-means descent."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbasewd_spark.sources import bucketed as BK
+from hbasewd_spark.sources.loaders import load_table
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Two tables bucketed on the same key join with ZERO exchanges —
+    the pre-paid-shuffle strategy for repeated fact⋈fact joins."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    BK.write_bucketed(orders.withColumnRenamed("o_orderkey", "okey"), "b_orders", "okey")
+    BK.write_bucketed(li.withColumnRenamed("l_orderkey", "okey"), "b_lineitem", "okey")
+    joined = BK.cocluster_join(spark, "b_orders", "b_lineitem", "okey", force_smj=True)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+    expect = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert joined.count() == expect
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir):
+    """session_window(ts, 30 min) in a real streaming run produces the
+    same per-user session count as the batch lag+cumsum sessionization."""
+    from hbasewd_spark.operators.relational import sessionize
+    from hbasewd_spark.streaming import ingest as ST
+
+    stream = ST.stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: r.n_sessions
+        for r in spark.sql(
+            "SELECT user_id, count(*) AS n_sessions FROM t_sessions GROUP BY user_id"
+        ).collect()
+    }
+    exp = {
+        r.user_id: r.n_sessions
+        for r in sessionize(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_param_string_roundtrip():
+    from hbasewd_spark.plans.distributor import (
+        Hash31Distributor,
+        MultiBytePrefixDistributor,
+        RoundRobinDistributor,
+        from_param_string,
+        to_param_string,
+    )
+
+    for d in (
+        RoundRobinDistributor(12, order_col="write_seq"),
+        Hash31Distributor(15, abs_bug=True),
+        MultiBytePrefixDistributor(),
+    ):
+        s = to_param_string(d)
+        d2 = from_param_string(s)
+        assert type(d2) is type(d)
+        assert d2.buckets == d.buckets
+        assert d2.params() == d.params()
+
+
+def test_debug_dump_sniffing(spark):
+    """Width-based value sniffing: 8 bytes -> long, 4 -> int, else
+    string (DebugUtil.java:68-80)."""
+    import struct
+
+    from hbasewd_spark.functions.debug import dump
+
+    rows = [
+        (struct.pack(">q", 1), struct.pack(">q", 123456789012)),
+        (struct.pack(">q", 2), struct.pack(">i", -42)),
+        (struct.pack(">q", 3), b"hello"),
+    ]
+    df = spark.createDataFrame(rows, "key binary, value binary")
+    got = {r.key_hex: r.value_str for r in dump(df, "key", "value").collect()}
+    assert got["0000000000000001"] == "123456789012"
+    assert got["0000000000000002"] == "-42"
+    assert got["0000000000000003"] == "hello"
+
+
+def test_kmeans_inertia_descends(spark, sf_dir):
+    """More Lloyd iterations -> lower (or equal) total inertia."""
+    import hbasewd_spark.operators.similarity as SIM
+
+    inertias = []
+    orig = SIM.KMEANS_ITERS
+    try:
+        for iters in (0, 1, 3):
+            SIM.KMEANS_ITERS = iters
+            total = (
+                SIM.kmeans_clusters(spark, sf_dir)
+                .agg(F.sum("inertia").alias("s"))
+                .collect()[0]
+                .s
+            )
+            inertias.append(total)
+    finally:
+        SIM.KMEANS_ITERS = orig
+    assert inertias[0] >= inertias[1] >= inertias[2]
+    assert inertias[2] < inertias[0]
