@@ -98,7 +98,11 @@ def main() -> None:
     timed("sim_ivf_topk", lambda: SIM.ivf_topk(spark, SF_DIR).count())
     timed("text_stats", lambda: Q.REGISTRY["ext_text_stats"].fn(spark, SF_DIR).count())
 
-    # 13. streaming windowed agg (real Structured Streaming drain)
+    # 13-14. composite pipeline + regression analytics
+    timed("corpus_curation", lambda: Q.REGISTRY["ext_pipeline_corpus_curation"].fn(spark, SF_DIR).count())
+    timed("regression_agg", lambda: Q.REGISTRY["rel_regression_agg"].fn(spark, SF_DIR).count())
+
+    # 15. streaming windowed agg (real Structured Streaming drain)
     timed(
         "stream_window_agg",
         lambda: Q.REGISTRY["stream_windowed_agg"].fn(spark, SF_DIR).count(),

@@ -575,6 +575,93 @@ REGISTRY["ext_multimodal_stats"] = QuerySpec(
 )
 
 
+TX_TOKENS_DUCK = TX.sql_tokens("text", "duckdb")
+
+
+@q(
+    "rel_regression_agg",
+    """
+    WITH base AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y4,
+             (epoch_us(CAST(ts AS TIMESTAMP)) - min(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id)) // 1000000 AS xs
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, count(*) AS n,
+             sum(xs) AS sx, sum(y4) AS sy, sum(xs*y4) AS sxy, sum(xs*xs) AS sxx
+      FROM base GROUP BY user_id
+    )
+    SELECT user_id, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         / 10000 AS slope
+    FROM s WHERE n * sxx - sx * sx != 0
+    """,
+    "least-squares regression aggregate (per-user value-over-time "
+    "trend): integer-scaled exact moment sums (x in whole seconds, y "
+    "in 1e-4 units — each moment < 2^53 so the bigint->double step is "
+    "exact), then identical double-space combination — the "
+    "order-independent, engine-portable form of regr_slope",
+)
+def rel_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    x_us = F.unix_micros(F.col("ts")) - F.min(F.unix_micros(F.col("ts"))).over(w)
+    # exact integer division (a float path could round 2599.9999999996
+    # up before truncation and disagree with duckdb's `//`)
+    base = ev.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,4)") * 10000).cast("bigint").alias("y4"),
+        x_us.alias("x_us"),
+    ).select("user_id", "y4", F.expr("x_us div 1000000").alias("xs"))
+    s = base.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("xs").alias("sx"),
+        F.sum("y4").alias("sy"),
+        F.sum(F.col("xs") * F.col("y4")).alias("sxy"),
+        F.sum(F.col("xs") * F.col("xs")).alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    denom_exact = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    ) / 10000
+    return s.where(denom_exact != 0).select("user_id", "n", slope.alias("slope"))
+
+
+@q(
+    "ext_udtf_tokenize",
+    f"""
+    SELECT doc_id, toks[pos] AS tok, pos FROM (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos
+      FROM (SELECT doc_id, {TX_TOKENS_DUCK} AS toks FROM documents) _t
+    ) WHERE doc_id < 50
+    """,
+    "Python UDTF (table function): lateral tokenize with positions — "
+    "the UDTF row in SURVEY §2.3's UDF/UDAF/UDTF surface",
+)
+def ext_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate(x for x in re.split(r"[^a-z0-9]+", text.lower()) if x):
+                yield i + 1, t
+
+    spark.udtf.register("wd_tokenize", Tokenize)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT doc_id, t.tok, t.pos FROM documents, "
+        "LATERAL wd_tokenize(text) t WHERE doc_id < 50"
+    )
+
+
 CURATION_QUALITY_MIN = 0.7
 
 

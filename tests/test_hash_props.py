@@ -104,3 +104,26 @@ def test_native_hash_evenness(spark):
     assert len(counts) == 32
     for r in counts:
         assert abs(r["count"] - 10_000 / 32) < 0.3 * 10_000 / 32
+
+
+def test_integer_min_value_key_bit_for_bit(spark):
+    """The reference's Math.abs(Integer.MIN_VALUE) bug, reproduced on a
+    real key: hash31(0xcbf72f826252e070) == Integer.MIN_VALUE (found by
+    solving 31^8 + Σ 31^(8-i)·b_i ≡ MIN (mod 2^32)). Byte-compat mode
+    must yield the Java result — a NEGATIVE bucket outside the declared
+    domain (RowKeyDistributorByHashPrefix.java:107) — while the engine-
+    native pmod fix keeps it in-domain."""
+    key = bytes.fromhex("cbf72f826252e070")
+    assert _jhash(key) == -(2**31)
+    df = spark.createDataFrame(
+        [(key,)], T.StructType([T.StructField("key", T.BinaryType(), False)])
+    )
+    row = df.select(
+        codec.hash31_bytes("key").alias("h"),
+        codec.hash31_bucket("key", 10, abs_bug=True).alias("compat"),
+        codec.hash31_bucket("key", 10).alias("native"),
+    ).collect()[0]
+    assert row.h == -(2**31)
+    # Java: Math.abs(MIN_VALUE) == MIN_VALUE; MIN_VALUE % 10 == -8
+    assert row.compat == -8
+    assert 0 <= row.native < 10
