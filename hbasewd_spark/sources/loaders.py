@@ -29,7 +29,22 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """The events table is parquet TIMESTAMP(NANOS); Spark refuses it
+    unless nanosAsLong is set. It's a runtime-settable SQL conf, so set
+    it defensively — the caller's session (e.g. the driver's) may not
+    have it at build time. Session timezone is pinned UTC for the same
+    reason: timestamp values must render UTC-naive to line up with
+    DuckDB oracles regardless of the host session's defaults."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # already set via session builder, or not supported
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos -> micros truncation (matches duckdb's ns->us cast)

@@ -96,7 +96,14 @@ class SaltedTable:
         return cls(spark, path, distributor_from_meta(meta), meta["key_col"])
 
     def df(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        """Table handle (memoized — repeated point gets / scans reuse
+        one file listing; call :meth:`refresh` after external appends)."""
+        if getattr(self, "_df", None) is None:
+            self._df = self.spark.read.parquet(self.path)
+        return self._df
+
+    def refresh(self) -> None:
+        self._df = None
 
     def scan(
         self,

@@ -30,6 +30,9 @@ from hbasewd_spark.sources.salted_table import SALT_COL, salted
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture (schema pinned; one file =
     one micro-batch under availableNow)."""
+    from hbasewd_spark.sources.loaders import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     # FileStreamSource wants a directory: stream sf_dir, glob-filtered
     # to the events file (one file -> one availableNow micro-batch)
