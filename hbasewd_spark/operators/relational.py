@@ -688,3 +688,163 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("price_quantiles"),
         F.count("*").alias("n"),
     )
+
+
+# ===========================================================================
+# Wave 6: CDC upsert, more TPC-H shapes, collection functions
+# ===========================================================================
+
+
+def cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert demo with a deterministic change set: keys
+    divisible by 7 get repriced (+1000), and a shifted copy of keys
+    divisible by 997 arrives as inserts. Output is the post-merge
+    per-status rollup."""
+    from hbasewd_spark.operators.cdc import upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    updates = (
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    )
+    inserts = (
+        orders.where(F.col("o_orderkey") % 997 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    merged = upsert(orders, updates.unionByName(inserts), "o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        dsum("o_totalprice").alias("revenue"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+CDC_UPSERT_ORACLE = """
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+inserts AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 997 = 0
+),
+changes AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+merged AS (
+  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+  UNION ALL SELECT * FROM changes
+)
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM merged GROUP BY o_orderstatus
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one late lineitem
+    (EXISTS -> left_semi), counted per priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    window = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        window.join(li, window.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00')
+GROUP BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single aggregate — the query whose
+    entire cost is scan pruning (predicates reach the parquet reader)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = dec("l_extendedprice") * dec("l_discount", "decimal(12,4)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(revenue).cast("decimal(25,4)").cast("double").alias("revenue"),
+             F.count("*").alias("n"))
+    )
+
+
+Q6_ORACLE = """
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(25,4)) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.03 AND l_discount <= 0.05 AND l_quantity < 24
+"""
+
+
+def collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/map/struct + higher-order function gallery, per order:
+    sorted quantity array, transformed/filtered views, existence
+    predicates, in-array aggregation, map construction."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 97 == 0)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.col("l_quantity").cast("int"))).alias("qtys"),
+        F.array_sort(F.collect_list(F.struct(F.col("l_linenumber").alias("ln"),
+                                             F.col("l_quantity").cast("int").alias("q")))).alias("lines"),
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("qtys").alias("n_lines"),
+        F.element_at("qtys", 1).alias("min_qty"),
+        F.element_at("qtys", -1).alias("max_qty"),
+        F.aggregate("qtys", F.lit(0), lambda a, x: a + x).alias("sum_qty"),
+        F.size(F.filter("qtys", lambda x: x >= 25)).alias("n_big"),
+        F.exists("qtys", lambda x: x == 1).cast("int").alias("has_single"),
+        F.forall("qtys", lambda x: x > 0).cast("int").alias("all_positive"),
+        F.concat_ws(",", F.transform("qtys", lambda x: (x * 2).cast("string"))).alias("doubled_csv"),
+        # l_linenumber repeats within an order in this dataset -> a
+        # map would hit DUPLICATED_MAP_KEY; take the first (ln,q) entry
+        # for line 1 from the sorted struct array instead
+        F.try_element_at(F.filter("lines", lambda s: s["ln"] == 1), F.lit(1))["q"].alias("qty_of_line1"),
+    )
+
+
+COLLECTION_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         list_sort(list(CAST(l_quantity AS INTEGER))) AS qtys,
+         list_sort(list(struct_pack(ln := l_linenumber, q := CAST(l_quantity AS INTEGER)))) AS lines
+  FROM lineitem WHERE l_orderkey % 97 = 0
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(qtys) AS n_lines,
+       qtys[1] AS min_qty,
+       qtys[-1] AS max_qty,
+       list_reduce(list_prepend(0, qtys), (a, x) -> a + x) AS sum_qty,
+       len(list_filter(qtys, x -> x >= 25)) AS n_big,
+       CAST(len(list_filter(qtys, x -> x = 1)) > 0 AS INTEGER) AS has_single,
+       CAST(len(list_filter(qtys, x -> x <= 0)) = 0 AS INTEGER) AS all_positive,
+       array_to_string(list_transform(qtys, x -> CAST(x * 2 AS VARCHAR)), ',') AS doubled_csv,
+       list_filter(lines, s -> s.ln = 1)[1].q AS qty_of_line1
+FROM per_order
+"""

