@@ -1,0 +1,89 @@
+"""Physical-plan audits — the scale properties SCALE.md promises,
+asserted as regressions: predicate pushdown reaches the scan, dims
+broadcast, aggregations are partial+final, and NO query in the
+registry ever degenerates into an unconditioned cartesian product.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbasewd_spark.sources.loaders import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    """Plan every registry query; none may contain CartesianProduct
+    (broadcast nested-loop for the intentional non-equi joins is fine —
+    it's bounded by the broadcast side)."""
+    from hbasewd_spark.queries import REGISTRY
+
+    skip = {"stream_windowed_agg"}  # executes a stream; no static plan to audit
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if name in skip:
+            continue
+        df = spec.fn(spark, sf_dir)
+        plan = _plan(df)
+        if "CartesianProduct" in plan:
+            offenders[name] = plan[:500]
+    assert not offenders, f"cartesian products in: {sorted(offenders)}"
+
+
+def test_q1_pushdown_and_partial_agg(spark, sf_dir):
+    from hbasewd_spark.operators.relational import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, sf_dir))
+    assert "partial_sum" in plan  # map-side combine
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: untouched columns never leave the scan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    from hbasewd_spark.operators.relational import join_multiway_region_revenue
+
+    plan = _plan(join_multiway_region_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_scan_prunes_and_sorts(spark, sf_dir, kv, tmp_path):
+    from hbasewd_spark.plans.distributor import HashDistributor
+    from hbasewd_spark.sources.salted_table import SaltedTable
+    from hbasewd_spark.sources.kv_fixture import KEY_PREFIX
+
+    t = SaltedTable.write(kv, str(tmp_path / "kv"), HashDistributor(8), "key_long")
+    plan = _plan(t.scan(start=KEY_PREFIX + 100, stop=KEY_PREFIX + 900))
+    assert "PushedFilters: [IsNotNull(key_long), GreaterThanOrEqual(key_long" in plan
+    assert "Sort [key_long" in plan
+    pg_plan = _plan(t.point_get(KEY_PREFIX + 500))
+    assert "PartitionFilters: [isnotnull(salt" in pg_plan  # pruned to one bucket
+    assert "(salt" in pg_plan and "= " in pg_plan.split("PartitionFilters")[1][:80]
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    """Windowed top-k must not globally sort: the only Sort is within
+    window partitions (no rangepartitioning exchange)."""
+    from hbasewd_spark.operators.relational import topk_per_group
+
+    plan = _plan(topk_per_group(spark, sf_dir))
+    assert "rangepartitioning" not in plan
+
+
+def test_salted_write_single_shuffle(spark, sf_dir, kv, tmp_path):
+    """The write plan contains exactly one shuffle (the salt
+    repartition) — no hidden second exchange."""
+    from hbasewd_spark.plans.distributor import HashDistributor
+    from hbasewd_spark.sources.salted_table import SALT_COL, salted
+
+    sdf = (
+        salted(kv, HashDistributor(8), "key_long")
+        .repartition(8, F.col(SALT_COL))
+        .sortWithinPartitions(SALT_COL, "key_long")
+    )
+    plan = _plan(sdf)
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(salt" in plan
