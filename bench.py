@@ -73,14 +73,15 @@ def main() -> None:
         lambda: tbl.scan(start=bounds.lo, stop=bounds.hi, ordered=True).collect(),
     )
 
-    # 3. point gets (P2) — 10 keys through the deterministic-salt pruned path
+    # 3. point gets (P2) — 10 single gets through the salt-pruned path,
+    # then the batched multi_get (HTable.get(List<Get>) parity: one job)
+    keys10 = [r.ts for r in events.limit(10).collect()]
+
     def point_gets():
-        n = 0
-        for r in events.limit(10).collect():
-            n += tbl.point_get(r.ts).count()
-        return n
+        return sum(tbl.point_get(k).count() for k in keys10)
 
     timed("point_get_x10", point_gets)
+    timed("multi_get_10", lambda: tbl.multi_get(keys10).count())
 
     # 4. unordered parallel read + count (P6, WdTableInputFormat parity)
     timed("parallel_count", lambda: tbl.parallel_read(start=bounds.lo).count())

@@ -152,6 +152,33 @@ class SaltedTable:
             pred = pred & (F.col(SALT_COL) == salt_of_key)
         return df.where(pred).drop(SALT_COL)
 
+    def multi_get(self, key_values: list[Any]) -> DataFrame:
+        """Batch point lookup — the HBase ``HTable.get(List<Get>)``
+        shape: one job for N keys. Under deterministic salting the scan
+        prunes to the union of the keys' salt partitions via an
+        ``(salt, key) IN ...`` pair predicate; under round-robin it
+        degrades to a key-set scan over all buckets (O4 fan-out)."""
+        from functools import reduce
+        from operator import or_
+
+        df = self.df()
+        if not key_values:
+            return df.where(F.lit(False)).drop(SALT_COL)
+        if self.distributor.deterministic:
+            # one (salt == const & key == const) disjunct per key: the
+            # salt side constant-folds, so partition pruning keeps only
+            # the union of the keys' buckets
+            pred = reduce(
+                or_,
+                [
+                    (F.col(SALT_COL) == self.distributor.salt_expr(F.lit(k)))
+                    & (F.col(self.key_col) == F.lit(k))
+                    for k in key_values
+                ],
+            )
+            return df.where(pred).drop(SALT_COL)
+        return df.where(F.col(self.key_col).isin(key_values)).drop(SALT_COL)
+
     def scanner(self, start: Any = None, stop: Any = None) -> Iterator:
         """ResultScanner-style incremental pull: ordered scan streamed
         to the driver partition-at-a-time (the lazy per-bucket refill of

@@ -133,3 +133,15 @@ def test_salt_domain(table):
     assert set(salts) <= set(table.distributor.all_salts())
     if table.distributor.buckets > 1:
         assert len(salts) > 1
+
+
+def test_multi_get(table):
+    """Batch point lookup (HTable.get(List<Get>) parity): same rows as
+    N single gets, one job."""
+    vals = [500, 499, 998, 1]
+    keys = [_key(table, v) for v in vals]
+    got = sorted(r.val for r in table.multi_get(keys).select("val").collect())
+    single = sorted(
+        r.val for v in vals for r in table.point_get(_key(table, v)).select("val").collect()
+    )
+    assert got == single and len(got) >= len(vals)
