@@ -48,7 +48,8 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 DECODED_SCHEMA = (
-    "doc_id long, format string, n_bytes long, width int, height int, mean_luma double"
+    "doc_id long, format string, n_bytes long, width int, height int, "
+    "byte_sum long, mean_luma double"
 )
 
 
@@ -96,8 +97,9 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     n_bytes = pdf["payload"].map(len).astype("int64")
     width = (16 + n_bytes % 240).astype("int32")
     height = (16 + (n_bytes * 7) % 240).astype("int32")
-    # mean byte value as the fake luma, exact double division
-    mean_luma = pdf["payload"].map(lambda b: float(sum(b)) / len(b) if len(b) else 0.0)
+    # integer byte sum (exact, aggregation-safe) + mean as its ratio
+    byte_sum = pdf["payload"].map(lambda b: sum(b)).astype("int64")
+    mean_luma = byte_sum.astype("float64") / n_bytes.where(n_bytes > 0, 1)
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],
@@ -105,6 +107,7 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "n_bytes": n_bytes,
             "width": width,
             "height": height,
+            "byte_sum": byte_sum,
             "mean_luma": mean_luma,
         }
     )
@@ -115,12 +118,15 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decoded-feature rollup — the canonical multimodal pipeline
     shape: cheap metadata pass, expensive decode pass, both grouped."""
     decoded = decode_media(media_df(spark, sf_dir))
+    # aggregate the exact integer byte_sum, not the per-row double mean:
+    # rounding an arbitrary double into a decimal is the one decimal
+    # trick that is NOT cross-engine stable (near-tie rows differ)
     return decoded.groupBy("format").agg(
         F.count("*").alias("n"),
         F.sum("n_bytes").alias("total_bytes"),
         F.min("width").alias("min_width"),
         F.max("height").alias("max_height"),
-        F.sum(F.col("mean_luma").cast("decimal(18,6)")).cast("double").alias("sum_luma"),
+        (F.sum("byte_sum").cast("double") / F.sum("n_bytes").cast("double")).alias("avg_luma"),
     )
 
 
@@ -129,15 +135,15 @@ WITH m AS (
   SELECT doc_id,
          ['png','jpeg','webp','wav'][(doc_id % 4 + 1)::INT] AS format,
          octet_length(encode(text)) AS n_bytes,
-         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
               list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
-              (a, b) -> a + b) AS DOUBLE) / octet_length(encode(text)) AS mean_luma
+              (a, b) -> a + b) AS byte_sum
   FROM documents
 )
 SELECT format, count(*) AS n,
        sum(n_bytes) AS total_bytes,
        min(CAST(16 + n_bytes % 240 AS INTEGER)) AS min_width,
        max(CAST(16 + (n_bytes * 7) % 240 AS INTEGER)) AS max_height,
-       CAST(sum(CAST(mean_luma AS DECIMAL(18,6))) AS DOUBLE) AS sum_luma
+       CAST(sum(byte_sum) AS DOUBLE) / CAST(sum(n_bytes) AS DOUBLE) AS avg_luma
 FROM m GROUP BY format
 """

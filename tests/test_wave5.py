@@ -211,3 +211,39 @@ def test_scd2_versions(spark):
     assert closed1.end_ts == t2 and closed1.email == "alice@a.com"
     assert len(by[2]) == 1 and by[2][0].is_current
     assert len(by[3]) == 2  # history preserved
+
+
+def test_upsert_rows_partition_scoped(spark, sf_dir, tmp_path):
+    """Update-without-read: only the changed keys' salt partitions are
+    rewritten (untouched partition files keep their mtime/identity);
+    updated values visible, unchanged rows intact; round-robin refuses."""
+    import glob
+    import os
+
+    from hbasewd_spark.plans.distributor import HashDistributor, RoundRobinDistributor
+    from hbasewd_spark.sources.kv_fixture import KEY_PREFIX, kv_df
+    from hbasewd_spark.sources.salted_table import SaltedTable
+
+    kv = kv_df(spark)
+    path = str(tmp_path / "t")
+    t = SaltedTable.write(kv, path, HashDistributor(8), "key_long")
+    files_before = {f: os.path.getmtime(f) for f in glob.glob(f"{path}/salt=*/*.parquet")}
+    total_before = t.df().count()
+
+    changes = kv.where(F.col("val").isin(500, 501)).withColumn("val", F.col("val") + 100000)
+    t.upsert_rows(changes)
+
+    # values updated, count unchanged (pure update, no inserts here)
+    assert t.df().count() == total_before
+    got = {r.val for r in t.point_get(KEY_PREFIX + 500).collect()}
+    assert got == {100500}
+    # some partitions untouched: their files still exist with same mtime
+    untouched = [
+        f for f, mt in files_before.items()
+        if os.path.exists(f) and os.path.getmtime(f) == mt
+    ]
+    assert untouched, "expected at least one untouched salt partition"
+
+    rr = SaltedTable.write(kv, str(tmp_path / "rr"), RoundRobinDistributor(8), "key_long")
+    with pytest.raises(ValueError, match="deterministic"):
+        rr.upsert_rows(changes)
