@@ -848,3 +848,47 @@ SELECT l_orderkey,
        list_filter(lines, s -> s.ln = 1)[1].q AS qty_of_line1
 FROM per_order
 """
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped revenue + deterministic
+    top-10 (row_number with full tiebreak, not a bare limit — bare
+    limit over ties is nondeterministic under partitioning)."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount", "decimal(12,4)"))
+    grouped = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("decimal(25,4)").cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    return (
+        grouped.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("rk", "l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+Q3_ORACLE = """
+WITH grouped AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(25,4)) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  WHERE l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    AND EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT rk, l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rk FROM grouped
+) t WHERE rk <= 10
+"""

@@ -462,6 +462,8 @@ _rel("rel_q4_order_priority", R.q4_order_priority, R.Q4_ORACLE,
      "TPC-H Q4 shape: EXISTS via left_semi")
 _rel("rel_q6_forecast", R.q6_forecast_revenue, R.Q6_ORACLE,
      "TPC-H Q6 shape: pure pushdown filter + aggregate")
+_rel("rel_q3_shipping_priority", R.q3_shipping_priority, R.Q3_ORACLE,
+     "TPC-H Q3 shape: join + grouped revenue + deterministic top-10")
 _rel("rel_collections", R.collection_functions, R.COLLECTION_ORACLE,
      "array/map/struct + higher-order function gallery")
 
