@@ -271,6 +271,44 @@ def p2_point_get_hash_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _P2_SQL)
 
 
+_P5_SQL = f"""
+SELECT event_id, event_type, value
+FROM events
+WHERE ts >= {_TS_LO} AND ts < {_TS_HI} AND event_type = 'click'
+"""
+
+
+@q(
+    "p5_filter_projection_passthrough",
+    _P5_SQL,
+    "P5 Scan-option preservation: caller filters and column projection "
+    "ride through the salted-scan rewrite untouched "
+    "(AbstractRowKeyDistributor.java:76-78 as Catalyst pushdown) — this "
+    "runs through the real SaltedTable write+scan path.",
+)
+def p5_filter_projection_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.plans.distributor import HashDistributor
+    from hbasewd_spark.sources.salted_table import SaltedTable
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL '12' HOUR")).alias("lo"),
+        (F.min("ts") + F.expr("INTERVAL '36' HOUR")).alias("hi"),
+    ).collect()[0]
+    path = os.path.join(
+        tempfile.gettempdir(), "hbasewd_cache",
+        os.path.basename(os.path.normpath(sf_dir)), "events_salted_p5",
+    )
+    t = SaltedTable.write(ev, path, HashDistributor(8), "ts")
+    return t.scan(
+        start=bounds.lo,
+        stop=bounds.hi,
+        ordered=False,
+        where=F.col("event_type") == "click",
+        columns=["event_id", "event_type", "value"],
+    )
+
+
 _P6_SQL = f"""
 SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users
 FROM events WHERE ts >= {_TS_LO} AND ts < {_TS_HI}
