@@ -286,3 +286,62 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.sum(F.col("dist2").cast("decimal(28,12)")).cast("double").alias("inertia"),
     )
+
+
+# ===========================================================================
+# LSH-bucketed near-dup (the scale path for embedding_neardup_pairs)
+# ===========================================================================
+
+LSH_BITS = 8
+
+
+def lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH near-dup: bucket every vector by the
+    sign pattern of its dot products with LSH_BITS hyperplanes
+    (deterministic: the lowest-vec_id vectors), then compare only
+    same-bucket pairs with exact cosine. At 100 TB the bucket id is the
+    partition key, so candidate generation is an equi-join on a 2^8
+    domain instead of an n² cross product; recall is tunable via bits
+    and multi-probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", _dvec("embedding").alias("v"))
+    planes = (
+        emb.where(F.col("vec_id") < LSH_BITS)
+        .select(F.col("vec_id").cast("int").alias("pid"), _dvec("embedding").alias("pv"))
+    )
+    dotted = corpus.crossJoin(F.broadcast(planes)).select(
+        "vec_id", "v", "pid",
+        F.when(_dot(F.col("v"), F.col("pv")) >= 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
+    )
+    sig = dotted.groupBy("vec_id").agg(
+        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("pid")).cast("bigint")).alias("bucket")
+    )
+    bucketed = corpus.join(sig, "vec_id")
+    a = bucketed.select(F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = bucketed.select(F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("bucket", "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.25)
+    )
+
+
+def lsh_bucketed_neardup_oracle() -> str:
+    dot_vp = sql_dot("c.embedding", "p.embedding")
+    cos = sql_cosine("a.embedding", "b.embedding")
+    return f"""
+    WITH planes AS (SELECT vec_id AS pid, embedding FROM embeddings WHERE vec_id < {LSH_BITS}),
+    sig AS (
+      SELECT c.vec_id,
+             CAST(sum(CASE WHEN {dot_vp} >= 0 THEN 1 ELSE 0 END * CAST(pow(2.0, p.pid) AS BIGINT)) AS BIGINT) AS bucket
+      FROM embeddings c CROSS JOIN planes p
+      GROUP BY c.vec_id
+    )
+    SELECT sa.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
+    FROM sig sa
+    JOIN sig sb ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
+    JOIN embeddings a ON a.vec_id = sa.vec_id
+    JOIN embeddings b ON b.vec_id = sb.vec_id
+    WHERE {cos} >= 0.25
+    """

@@ -611,6 +611,12 @@ REGISTRY["ext_sim_brute_topk"] = QuerySpec(
 REGISTRY["ext_sim_ivf_topk"] = QuerySpec(
     SIM.ivf_topk, SIM.ivf_topk_oracle(), "IVF ANN: cell assignment + probe + re-rank"
 )
+REGISTRY["ext_embed_lsh_neardup"] = QuerySpec(
+    SIM.lsh_bucketed_neardup,
+    SIM.lsh_bucketed_neardup_oracle(),
+    "signed-random-projection LSH bucketing + exact same-bucket cosine "
+    "- the scale path for embedding near-dup",
+)
 REGISTRY["ext_embed_neardup_pairs"] = QuerySpec(
     SIM.embedding_neardup_pairs,
     SIM.embedding_neardup_oracle(),
