@@ -95,21 +95,25 @@ def _shingles_expr(toks=None):
 
 
 def minhash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh, mh0..mh15) — shingles + MinHash signature, computed
-    in staged projections so every intermediate array materializes
-    exactly once per row (Catalyst keeps the stages separate because
-    collapsing would duplicate non-cheap expressions)."""
+    """(doc_id, hs, mh0..mh15) — per-shingle 32-bit hashes + MinHash
+    signature, computed in staged projections so every intermediate
+    array materializes exactly once per row (Catalyst keeps the stages
+    separate because collapsing would duplicate non-cheap expressions).
+
+    Only the hash array (8 bytes/shingle) travels downstream — the
+    shingle strings themselves (~20 bytes each) never leave this
+    projection, which matters at 100 TB where the verify join would
+    otherwise shuffle the full shingle text twice."""
     docs = load_table(spark, sf_dir, "documents")
     tk = docs.select("doc_id", tokens("text").alias("toks"))
     sh = tk.select("doc_id", _shingles_expr(F.col("toks")).alias("sh"))
     hs = sh.select(
         "doc_id",
-        "sh",
         F.transform(
             "sh", lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
         ).alias("hs"),
     )
-    return hs.select("doc_id", "sh", *_minhash_sig_over_hs(F.col("hs")))
+    return hs.select("doc_id", "hs", *_minhash_sig_over_hs(F.col("hs")))
 
 
 def _minhash_sig_over_hs(hs):
@@ -181,12 +185,16 @@ def minhash_band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: LSH candidates (same band hash in any band),
-    verified with exact shingle-set Jaccard >= threshold."""
+    verified with exact Jaccard >= threshold over the *hashed* shingle
+    sets (32-bit md5 prefixes — collision probability per pair is
+    ~2e-5, and both the Spark side and the DuckDB oracle use the same
+    hashes, so parity is exact). Verifying on the 8-byte hashes instead
+    of the shingle strings keeps the verify-join shuffle ~2.5× smaller."""
     # the signature frame is tiny (one row per doc) but referenced four
     # times (both join sides + both verify sides); checkpoint it so the
     # shingle/md5 pipeline runs once, not four times
     feats = minhash_features(spark, sf_dir).localCheckpoint()
-    sh = feats.select("doc_id", "sh")
+    sh = feats.select("doc_id", F.array_distinct("hs").alias("hset"))
     bands = _bands_of(feats)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -195,13 +203,13 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("hs_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hs_b"))
     verified = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("n_union", F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
+        .withColumn("n_inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn("n_union", F.size("hs_a") + F.size("hs_b") - F.col("n_inter"))
         .withColumn(
             "jaccard",
             F.when(F.col("n_union") > 0, F.col("n_inter").cast("double") / F.col("n_union").cast("double")).otherwise(0.0),
@@ -224,7 +232,8 @@ def minhash_pairs_oracle() -> str:
     return f"""
     WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
     sh AS (SELECT doc_id, {shing} AS sh FROM tk),
-    hsrel AS (SELECT doc_id, sh, list_transform(sh, s -> {shingle_hash}) AS hs FROM sh),
+    hsrel AS (SELECT doc_id, list_transform(sh, s -> {shingle_hash}) AS hs FROM sh),
+    hsets AS (SELECT doc_id, list_distinct(hs) AS hset FROM hsrel),
     sigs AS (SELECT doc_id, {band_hashes} FROM hsrel),
     bands AS ({bh_unpivot}),
     cand AS (
@@ -234,11 +243,11 @@ def minhash_pairs_oracle() -> str:
     ),
     verified AS (
       SELECT doc_a, doc_b,
-             len(list_intersect(sa.sh, sb.sh)) AS n_inter,
-             len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS n_union
+             len(list_intersect(sa.hset, sb.hset)) AS n_inter,
+             len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset)) AS n_union
       FROM cand
-      JOIN sh sa ON sa.doc_id = doc_a
-      JOIN sh sb ON sb.doc_id = doc_b
+      JOIN hsets sa ON sa.doc_id = doc_a
+      JOIN hsets sb ON sb.doc_id = doc_b
     )
     SELECT doc_a, doc_b, n_inter, n_union,
            CASE WHEN n_union > 0 THEN CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) ELSE 0.0 END AS jaccard
