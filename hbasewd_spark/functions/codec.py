@@ -159,3 +159,38 @@ def md5_long(col: Column | str) -> Column:
     """Column twin of :func:`sql_md5_long` (spark dialect)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key
+# ---------------------------------------------------------------------------
+
+ZBITS = 16
+
+
+def zvalue16(x: Column | str, y: Column | str) -> Column:
+    """32-bit Morton code interleaving the low 16 bits of two
+    non-negative ints (x takes even bit positions, y odd).
+
+    Multi-dimensional layout key for salted tables: writing a partition
+    sorted by zvalue gives parquet row groups that are tight in BOTH
+    dimensions, so 2-D range predicates prune row groups the way the
+    reference's 1-D key-sorted buckets prune on the row key. Pure
+    integer arithmetic — codegen'd, no UDF, identical in DuckDB."""
+    xc = (F.col(x) if isinstance(x, str) else x).cast("bigint") % (1 << ZBITS)
+    yc = (F.col(y) if isinstance(y, str) else y).cast("bigint") % (1 << ZBITS)
+    z = F.lit(0).cast("bigint")
+    for i in range(ZBITS):
+        z = z + F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def sql_zvalue16(x: str, y: str, dialect: str) -> str:
+    xs = f"(CAST({x} AS BIGINT) % {1 << ZBITS})"
+    ys = f"(CAST({y} AS BIGINT) % {1 << ZBITS})"
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"((({xs} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ys} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

@@ -167,3 +167,58 @@ def sql_fingerprint(expr: str, dialect: str) -> str:
     cps = f"list_transform(string_split({norm}, ''), ch -> CAST(ascii(ch) AS BIGINT))"
     # duckdb list_reduce has no init -> prepend it
     return f"list_reduce(list_prepend(CAST(7 AS BIGINT), {cps}), (h, cp) -> (h * 31 + cp) % {FNV_MOD})"
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data redaction)
+# ---------------------------------------------------------------------------
+
+# conservative patterns restricted to the regex subset Java (Spark) and
+# RE2 (DuckDB) evaluate identically — no backrefs, no lookaround, and
+# no backslash metachars (Spark SQL string literals eat backslashes, so
+# [.] / [+] classes keep the pattern embeddable in both SQL dialects)
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+PII_PHONE = r"[+]?[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.regexp_count(c, F.lit(PII_EMAIL)),
+        F.regexp_count(c, F.lit(PII_PHONE)),
+    )
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact emails then phones (fixed order — the oracle mirrors it;
+    emails go first so their digit runs can't be half-eaten by the
+    phone pattern). Pure regexp_replace: stays in codegen on the scan,
+    no UDF — at 100 TB this runs at full scan throughput."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_email = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(no_email, PII_PHONE, "<PHONE>")
+
+
+def sql_pii_counts(expr: str, dialect: str) -> tuple[str, str]:
+    if dialect == "spark":
+        return (
+            f"regexp_count({expr}, '{PII_EMAIL}')",
+            f"regexp_count({expr}, '{PII_PHONE}')",
+        )
+    return (
+        f"len(regexp_extract_all({expr}, '{PII_EMAIL}'))",
+        f"len(regexp_extract_all({expr}, '{PII_PHONE}'))",
+    )
+
+
+def sql_scrub_pii(expr: str, dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            f"regexp_replace(regexp_replace({expr}, '{PII_EMAIL}', '<EMAIL>'),"
+            f" '{PII_PHONE}', '<PHONE>')"
+        )
+    return (
+        f"regexp_replace(regexp_replace({expr}, '{PII_EMAIL}', '<EMAIL>', 'g'),"
+        f" '{PII_PHONE}', '<PHONE>', 'g')"
+    )

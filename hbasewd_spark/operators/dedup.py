@@ -409,3 +409,96 @@ def ngram_jaccard_oracle() -> str:
     FROM pairs
     WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.35
     """
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+CONTAM_NGRAM = 8
+CONTAM_EVAL_MOD = 7
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per training document: how many of its distinct token 8-grams
+    also appear in the held-out eval slice (doc_id % 7 == 0) — the
+    standard decontamination pass before training on scraped text.
+
+    Scale shape: grams are 32-bit hashes (8 bytes each), the eval gram
+    set is deduplicated then joined on the hash — an equi-join whose
+    keys are uniform by construction. At 100 TB the eval side is tiny
+    (benchmarks are MBs) → Spark broadcasts it automatically and the
+    check runs at scan speed with no full shuffle of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens("text").alias("toks"))
+    k = CONTAM_NGRAM
+    n = F.size(F.col("toks"))
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    gh = tk.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(gram, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"))
+        ).alias("ghs"),
+    )
+    exploded = gh.select("doc_id", F.explode("ghs").alias("gh"))
+    eval_grams = (
+        exploded.where(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select("gh").distinct()
+    )
+    train = exploded.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+    hits = (
+        train.join(eval_grams, "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = gh.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0).select(
+        "doc_id", F.size("ghs").alias("n_grams")
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .where(F.col("n_contaminated") > 0)
+    )
+
+
+def contamination_oracle() -> str:
+    toks = sql_tokens("text", "duckdb")
+    k = CONTAM_NGRAM
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    grams = (
+        f"list_transform(generate_series(1, greatest(len(toks) - {k-1}, 0)),"
+        f" i -> {parts})"
+    )
+    gh = sql_md5_long("g", "duckdb")
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+    gh AS (
+      SELECT doc_id,
+             list_distinct(list_transform({grams}, g -> {gh})) AS ghs
+      FROM tk
+    ),
+    exploded AS (SELECT doc_id, unnest(ghs) AS gh FROM gh),
+    eval_grams AS (
+      SELECT DISTINCT gh FROM exploded WHERE doc_id % {CONTAM_EVAL_MOD} = 0
+    ),
+    train AS (SELECT * FROM exploded WHERE doc_id % {CONTAM_EVAL_MOD} != 0),
+    hits AS (
+      SELECT doc_id, count(*) AS n_contaminated
+      FROM train JOIN eval_grams USING (gh) GROUP BY doc_id
+    ),
+    totals AS (
+      SELECT doc_id, len(ghs) AS n_grams FROM gh WHERE doc_id % {CONTAM_EVAL_MOD} != 0
+    )
+    SELECT t.doc_id, t.n_grams, coalesce(h.n_contaminated, 0) AS n_contaminated
+    FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    WHERE coalesce(h.n_contaminated, 0) > 0
+    """

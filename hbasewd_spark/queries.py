@@ -813,6 +813,289 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-2 operators: as-of join, hierarchical time rollup, deterministic
+# sampling, PII scrubbing, benchmark contamination, z-order clustering
+# ===========================================================================
+
+_ASOF_JOIN_SQL = """
+WITH r0 AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM r0
+  ) WHERE rn = 1
+),
+l AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT l.user_id, l.event_id, l.ts, r.ts AS rts, r.value AS rvalue
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT user_id, event_id, ts,
+       CASE WHEN rts IS NULL OR ts - rts > INTERVAL 12 HOUR THEN NULL ELSE rts END AS ts_r,
+       CASE WHEN rts IS NULL OR ts - rts > INTERVAL 12 HOUR THEN NULL ELSE rvalue END AS value_r
+FROM j
+"""
+
+
+@q(
+    "rel_asof_join",
+    _ASOF_JOIN_SQL,
+    "true two-relation as-of join (latest click at-or-before each "
+    "purchase per user, 12h tolerance) via the union+window trick — "
+    "one shuffle, no range-join candidate explosion; oracle is "
+    "DuckDB's native ASOF LEFT JOIN",
+)
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    right = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value", "event_id")
+    return asof_join(
+        left,
+        right.select("user_id", "ts", "value", "event_id"),
+        on="ts",
+        by="user_id",
+        value_cols=["value"],
+        right_tiebreak="event_id",
+        tolerance=F.expr("INTERVAL 12 HOURS"),
+    )
+
+
+def _register_rollup() -> None:
+    from hbasewd_spark.operators.rollup import TIME_ROLLUP_ORACLE, time_rollup
+
+    REGISTRY["rel_time_rollup"] = QuerySpec(
+        time_rollup,
+        TIME_ROLLUP_ORACLE,
+        "hypertable-style multi-resolution rollup (minute/hour/day) — "
+        "hierarchical re-aggregation: ONE full-data shuffle, coarser "
+        "levels re-agg the previous level's composable measures",
+    )
+
+
+_register_rollup()
+
+
+def _sample_sql(dialect: str) -> str:
+    from hbasewd_spark.operators.sampling import sql_sample_bucket
+
+    bucket = sql_sample_bucket("event_id", dialect)
+    return f"""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE {bucket} < (CASE event_type WHEN 'error' THEN 5000 WHEN 'purchase' THEN 2000 ELSE 500 END)
+    GROUP BY event_type
+    """
+
+
+@q(
+    "ext_deterministic_sample",
+    _sample_sql("duckdb"),
+    "hash-keyed stratified sampling (errors 50%, purchases 20%, rest "
+    "5%): membership is a pure function of the key — stable across "
+    "partitioning/retries/engines, nested across rates, join-consistent",
+)
+def ext_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.operators.sampling import stratified_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    sampled = stratified_sample(
+        ev, "event_id", "event_type",
+        {"error": 0.5, "purchase": 0.2},
+        default=0.05,
+    )
+    return sampled.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+def _pii_synth(dialect: str) -> str:
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    return (
+        "text || (CASE WHEN doc_id % 7 = 0 THEN ' contact: user' || "
+        f"CAST(doc_id AS {cast}) || '@example.com' ELSE '' END) || "
+        "(CASE WHEN doc_id % 11 = 0 THEN ' tel: +1 (415) 555-0' || "
+        f"CAST(100 + doc_id % 899 AS {cast}) ELSE '' END)"
+    )
+
+
+def _pii_sql(dialect: str) -> str:
+    from hbasewd_spark.functions.text import sql_pii_counts, sql_scrub_pii
+
+    synth = _pii_synth(dialect)
+    emails, phones = sql_pii_counts("synth", dialect)
+    scrub = sql_scrub_pii("synth", dialect)
+    return f"""
+    WITH synth_docs AS (SELECT doc_id, source, {synth} AS synth FROM documents)
+    SELECT source,
+           sum({emails}) AS n_emails,
+           sum({phones}) AS n_phones,
+           sum(length(synth) - length({scrub})) AS chars_redacted
+    FROM synth_docs GROUP BY source
+    """
+
+
+@q(
+    "ext_text_pii_scrub",
+    _pii_sql("duckdb"),
+    "PII redaction (emails then phones) as pure regexp_replace — runs "
+    "in whole-stage codegen at scan throughput; counts + redacted-char "
+    "totals per source over deterministically synthesized PII",
+)
+def ext_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_pii_sql("spark"))
+
+
+def _register_contamination() -> None:
+    from hbasewd_spark.operators.dedup import contamination_check, contamination_oracle
+
+    REGISTRY["ext_text_contamination"] = QuerySpec(
+        contamination_check,
+        contamination_oracle(),
+        "benchmark decontamination: distinct token-8-gram overlap "
+        "between each training doc and the held-out eval slice — "
+        "hash-equi-join against the (tiny, broadcastable) eval gram set",
+    )
+
+
+_register_contamination()
+
+
+_HH_SQL_SPARK = """
+SELECT tok, n FROM (
+  SELECT tok, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+  FROM (SELECT explode(filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')) AS tok FROM documents)
+  GROUP BY tok
+) WHERE rk <= 20
+"""
+
+_HH_SQL_DUCK = """
+SELECT tok, n FROM (
+  SELECT tok, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS tok FROM documents)
+  GROUP BY tok
+) WHERE rk <= 20
+"""
+
+
+@q(
+    "ext_text_heavy_hitters",
+    _HH_SQL_DUCK,
+    "corpus heavy hitters: top-20 tokens by frequency — partial "
+    "(map-side) counts make the shuffle proportional to the vocabulary, "
+    "not the corpus; deterministic tie-break",
+)
+def ext_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _HH_SQL_SPARK)
+
+
+def _zorder_sql(dialect: str) -> str:
+    from hbasewd_spark.functions.codec import sql_zvalue16
+
+    zv = sql_zvalue16("o_orderkey", "o_custkey", dialect)
+    return f"""
+    SELECT o_orderkey, o_custkey, {zv} AS zval
+    FROM orders ORDER BY zval, o_orderkey LIMIT 100
+    """
+
+
+@q(
+    "rel_zorder_key",
+    _zorder_sql("duckdb"),
+    "32-bit Morton (z-order) clustering key over two dimensions — the "
+    "multi-dim layout key for salted tables (sort files by zval so "
+    "row-group stats are tight in BOTH dims); pure codegen arithmetic",
+)
+def rel_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.functions.codec import zvalue16
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", zvalue16("o_orderkey", "o_custkey").alias("zval")
+        )
+        .orderBy("zval", "o_orderkey")
+        .limit(100)
+    )
+
+
+_ZONEMAP_SQL = f"""
+SELECT count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       min(CAST(ts AS TIMESTAMP)) AS min_ts, max(CAST(ts AS TIMESTAMP)) AS max_ts
+FROM events
+WHERE ts >= {_TS_LO} AND ts < {_TS_HI}
+"""
+
+
+@q(
+    "p9_zonemap_pruned_scan",
+    _ZONEMAP_SQL,
+    "zone-map secondary index: per-file (lo,hi) stats collected once, "
+    "range scans prune whole files driver-side before Spark plans them "
+    "(at 100 TB: skips footer reads, not just row groups); residual "
+    "predicate keeps results exact",
+)
+def p9_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.plans.distributor import HashDistributor
+    from hbasewd_spark.sources.salted_table import SaltedTable
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL '12' HOUR")).alias("lo"),
+        (F.min("ts") + F.expr("INTERVAL '36' HOUR")).alias("hi"),
+    ).collect()[0]
+    path = os.path.join(
+        tempfile.gettempdir(), "hbasewd_cache",
+        os.path.basename(os.path.normpath(sf_dir)), "events_zonemap",
+    )
+    t = SaltedTable.write(ev, path, HashDistributor(8), "ts")
+    pruned = t.pruned_scan("ts", bounds.lo, bounds.hi)
+    return pruned.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+@q(
+    "stream_stream_join",
+    """
+    SELECT l.user_id, l.event_id AS p_id, r.event_id AS c_id,
+           CAST(l.ts AS TIMESTAMP) AS p_ts, CAST(r.ts AS TIMESTAMP) AS c_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'purchase' AND r.event_type = 'click'
+     AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+     AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
+    """,
+    "REAL watermarked stream-stream inner join (purchases x same-user "
+    "clicks in the preceding hour), drained via availableNow; the "
+    "time-range constraint + watermarks bound the join state — oracle "
+    "is the batch range-join twin",
+)
+def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.streaming import ingest as ST
+
+    stream = ST.stream_events(spark, sf_dir)
+    joined = ST.stream_stream_join(stream)
+    return ST.run_stream_append_to_memory(spark, joined, "stream_stream_join_out")
+
+
+# ===========================================================================
 # public surface consumed by __spark_entry__.py
 # ===========================================================================
 

@@ -222,6 +222,55 @@ class SaltedTable:
         self.refresh()
         return self
 
+    # ------------------------------------------------------- zone map index
+    def zone_map(self, col: str) -> DataFrame:
+        """Secondary zone-map index: per-file (lo, hi, n_rows) stats for
+        ``col`` — a coarse secondary index in the spirit of the
+        reference's reliance on per-region key ranges, generalized to
+        any column. One scan of ``col`` only (column-pruned), output is
+        #files rows (tiny even at 100 TB: 1M files → 1M index rows)."""
+        return (
+            self.df()
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.min(col).alias("lo"),
+                F.max(col).alias("hi"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+
+    def pruned_scan(self, col: str, lo: Any = None, hi: Any = None) -> DataFrame:
+        """Scan only the files whose ``col`` zone [lo_f, hi_f] overlaps
+        ``[lo, hi)`` — file-level pruning decided driver-side from the
+        zone map, ahead of (and cheaper than) per-file footer reads.
+
+        For the key column this skips whole files before Spark even
+        plans them (at 100 TB with 100k+ files, planning cost matters);
+        for a non-key column whose values correlate with load order
+        (e.g. ingest time) it gives pruning parquet stats alone can't,
+        because Spark still has to open every footer. The residual
+        predicate is re-applied, so results are exact regardless of how
+        loose the zones are."""
+        zm_cache = getattr(self, "_zone_maps", None)
+        if zm_cache is None:
+            zm_cache = self._zone_maps = {}
+        if col not in zm_cache:
+            zm_cache[col] = self.zone_map(col).collect()
+        keep = [
+            r.file
+            for r in zm_cache[col]
+            if (hi is None or r.lo < hi) and (lo is None or r.hi >= lo)
+        ]
+        pred = range_predicate(col, lo, hi)
+        if not keep:
+            return self.df().where(F.lit(False)).drop(SALT_COL)
+        out = (
+            self.spark.read.option("basePath", self.path)
+            .parquet(*keep)
+            .where(pred)
+        )
+        return out.drop(SALT_COL)
+
     def scanner(self, start: Any = None, stop: Any = None) -> Iterator:
         """ResultScanner-style incremental pull: ordered scan streamed
         to the driver partition-at-a-time (the lazy per-bucket refill of

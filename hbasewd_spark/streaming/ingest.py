@@ -104,6 +104,56 @@ def run_stream_to_memory(spark: SparkSession, agg: DataFrame, name: str) -> Data
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def stream_stream_join(stream: DataFrame) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase joined to
+    the same user's clicks in the preceding hour.
+
+    Both sides carry a watermark and the join has a time-range
+    constraint, so Spark bounds the join state: click state older than
+    (watermark - 1h) is evicted instead of growing forever — the only
+    way a stream-stream join survives an unbounded 100 TB/day stream.
+    """
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("c_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    return joined.select("user_id", "p_id", "c_id", "p_ts", "c_ts")
+
+
+def run_stream_append_to_memory(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+    """Drain an append-mode stream (e.g. a stream-stream join) into a
+    memory sink and return the result table."""
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def stateful_user_counter(stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     running per-user event count + last-seen timestamp (the
