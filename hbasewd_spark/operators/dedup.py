@@ -502,3 +502,62 @@ def contamination_oracle() -> str:
     FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
     WHERE coalesce(h.n_contaminated, 0) > 0
     """
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters + canonical selection (pairs -> components -> keep one)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn MinHash near-dup PAIRS into duplicate CLUSTERS (connected
+    components, operators/graph.py) and pick one canonical doc per
+    cluster (longest text, doc_id tie-break) — the decision a curation
+    pipeline actually needs: pairs alone over-delete transitive groups.
+
+    Output: (doc_id, cluster_id, text_len, is_canonical) for every doc
+    in some near-dup cluster. cluster_id = min doc_id of the component,
+    so results are deterministic under any partitioning."""
+    from hbasewd_spark.operators.graph import connected_components
+
+    pairs = minhash_dedup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.length("text").alias("text_len"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("text_len").desc(), F.col("doc_id")
+    )
+    return (
+        cc.join(docs, cc.id == docs.doc_id)
+        .select("doc_id", "cluster_id", "text_len")
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+    )
+
+
+def dedup_clusters_oracle() -> str:
+    pairs = minhash_pairs_oracle()
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({pairs}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT id, id AS lbl FROM nodes
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT cc.doc_id, cc.cluster_id, length(d.text) AS text_len,
+           (row_number() OVER (PARTITION BY cc.cluster_id
+                               ORDER BY length(d.text) DESC, cc.doc_id) = 1)
+             AS is_canonical
+    FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+    """

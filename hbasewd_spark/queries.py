@@ -1095,6 +1095,96 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.run_stream_append_to_memory(spark, joined, "stream_stream_join_out")
 
 
+def _register_dedup_clusters() -> None:
+    from hbasewd_spark.operators.dedup import dedup_clusters, dedup_clusters_oracle
+
+    REGISTRY["ext_dedup_clusters"] = QuerySpec(
+        dedup_clusters,
+        dedup_clusters_oracle(),
+        "near-dup pairs -> connected components -> one canonical doc "
+        "per cluster (pairs alone over-delete transitive groups); "
+        "log-round min-label propagation over the (tiny) dup-pair edge "
+        "list; oracle is a DuckDB recursive CTE",
+    )
+
+
+_register_dedup_clusters()
+
+
+_GAPFILL_SQL_DUCK = """
+WITH b AS (
+  SELECT event_type, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+  FROM events WHERE event_type IN ('error', 'purchase') GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM b GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket_ts
+  FROM bounds
+),
+j AS (
+  SELECT s.event_type, s.bucket_ts, coalesce(b.n, 0) AS n, b.sum_value
+  FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket_ts = b.bucket_ts
+)
+SELECT event_type, bucket_ts, n,
+       last_value(sum_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_locf
+FROM j
+"""
+
+
+@q(
+    "rel_ts_gapfill_locf",
+    _GAPFILL_SQL_DUCK,
+    "hypertable-style gap-filled per-minute series with "
+    "last-observation-carried-forward: the minute spine is generated "
+    "per group from (lo, hi) bounds — agg output, ~minutes x groups "
+    "rows, never a full-data explode; LOCF is one window over the "
+    "filled spine",
+)
+def rel_ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("error", "purchase")
+    )
+    b = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("bucket_ts")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+    spine = (
+        b.groupBy("event_type")
+        .agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))
+            ).alias("bucket_ts"),
+        )
+    )
+    j = spine.join(b, ["event_type", "bucket_ts"], "left").select(
+        "event_type",
+        "bucket_ts",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        "sum_value",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "bucket_ts",
+        "n",
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
+    )
+
+
 # ===========================================================================
 # public surface consumed by __spark_entry__.py
 # ===========================================================================

@@ -252,3 +252,65 @@ def test_zonemap_pruned_scan_exact_and_prunes_files(spark, sf_dir, tmp_path):
     got = {r.event_id for r in pruned.select("event_id").collect()}
     want = {r.event_id for r in plain.select("event_id").collect()}
     assert got == want
+
+
+# ------------------------------------------------------- connected components
+
+
+def test_connected_components_labels_min_id(spark):
+    from hbasewd_spark.operators.graph import connected_components
+
+    # two chains and a singleton-free isolated pair; includes a cycle
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=d) for s, d in [(1, 2), (2, 3), (3, 1), (9, 4), (4, 7), (20, 30)]]
+    )
+    got = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 7: 4, 9: 4, 20: 20, 30: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 64-node path needs log-round doubling, not 64 iterations."""
+    from hbasewd_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(63)])
+    got = {r.id: r.cluster_id for r in connected_components(edges, max_iter=10).collect()}
+    assert set(got.values()) == {0} and len(got) == 64
+
+
+def test_dedup_clusters_transitive_and_canonical(spark, sf_dir):
+    from hbasewd_spark.operators.dedup import dedup_clusters, minhash_dedup_pairs
+
+    out = dedup_clusters(spark, sf_dir).collect()
+    cluster_of = {r.doc_id: r.cluster_id for r in out}
+    # every pair endpoint is clustered together
+    pairs = minhash_dedup_pairs(spark, sf_dir).select("doc_a", "doc_b").collect()
+    for p in pairs:
+        assert cluster_of[p.doc_a] == cluster_of[p.doc_b]
+    # exactly one canonical doc per cluster
+    canon = {}
+    for r in out:
+        if r.is_canonical:
+            assert r.cluster_id not in canon
+            canon[r.cluster_id] = r.doc_id
+    assert set(canon) == set(cluster_of.values())
+
+
+# ---------------------------------------------------------------- gap fill
+
+
+def test_gapfill_spine_dense_and_locf(spark, sf_dir):
+    from hbasewd_spark.queries import rel_ts_gapfill_locf
+
+    out = rel_ts_gapfill_locf(spark, sf_dir)
+    rows = out.where(F.col("event_type") == "error").orderBy("bucket_ts").collect()
+    # spine is dense: consecutive minutes, no holes
+    for a, b in zip(rows, rows[1:]):
+        assert (b.bucket_ts - a.bucket_ts).total_seconds() == 60
+    # gap rows exist (n == 0) and LOCF fills them from the left
+    assert any(r.n == 0 for r in rows)
+    last = None
+    for r in rows:
+        if r.n > 0:
+            last = r.sum_value_locf
+        elif last is not None:
+            assert r.sum_value_locf == last
