@@ -147,3 +147,126 @@ SELECT format, count(*) AS n,
        CAST(sum(byte_sum) AS DOUBLE) / CAST(sum(n_bytes) AS DOUBLE) AS avg_luma
 FROM m GROUP BY format
 """
+
+
+# ---------------------------------------------------------------------------
+# resize (1 -> 1, binary out) and frame sampling (1 -> N explode)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+FRAME_BYTES = 256
+FRAME_STRIDE = 4
+
+FRAMES_SCHEMA = (
+    "doc_id long, format string, frame_idx int, frame_bytes int"
+)
+
+
+def resize_media(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Resize every payload to ``width x height`` — mapInPandas with a
+    BINARY output column (the shape that matters: Arrow binary arrays
+    in AND out, payload never leaves the executor). The fake resampler
+    strides/pads the source bytes to exactly width*height; a real one
+    (PIL ``Image.resize``) drops into the same batch function."""
+
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL — not available in this "
+                    "container; use fake=True for the deterministic stub"
+                )
+            def rs(b: bytes) -> bytes:
+                if len(b) == 0:
+                    return bytes(target)
+                if len(b) >= target:
+                    stride = len(b) // target
+                    return bytes(b[i * stride] for i in range(target))
+                reps = target // len(b) + 1
+                return (b * reps)[:target]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(rs),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling: chunk each payload into ``frame_bytes`` frames
+    and keep every ``stride``-th — the 1 -> N (explode) mapInPandas
+    shape of video frame extraction. Output rows carry only frame
+    metadata; payload bytes stay inside the batch function (at 100 TB
+    the sampled frames would be WRITTEN per-partition, not returned
+    through a shuffle)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_doc, out_fmt, out_idx, out_len = [], [], [], []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                b = payload or b""
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    chunk = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    out_doc.append(doc_id)
+                    out_fmt.append(meta["format"])
+                    out_idx.append(i)
+                    out_len.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "format": pd.Series(out_fmt, dtype="object"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_bytes": pd.Series(out_len, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FRAMES_SCHEMA)
+
+
+def frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-format frame-sampling rollup over the synthesized media
+    table — exercises the 1 -> N explode path end-to-end."""
+    frames = sample_frames(media_df(spark, sf_dir))
+    return frames.groupBy("format").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_frames"),
+        F.sum("frame_bytes").cast("bigint").alias("total_frame_bytes"),
+    )
+
+
+# frame lengths are pure arithmetic over the payload byte count, so the
+# oracle needs no blob slicing: frames i = 0, stride, 2*stride, ... of
+# ceil(B/frame_bytes), each min(frame_bytes, B - i*frame_bytes) long
+FRAME_STATS_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         ['png','jpeg','webp','wav'][(doc_id % 4 + 1)::INT] AS format,
+         octet_length(encode(text)) AS b
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, format,
+         unnest(list_filter(generate_series(0, ((b + {FRAME_BYTES} - 1) // {FRAME_BYTES}) - 1),
+                            i -> i % {FRAME_STRIDE} = 0)) AS frame_idx,
+         b
+  FROM m WHERE b > 0
+)
+SELECT format, count(DISTINCT doc_id) AS n_docs, count(*) AS n_frames,
+       sum(least({FRAME_BYTES}, b - frame_idx * {FRAME_BYTES})) AS total_frame_bytes
+FROM fr GROUP BY format
+"""

@@ -1095,6 +1095,21 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.run_stream_append_to_memory(spark, joined, "stream_stream_join_out")
 
 
+def _register_multimodal_frames() -> None:
+    from hbasewd_spark.operators.multimodal import FRAME_STATS_ORACLE, frame_stats
+
+    REGISTRY["ext_multimodal_frames"] = QuerySpec(
+        frame_stats,
+        FRAME_STATS_ORACLE,
+        "video-style frame sampling as a 1->N mapInPandas explode "
+        "(every 4th 256-byte frame per payload), rolled up per format; "
+        "frame lengths are arithmetic so the oracle needs no blob ops",
+    )
+
+
+_register_multimodal_frames()
+
+
 def _register_dedup_clusters() -> None:
     from hbasewd_spark.operators.dedup import dedup_clusters, dedup_clusters_oracle
 

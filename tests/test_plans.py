@@ -87,3 +87,50 @@ def test_salted_write_single_shuffle(spark, sf_dir, kv, tmp_path):
     plan = _plan(sdf)
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(salt" in plan
+
+
+def test_asof_join_has_no_join_operator(spark, sf_dir):
+    """The union-trick as-of join must plan as window + union — never a
+    physical join (a range join here would explode per-key candidates)."""
+    from hbasewd_spark.queries import rel_asof_join
+
+    plan = _plan(rel_asof_join(spark, sf_dir))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan, j
+    assert "Window" in plan
+
+
+def test_contamination_broadcasts_eval_grams(spark, sf_dir):
+    """The train-side join against the (tiny) eval gram set must be a
+    broadcast hash join — at 100 TB the corpus side cannot shuffle."""
+    from hbasewd_spark.operators.dedup import contamination_check
+
+    plan = _plan(contamination_check(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rollup_reaggregates_not_rescans(spark, sf_dir):
+    """minute->hour->day must scan the raw table once per branch of the
+    final union at most — the coarser levels re-aggregate the minute
+    output, visible as nested HashAggregate chains, and the plan keeps
+    exactly ONE exchange keyed on the raw grouping (the minute shuffle);
+    hour/day exchanges move only pre-aggregated rows."""
+    from hbasewd_spark.operators.rollup import time_rollup
+
+    plan = _plan(time_rollup(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 6  # partial+final at each level
+
+
+def test_deterministic_sample_filter_is_pre_shuffle(spark, sf_dir):
+    """The hash-bucket filter must run before the aggregation exchange
+    (scan-side), so only sampled rows shuffle."""
+    from hbasewd_spark.queries import ext_deterministic_sample
+
+    plan = _plan(ext_deterministic_sample(spark, sf_dir))
+    exchange_pos = plan.find("Exchange")
+    filter_pos = plan.find("Filter")
+    assert filter_pos != -1 and exchange_pos != -1
+    # executedPlan prints top-down: the Filter should appear AFTER the
+    # exchange line in text (= below it in the tree = runs before it)
+    assert filter_pos > exchange_pos

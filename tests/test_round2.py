@@ -314,3 +314,48 @@ def test_gapfill_spine_dense_and_locf(spark, sf_dir):
             last = r.sum_value_locf
         elif last is not None:
             assert r.sum_value_locf == last
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_resize_media_exact_target_bytes(spark, sf_dir):
+    from hbasewd_spark.operators.multimodal import media_df, resize_media
+
+    out = resize_media(media_df(spark, sf_dir).limit(20), 16, 12).collect()
+    assert len(out) == 20
+    for r in out:
+        assert isinstance(r.payload, (bytes, bytearray)) and len(r.payload) == 16 * 12
+        assert r.width == 16 and r.height == 12
+
+
+def test_resize_media_real_decoder_is_stubbed(spark, sf_dir):
+    from hbasewd_spark.operators.multimodal import media_df, resize_media
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        resize_media(media_df(spark, sf_dir).limit(1), 8, 8, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_sample_frames_chunks_and_stride(spark, sf_dir):
+    from hbasewd_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+        media_df,
+        sample_frames,
+    )
+
+    media = media_df(spark, sf_dir).limit(30)
+    sizes = {r.doc_id: len(r.payload) for r in media.select("doc_id", "payload").collect()}
+    frames = sample_frames(media).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, b in sizes.items():
+        n_frames = (b + FRAME_BYTES - 1) // FRAME_BYTES
+        want_idx = list(range(0, n_frames, FRAME_STRIDE))
+        got = sorted(by_doc.get(doc_id, []), key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in got] == want_idx
+        for r in got:
+            assert r.frame_bytes == min(FRAME_BYTES, b - r.frame_idx * FRAME_BYTES)
