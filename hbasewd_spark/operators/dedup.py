@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hbasewd_spark.functions.codec import sql_md5_long
 from hbasewd_spark.functions.text import fingerprint, sql_fingerprint, sql_tokens, tokens
-from hbasewd_spark.sources.loaders import load_table
+from hbasewd_spark.sources.loaders import ensure_min_parallelism, load_table
 
 # MinHash parameters: 16 permutations in 4 bands of 4 rows.
 MH_PERMS = 16
@@ -104,7 +104,7 @@ def minhash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle strings themselves (~20 bytes each) never leave this
     projection, which matters at 100 TB where the verify join would
     otherwise shuffle the full shingle text twice."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     tk = docs.select("doc_id", tokens("text").alias("toks"))
     sh = tk.select("doc_id", _shingles_expr(F.col("toks")).alias("sh"))
     hs = sh.select(
@@ -180,7 +180,25 @@ def _bands_of(sig: DataFrame) -> DataFrame:
 
 def minhash_band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, band_hash) — the LSH bucketing relation."""
-    return _bands_of(minhash_features(spark, sf_dir))
+    return _bands_of(_cached_features(spark, sf_dir))
+
+
+# the signature frame is tiny (one row per doc) but referenced four
+# times per query (both band-join sides + both verify sides) and by
+# several queries (pairs, clusters, curation); a LAZY persist lets the
+# first job materialize it in-passing (an eager localCheckpoint costs a
+# separate serialize pass ~4x the compute) and later references hit the
+# in-memory columnar cache
+_FEATS_CACHE: dict = {}
+
+
+def _cached_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    df = _FEATS_CACHE.get(key)
+    if df is None:
+        df = minhash_features(spark, sf_dir).persist()
+        _FEATS_CACHE[key] = df
+    return df
 
 
 def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,10 +208,7 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2e-5, and both the Spark side and the DuckDB oracle use the same
     hashes, so parity is exact). Verifying on the 8-byte hashes instead
     of the shingle strings keeps the verify-join shuffle ~2.5× smaller."""
-    # the signature frame is tiny (one row per doc) but referenced four
-    # times (both join sides + both verify sides); checkpoint it so the
-    # shingle/md5 pipeline runs once, not four times
-    feats = minhash_features(spark, sf_dir).localCheckpoint()
+    feats = _cached_features(spark, sf_dir)
     sh = feats.select("doc_id", F.array_distinct("hs").alias("hset"))
     bands = _bands_of(feats)
     a, b = bands.alias("a"), bands.alias("b")
@@ -268,7 +283,7 @@ def simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode(tokens) → md5-long → one majority-vote sum per bit →
     reassemble. One shuffle (groupBy doc_id); the 32 sums are a single
     aggregate pass."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
     h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
     tok = tok.select("doc_id", h.alias("h"))
@@ -365,7 +380,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key keeps the pair space linear-ish; at 100 TB you'd block
     on a rare-ngram bucket instead). Exact set arithmetic via
     array_intersect on deduped gram arrays."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     n = F.length(norm)
     grams = F.array_distinct(
@@ -429,7 +444,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys are uniform by construction. At 100 TB the eval side is tiny
     (benchmarks are MBs) → Spark broadcasts it automatically and the
     check runs at scan speed with no full shuffle of the corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     tk = docs.select("doc_id", tokens("text").alias("toks"))
     k = CONTAM_NGRAM
     n = F.size(F.col("toks"))

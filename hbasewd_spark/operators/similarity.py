@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from hbasewd_spark.sources.loaders import load_table
+from hbasewd_spark.sources.loaders import ensure_min_parallelism, load_table
 
 DIM = 64
 TOPK = 5
@@ -75,7 +75,7 @@ def brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-k window shuffles only (corpus_rows × N_QUERIES) slim rows."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
     corpus = emb.select("vec_id", _dvec("embedding").alias("v"))
     queries = (
         emb.where(F.col("vec_id") < N_QUERIES)
@@ -120,7 +120,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and cells are the partition key so a probe touches few partitions."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
     corpus = emb.select("vec_id", _dvec("embedding").alias("v"))
     cents = (
         emb.where(F.col("vec_id") < N_CENTROIDS)
@@ -250,7 +250,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
     corpus = emb.select("vec_id", _dvec("embedding").alias("v")).localCheckpoint()
     cents = (
         emb.where(F.col("vec_id") < KMEANS_K)
@@ -303,7 +303,7 @@ def lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition key, so candidate generation is an equi-join on a 2^8
     domain instead of an n² cross product; recall is tunable via bits
     and multi-probe."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
     corpus = emb.select("vec_id", _dvec("embedding").alias("v"))
     planes = (
         emb.where(F.col("vec_id") < LSH_BITS)

@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hbasewd_spark.functions.codec import sql_hash31_of_long, sql_md5_long
-from hbasewd_spark.sources.loaders import load_table, register_views
+from hbasewd_spark.sources.loaders import ensure_min_parallelism, load_table, register_views
 
 
 @dataclass
@@ -529,7 +529,7 @@ from hbasewd_spark.operators import similarity as SIM  # noqa: E402
     "stats, all inside codegen",
 )
 def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     return docs.select(
         "doc_id",
         "lang",
@@ -550,7 +550,7 @@ def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "labeled lang column",
 )
 def ext_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     return (
         docs.select(TX.lang_id("text").alias("lang_pred"), F.col("lang").alias("lang_true"))
         .groupBy("lang_pred", "lang_true")
@@ -567,7 +567,7 @@ def ext_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic [0,1] quality score (length/alpha/word-shape mix)",
 )
 def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     return docs.select("doc_id", TX.quality_score("text").alias("quality"))
 
 
@@ -580,7 +580,7 @@ def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling 31-polynomial content fingerprint mod 1e9+7",
 )
 def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
@@ -729,7 +729,7 @@ CURATION_QUALITY_MIN = 0.7
 def ext_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     enriched = docs.select(
         "doc_id",
         "source",

@@ -56,3 +56,19 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     """Register every test table as a temp view for spark.sql queries."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def ensure_min_parallelism(df: DataFrame, spark: SparkSession, target: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the scan yields fewer
+    partitions than cores — decouples compute parallelism from input
+    file layout for CPU-heavy per-row stages (tokenize/md5/regex).
+
+    The driver testdata is one row group per table, so every scan is
+    one task and a 32-core session runs regex pipelines single-threaded
+    without this. At 100 TB the condition is false (scans produce
+    thousands of splits) and the repartition — which there would be a
+    catastrophic full-text shuffle — is skipped entirely."""
+    target = target or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 32):
+        return df.repartition(min(target, 32))
+    return df
