@@ -892,3 +892,89 @@ SELECT rk, l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
   SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rk FROM grouped
 ) t WHERE rk <= 10
 """
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact-dim join + conditional aggregation — the
+    promo share of revenue for one ship month. part is broadcast (dims
+    stay under the broadcast threshold at any corpus scale where the
+    part catalogue is bounded); the CASE rides inside the partial agg."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,4)") - dec("l_discount", "decimal(12,4)")
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+            .cast("decimal(25,4)")
+            .cast("double")
+            / F.sum(rev).cast("decimal(25,4)").cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n"),
+    )
+
+
+Q14_ORACLE = """
+SELECT 100.0 * CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+             THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))
+             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(25,4)) AS DOUBLE)
+       / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(25,4)) AS DOUBLE)
+       AS promo_revenue_pct,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (hypertable analytics): each observation
+    weighted by how long it was current — the honest mean of an
+    irregularly-sampled series. One window (lead) + one aggregation;
+    weights are exact integer microseconds, products summed in decimal
+    so the fold order can't perturb the double result."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    dt = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dt_us")
+    # operand precisions sized to the data (value < 1e6, dt < 1e14 us)
+    # so the product type is decimal(25,4) — EXACT; a (18,4)x(20,0)
+    # multiply would exceed precision 38 and Spark would shave scale
+    obs = ev.select("event_type", F.col("value").cast("decimal(10,4)").alias("v"), dt)
+    kept = obs.where(F.col("dt_us").isNotNull())
+    # the num/den sums are ~19-digit decimals; decimal->double casts are
+    # 1-ulp engine-dependent at that width, so the metric is defined
+    # rounded to 6 decimals (part of the operator contract, mirrored in
+    # the oracle) — stable under any summation/conversion path
+    return kept.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("v") * F.col("dt_us").cast("decimal(14,0)")).cast("decimal(25,4)"))
+            .cast("decimal(38,4)").cast("double")
+            / F.sum("dt_us").cast("double"),
+            6,
+        ).alias("twa_value"),
+        F.count("*").alias("n_intervals"),
+    )
+
+
+TWA_ORACLE = """
+WITH obs AS (
+  SELECT event_type, CAST(value AS DECIMAL(19,4)) AS v,
+         epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id, event_type ORDER BY CAST(ts AS TIMESTAMP), event_id))
+           - epoch_us(CAST(ts AS TIMESTAMP)) AS dt_us
+  FROM events
+)
+SELECT event_type,
+       round(CAST(CAST(sum(CAST(v * CAST(dt_us AS DECIMAL(19,0)) AS DECIMAL(25,4))) AS DECIMAL(38,4)) AS DOUBLE)
+         / CAST(sum(dt_us) AS DOUBLE), 6) AS twa_value,
+       count(*) AS n_intervals
+FROM obs WHERE dt_us IS NOT NULL
+GROUP BY event_type
+"""

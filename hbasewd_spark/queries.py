@@ -504,6 +504,11 @@ _rel("rel_q3_shipping_priority", R.q3_shipping_priority, R.Q3_ORACLE,
      "TPC-H Q3 shape: join + grouped revenue + deterministic top-10")
 _rel("rel_collections", R.collection_functions, R.COLLECTION_ORACLE,
      "array/map/struct + higher-order function gallery")
+_rel("rel_q14_promo_revenue", R.q14_promo_revenue, R.Q14_ORACLE,
+     "TPC-H Q14 shape: broadcast fact-dim join + conditional agg")
+_rel("rel_time_weighted_avg", R.time_weighted_avg, R.TWA_ORACLE,
+     "time-weighted average over irregular series (lead window + "
+     "exact integer-microsecond weights)")
 
 
 # ===========================================================================
@@ -1093,6 +1098,49 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ST.stream_events(spark, sf_dir)
     joined = ST.stream_stream_join(stream)
     return ST.run_stream_append_to_memory(spark, joined, "stream_stream_join_out")
+
+
+_IDX_PROBES = ("scan", "merge", "vector")
+
+
+def _inverted_index_sql(dialect: str) -> str:
+    probes = ", ".join(f"'{t}'" for t in _IDX_PROBES)
+    if dialect == "spark":
+        return f"""
+        WITH flat AS (
+          SELECT DISTINCT doc_id,
+                 explode(filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')) AS tok
+          FROM documents
+        )
+        SELECT tok, count(*) AS df,
+               array_join(transform(sort_array(collect_list(doc_id)), x -> cast(x AS STRING)), ',') AS doc_ids
+        FROM flat WHERE tok IN ({probes}) GROUP BY tok
+        """
+    return f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    flat AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM tk)
+    SELECT tok, count(*) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+    FROM flat WHERE tok IN ({probes}) GROUP BY tok
+    """
+
+
+@q(
+    "ext_text_inverted_index",
+    _inverted_index_sql("duckdb"),
+    "token -> sorted posting-list secondary index (the HBase-style "
+    "inverted index pattern over the salted-table substrate) with "
+    "point lookups for three probe tokens; the distinct+groupBy is "
+    "one shuffle of (tok, doc_id) pairs — at 100 TB the index would "
+    "be WRITTEN as a token-hash-salted table and probed per token",
+)
+def ext_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_inverted_index_sql("spark"))
 
 
 def _register_multimodal_frames() -> None:

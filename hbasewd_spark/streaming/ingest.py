@@ -177,3 +177,62 @@ def stateful_user_counter(stream: DataFrame) -> DataFrame:
     return stream.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def incremental_rollup(
+    spark: SparkSession,
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+):
+    """Continuous-aggregate maintenance: each micro-batch is aggregated
+    to minute resolution and MERGED into a persistent rollup table
+    (read old state -> combine on composable measures -> overwrite).
+
+    This is the incremental path of operators/rollup.py: because every
+    measure composes (count/decimal-sum/min/max), merging per-batch
+    partials is EXACT — after the stream drains, the state table equals
+    the batch minute rollup bit-for-bit (asserted in tests). At 100 TB/
+    day the per-batch agg output is ~minutes x event_types rows, so the
+    merge rewrites a tiny table while the raw stream is never re-read;
+    a production sink would MERGE INTO (Delta/Iceberg) instead of the
+    read-modify-overwrite used here over plain parquet."""
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        part = batch_df.groupBy(
+            F.date_trunc("minute", "ts").alias("bucket_ts"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        s = batch_df.sparkSession
+        try:
+            old = s.read.parquet(state_path)
+        except Exception:
+            old = None
+        merged = part if old is None else (
+            old.unionByName(part)
+            .groupBy("bucket_ts", "event_type")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sv").alias("sv"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+        # plain-parquet stand-in for MERGE INTO: collect the (tiny)
+        # rollup to the driver, then rewrite — the raw stream data is
+        # never re-read and never re-shuffled
+        rows = merged.collect()
+        s.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -359,3 +359,44 @@ def test_sample_frames_chunks_and_stride(spark, sf_dir):
         assert [r.frame_idx for r in got] == want_idx
         for r in got:
             assert r.frame_bytes == min(FRAME_BYTES, b - r.frame_idx * FRAME_BYTES)
+
+
+# ------------------------------------------------------ incremental rollup
+
+
+def test_incremental_rollup_equals_batch_rollup(spark, sf_dir, tmp_path):
+    """Stream events in 4 micro-batches through the continuous
+    aggregate; the merged state must equal the batch minute rollup
+    bit-for-bit (composable-measure exactness)."""
+    from hbasewd_spark.streaming.ingest import incremental_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    q = incremental_rollup(spark, stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {
+        (r.bucket_ts, r.event_type): (r.n, r.sv, r.min_value, r.max_value)
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        (r.bucket_ts, r.event_type): (r.n, r.sv, r.min_value, r.max_value)
+        for r in ev.groupBy(
+            F.date_trunc("minute", "ts").alias("bucket_ts"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == want
