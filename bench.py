@@ -109,6 +109,14 @@ def main() -> None:
         lambda: Q.REGISTRY["stream_windowed_agg"].fn(spark, SF_DIR).count(),
     )
 
+    # 16-20. round-2 pillars: as-of join, hierarchical rollup, near-dup
+    # clustering (pairs -> components), contamination, gap-fill+LOCF
+    timed("asof_join", lambda: Q.REGISTRY["rel_asof_join"].fn(spark, SF_DIR).count())
+    timed("time_rollup", lambda: Q.REGISTRY["rel_time_rollup"].fn(spark, SF_DIR).count())
+    timed("dedup_clusters", lambda: Q.REGISTRY["ext_dedup_clusters"].fn(spark, SF_DIR).count())
+    timed("contamination", lambda: Q.REGISTRY["ext_text_contamination"].fn(spark, SF_DIR).count())
+    timed("ts_gapfill", lambda: Q.REGISTRY["rel_ts_gapfill_locf"].fn(spark, SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
