@@ -455,33 +455,40 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", *[F.element_at(F.col("toks"), (i + j).cast("int")) for j in range(k)]
         ),
     )
-    gh = tk.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(gram, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"))
-        ).alias("ghs"),
+    ghs = F.array_distinct(
+        F.transform(gram, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"))
     )
-    exploded = gh.select("doc_id", F.explode("ghs").alias("gh"))
+    # Explode the gram expression INLINE. Materializing the array in a
+    # projection and exploding it later lets InferFiltersFromGenerate add a
+    # size(arr) > 0 filter that predicate pushdown rewrites with the whole
+    # gram chain substituted — and with `toks` inlined, every element_at
+    # re-tokenizes the full text (O(grams x k) re-tokenizations per doc,
+    # ~7x wall-clock on this query). Inline generators get no inferred
+    # filter, so the chain runs once per row.
+    exploded = tk.select("doc_id", F.explode(ghs).alias("gh"))
+    # The doc_id % 7 filters push below the explode AND the md5 projection,
+    # so the gram chain runs once over the eval slice (1/7 of docs) and once
+    # over train (6/7) — never a third time. One broadcast left-join tags
+    # each train gram as contaminated-or-not, and a single aggregation
+    # yields both the per-doc gram total and the hit count (the old
+    # hits-join-totals shape recomputed the whole tokenize+md5 chain for
+    # totals and shuffled the full train gram set into the join).
     eval_grams = (
-        exploded.where(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select("gh").distinct()
-    )
-    train = exploded.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
-    hits = (
-        train.join(eval_grams, "gh")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated"))
-    )
-    totals = gh.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0).select(
-        "doc_id", F.size("ghs").alias("n_grams")
+        exploded.where(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
+        .select("gh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
     return (
-        totals.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        exploded.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+        .join(F.broadcast(eval_grams), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
         )
         .where(F.col("n_contaminated") > 0)
+        .select("doc_id", "n_grams", "n_contaminated")
     )
 
 
