@@ -978,3 +978,259 @@ SELECT event_type,
 FROM obs WHERE dt_us IS NOT NULL
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# additional TPC-H shapes over the available schema (no partsupp /
+# shipmode columns in TESTDATA, so Q2/Q9/Q12 have no faithful mapping;
+# Q7/Q10/Q15/Q18/Q19 below are the standard shapes adapted to the
+# columns that exist)
+# ---------------------------------------------------------------------------
+
+_REV = None  # revenue expression built per-query to keep decimal types local
+
+
+def _revenue() -> Column:
+    return dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,4)") - dec("l_discount", "decimal(12,4)")
+    )
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))"
+)
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. The supplier->nation and customer->nation sides are each
+    filtered to the two nations BEFORE joining (2/25 of each dim) and
+    broadcast — the lineitem/orders join is the only shuffle, and at
+    100 TB it's the unavoidable fact-fact one (orders co-partitionable
+    by orderkey via bucketing, sources/bucketed.py)."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name").isin(n1, n2))
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_revenue()).cast("decimal(25,4)").cast("double").alias("revenue"))
+    )
+
+
+Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(CAST(sum({_REV_SQL}) AS DECIMAL(25,4)) AS DOUBLE) AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+) t
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer for one
+    quarter, deterministic top-20. Orders are date-filtered at the scan
+    (one quarter ~ 4% of the fact), lineitem filtered to returns;
+    customer/nation broadcast; one groupBy on c_custkey."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    grouped = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_revenue()).cast("decimal(25,4)").cast("double").alias("revenue"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", F.col("n_name"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        grouped.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select("rk", "c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+Q10_ORACLE = f"""
+WITH grouped AS (
+  SELECT c_custkey, c_name,
+         CAST(CAST(sum({_REV_SQL}) AS DECIMAL(25,4)) AS DOUBLE) AS revenue,
+         c_acctbal, n_name
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    AND l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+)
+SELECT rk, c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS rk FROM grouped
+) t WHERE rk <= 20
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — an aggregate + scalar-subquery-on-aggregate. The revenue
+    relation is computed ONCE and self-compared via a broadcast of the
+    1-row max (no recompute, no cross join): at scale the per-supplier
+    relation is |suppliers| rows, trivially rebroadcastable.
+
+    Equality on revenue is exact because both engines fold the sum in
+    decimal and cast identically (module docstring discipline)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_revenue()).cast("decimal(25,4)").cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
+        )
+    )
+
+
+Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(CAST(sum({_REV_SQL}) AS DECIMAL(25,4)) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (sum qty > threshold).
+    The per-order quantity aggregate is computed ONCE and reused as
+    both the filter and the output measure — the classic Q18 rewrite
+    that avoids scanning lineitem twice. The surviving orders are a
+    tiny fraction (threshold at ~p99), so the orders/customer joins
+    run on a sliver; orders join is a broadcast of the sliver against
+    the orders table, never a full shuffle of either fact."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .where(F.col("qty_dec") > F.lit(250).cast("decimal(18,4)"))
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        j.select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 100)
+    )
+
+
+Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > CAST(250 AS DECIMAL(18,4))
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty, rk FROM (
+  SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders JOIN big ON o_orderkey = l_orderkey
+  JOIN customer ON o_custkey = c_custkey
+) t WHERE rk <= 100
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a 3-way disjunction of
+    (brand, size-range, quantity-range) conditions. The part-side
+    conjuncts prune the broadcast dim BEFORE the join; the disjunction
+    over joined attributes stays a single codegen'd predicate — no
+    union-of-three-scans (which would read lineitem three times)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (
+            (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+            | (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+            | (F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 50)
+        )
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).where(
+        (F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11)
+        | (F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20)
+        | (F.col("p_brand") == "Brand#24") & F.col("l_quantity").between(20, 30)
+    )
+    return j.agg(
+        F.sum(_revenue()).cast("decimal(25,4)").cast("double").alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+Q19_ORACLE = f"""
+SELECT CAST(CAST(sum({_REV_SQL}) AS DECIMAL(25,4)) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30)
+"""

@@ -509,6 +509,23 @@ _rel("rel_q14_promo_revenue", R.q14_promo_revenue, R.Q14_ORACLE,
 _rel("rel_time_weighted_avg", R.time_weighted_avg, R.TWA_ORACLE,
      "time-weighted average over irregular series (lead window + "
      "exact integer-microsecond weights)")
+_rel("rel_q7_volume_shipping", R.q7_volume_shipping, R.Q7_ORACLE,
+     "TPC-H Q7 shape: bilateral nation trade volume by ship year")
+_rel("rel_q10_returned_items", R.q10_returned_items, R.Q10_ORACLE,
+     "TPC-H Q10 shape: returned-revenue per customer, deterministic top-20")
+_rel("rel_q15_top_supplier", R.q15_top_supplier, R.Q15_ORACLE,
+     "TPC-H Q15 shape: scalar-subquery-on-aggregate (max quarterly revenue)")
+_rel("rel_q18_large_orders", R.q18_large_orders, R.Q18_ORACLE,
+     "TPC-H Q18 shape: HAVING-filtered order volumes, aggregate reused")
+_rel("rel_q19_disjunctive", R.q19_disjunctive_revenue, R.Q19_ORACLE,
+     "TPC-H Q19 shape: 3-way disjunctive join predicate, single scan")
+
+from hbasewd_spark.operators import chunking as CH  # noqa: E402
+
+_rel("ext_text_chunking", CH.chunk_documents, CH.chunking_oracle(),
+     "context-window chunking: overlapping 64-token windows, stride 48")
+_rel("ext_pack_sequences", CH.pack_sequences, CH.packing_oracle(),
+     "sequence packing: sharded prefix-sum assignment to token-budget bins")
 
 
 # ===========================================================================
