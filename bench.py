@@ -117,6 +117,10 @@ def main() -> None:
     timed("contamination", lambda: Q.REGISTRY["ext_text_contamination"].fn(spark, SF_DIR).count())
     timed("ts_gapfill", lambda: Q.REGISTRY["rel_ts_gapfill_locf"].fn(spark, SF_DIR).count())
 
+    # 21-22. model-ready prep: context-window chunking, sequence packing
+    timed("chunking", lambda: Q.REGISTRY["ext_text_chunking"].fn(spark, SF_DIR).count())
+    timed("packing", lambda: Q.REGISTRY["ext_pack_sequences"].fn(spark, SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

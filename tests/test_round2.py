@@ -400,3 +400,73 @@ def test_incremental_rollup_equals_batch_rollup(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------- chunking / packing
+
+
+def test_chunk_documents_tiling_and_overlap(spark, sf_dir):
+    """Chunks tile the token stream: starts advance by the stride,
+    every token is covered, consecutive chunks overlap by
+    window - stride tokens, and rejoining stride-prefixes + the last
+    chunk reconstructs the document's token stream."""
+    from hbasewd_spark.operators.chunking import (
+        CHUNK_STRIDE,
+        CHUNK_WINDOW,
+        chunk_documents,
+    )
+    from hbasewd_spark.functions.text import tokens
+
+    chunks = chunk_documents(spark, sf_dir)
+    rows = chunks.orderBy("doc_id", "chunk_id").collect()
+    toks = {
+        r.doc_id: r.toks
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .collect()
+    }
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(toks)
+    for doc_id, rs in by_doc.items():
+        stream = toks[doc_id]
+        assert [r.chunk_id for r in rs] == list(range(len(rs)))
+        assert [r.start_tok for r in rs] == [
+            1 + i * CHUNK_STRIDE for i in range(len(rs))
+        ]
+        # coverage: last chunk reaches the end of the stream
+        last = rs[-1]
+        assert last.start_tok - 1 + last.n_tokens == len(stream)
+        rebuilt: list = []
+        for r in rs:
+            ctoks = r.chunk_text.split(" ") if r.chunk_text else []
+            assert len(ctoks) == r.n_tokens <= CHUNK_WINDOW
+            assert ctoks == stream[r.start_tok - 1 : r.start_tok - 1 + r.n_tokens]
+            rebuilt = rebuilt[: r.start_tok - 1] + ctoks
+        assert rebuilt == stream
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Offsets stay under the budget, bins fill contiguously within a
+    shard (prefix sums in doc_id order), and the assignment is a pure
+    function of the data — identical under different parallelism."""
+    from hbasewd_spark.operators.chunking import PACK_BUDGET, pack_sequences
+
+    rows = pack_sequences(spark, sf_dir).orderBy("shard", "doc_id").collect()
+    assert rows
+    by_shard: dict = {}
+    for r in rows:
+        assert 0 <= r.bin_offset < PACK_BUDGET
+        assert r.bin == (r.bin_offset + sum(
+            x.n_tokens for x in by_shard.get(r.shard, [])
+        ) - r.bin_offset) // PACK_BUDGET
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        prefix = 0
+        for r in rs:
+            assert r.bin == prefix // PACK_BUDGET
+            assert r.bin_offset == prefix % PACK_BUDGET
+            prefix += r.n_tokens
+    repart = pack_sequences(spark, sf_dir).repartition(7).orderBy("shard", "doc_id")
+    assert [tuple(r) for r in repart.collect()] == [tuple(r) for r in rows]
