@@ -47,11 +47,21 @@ def salted(df: DataFrame, distributor: KeyDistributor, key_col: str) -> DataFram
 class SaltedTable:
     """Handle over a salted, key-sorted, salt-partitioned parquet table."""
 
-    def __init__(self, spark: SparkSession, path: str, distributor: KeyDistributor, key_col: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        distributor: KeyDistributor,
+        key_col: str,
+        fmt: str = "parquet",
+        data_schema_json: str | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.distributor = distributor
         self.key_col = key_col
+        self.fmt = fmt
+        self.data_schema_json = data_schema_json
 
     # ------------------------------------------------------------- write
     @classmethod
@@ -62,6 +72,7 @@ class SaltedTable:
         distributor: KeyDistributor,
         key_col: str,
         mode: str = "overwrite",
+        fmt: str = "parquet",
     ) -> "SaltedTable":
         """Bulk salted ingest (P3 at DataFrame granularity).
 
@@ -71,20 +82,37 @@ class SaltedTable:
         key-ordered so row-group stats are tight. This single shuffle
         IS the anti-hot-spot move: the monotonic key stream fans out
         over ``buckets`` concurrent writers instead of one hot region.
+
+        ``fmt`` selects the physical format: parquet (default) and orc
+        are the scale formats (columnar, stats-pruned, splittable);
+        csv/json are interchange formats — schema-on-read comes from
+        the persisted metadata so a reload is type-faithful, but there
+        is no row-group stat pruning and CSV cannot carry BinaryType
+        columns (the salt-partition layout and range-scan semantics
+        still apply — only file-internal pruning is lost).
         """
         salted_df = salted(df, distributor, key_col)
         n = distributor.buckets
-        (
+        writer = (
             salted_df.repartition(n, F.col(SALT_COL))
             .sortWithinPartitions(SALT_COL, key_col)
             .write.mode(mode)
             .partitionBy(SALT_COL)
-            .parquet(path)
+            .format(fmt)
         )
-        meta = {"key_col": key_col, **distributor.to_meta()}
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.save(path)
+        data_schema_json = df.schema.json()
+        meta = {
+            "key_col": key_col,
+            "fmt": fmt,
+            "data_schema": data_schema_json,
+            **distributor.to_meta(),
+        }
         with open(os.path.join(path, META_FILE), "w") as f:
             json.dump(meta, f)
-        return cls(df.sparkSession, path, distributor, key_col)
+        return cls(df.sparkSession, path, distributor, key_col, fmt, data_schema_json)
 
     # -------------------------------------------------------------- read
     @classmethod
@@ -93,13 +121,41 @@ class SaltedTable:
         persisted metadata (O11 without reflection)."""
         with open(os.path.join(path, META_FILE)) as f:
             meta = json.load(f)
-        return cls(spark, path, distributor_from_meta(meta), meta["key_col"])
+        return cls(
+            spark,
+            path,
+            distributor_from_meta(meta),
+            meta["key_col"],
+            meta.get("fmt", "parquet"),
+            meta.get("data_schema"),
+        )
+
+    def _reader(self, base_path: str | None = None):
+        """Format-configured DataFrameReader (schema-on-read for the
+        schemaless interchange formats comes from persisted metadata)."""
+        reader = self.spark.read.format(self.fmt)
+        if base_path is not None:
+            reader = reader.option("basePath", base_path)
+        if self.fmt in ("csv", "json") and self.data_schema_json:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(self.data_schema_json)))
+        if self.fmt == "csv":
+            reader = reader.option("header", "true")
+        return reader
+
+    def _writer(self, df: DataFrame):
+        """Format-configured salt-partitioned DataFrameWriter."""
+        writer = df.write.partitionBy(SALT_COL).format(self.fmt)
+        if self.fmt == "csv":
+            writer = writer.option("header", "true")
+        return writer
 
     def df(self) -> DataFrame:
         """Table handle (memoized — repeated point gets / scans reuse
         one file listing; call :meth:`refresh` after external appends)."""
         if getattr(self, "_df", None) is None:
-            self._df = self.spark.read.parquet(self.path)
+            self._df = self._reader().load(self.path)
         return self._df
 
     def refresh(self) -> None:
@@ -211,13 +267,10 @@ class SaltedTable:
         # in the written data — untouched buckets stay as-is on disk
         prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
+        self._writer(
             merged.repartition(max(len(touched), 1), F.col(SALT_COL))
             .sortWithinPartitions(SALT_COL, self.key_col)
-            .write.mode("overwrite")
-            .partitionBy(SALT_COL)
-            .parquet(self.path)
-        )
+        ).mode("overwrite").save(self.path)
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         self.refresh()
         return self
@@ -264,11 +317,7 @@ class SaltedTable:
         pred = range_predicate(col, lo, hi)
         if not keep:
             return self.df().where(F.lit(False)).drop(SALT_COL)
-        out = (
-            self.spark.read.option("basePath", self.path)
-            .parquet(*keep)
-            .where(pred)
-        )
+        out = self._reader(base_path=self.path).load(keep).where(pred)
         return out.drop(SALT_COL)
 
     def scanner(self, start: Any = None, stop: Any = None) -> Iterator:
@@ -302,14 +351,11 @@ def compact(table: SaltedTable, target_files_per_salt: int = 1) -> SaltedTable:
 
     tmp = table.path.rstrip("/") + ".compact_tmp"
     n = table.distributor.buckets * target_files_per_salt
-    (
+    table._writer(
         table.df()
         .repartition(n, F.col(SALT_COL))
         .sortWithinPartitions(SALT_COL, table.key_col)
-        .write.mode("overwrite")
-        .partitionBy(SALT_COL)
-        .parquet(tmp)
-    )
+    ).mode("overwrite").save(tmp)
     meta_src = os.path.join(table.path, META_FILE)
     meta_dst = os.path.join(tmp, META_FILE)
     shutil.copyfile(meta_src, meta_dst)
