@@ -79,3 +79,66 @@ def test_stateful_user_counter(spark, sf_dir, events):
     }
     exp = {r.user_id: r["count"] for r in events.groupBy("user_id").count().collect()}
     assert got == exp
+
+
+def test_watermark_drops_late_data_keeps_in_watermark(spark, tmp_path_factory):
+    """Late-data semantics, driven batch-by-batch through a file source:
+    an event older than the watermark is DROPPED (its window never
+    appears in the append-mode output), while a late-but-within-
+    watermark event is merged into its (still-open) window. This is the
+    contract that bounds state size at 100 TB: watermark = how long a
+    window stays correctable, and anything older is load-shed exactly
+    once, deterministically."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    base = tmp_path_factory.mktemp("late")
+    src, ckpt = str(base / "src"), str(base / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def emit(*hours_minutes):
+        rows = [
+            (dt.datetime(2024, 1, 1, h, m), "a", 1.0) for h, m in hours_minutes
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    emit((10, 0), (10, 30), (12, 0))  # batch 1: watermark after = 11:00
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = ST.windowed_agg_stream(stream, watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1
+        # batch 2: 09:15 is older than the 11:00 watermark -> dropped;
+        # 11:30 is late (10:30 window already emitted? no - 11:00 window)
+        # but within watermark -> kept; 14:00 advances the clock
+        emit((9, 15), (11, 30), (14, 0))
+        q.processAllAvailable()
+        emit((20, 0))  # push watermark past every earlier window
+        q.processAllAvailable()
+        emit((21, 0))  # one more batch so 14:00's window finalizes
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.window_start.strftime("%H:%M"): r.n
+        for r in spark.sql("SELECT * FROM t_late").collect()
+    }
+    assert "09:00" not in got  # too-late event load-shed
+    assert got["10:00"] == 2
+    assert got["11:00"] == 1  # late but within watermark: kept
+    assert got["12:00"] == 1
+    assert got["14:00"] == 1
