@@ -134,3 +134,48 @@ def test_deterministic_sample_filter_is_pre_shuffle(spark, sf_dir):
     # executedPlan prints top-down: the Filter should appear AFTER the
     # exchange line in text (= below it in the tree = runs before it)
     assert filter_pos > exchange_pos
+
+
+def test_new_tpch_shapes_broadcast_dims_and_push_filters(spark, sf_dir):
+    """Q7/Q10/Q18/Q19: every dimension side is broadcast (the only
+    shuffle joins allowed are fact-fact), and the date/flag filters
+    reach the parquet scan."""
+    from hbasewd_spark.operators.relational import (
+        q7_volume_shipping,
+        q10_returned_items,
+        q18_large_orders,
+        q19_disjunctive_revenue,
+    )
+
+    p7 = _plan(q7_volume_shipping(spark, sf_dir))
+    # supplier/customer/nation sides broadcast; lineitem⋈orders may shuffle
+    assert p7.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in p7
+
+    p10 = _plan(q10_returned_items(spark, sf_dir))
+    assert p10.count("BroadcastHashJoin") >= 2  # customer + nation
+    assert "EqualTo(l_returnflag,R)" in p10  # flag filter at the scan
+
+    p18 = _plan(q18_large_orders(spark, sf_dir))
+    assert "BroadcastHashJoin" in p18  # the HAVING sliver is broadcast
+
+    p19 = _plan(q19_disjunctive_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in p19  # pruned part dim broadcast
+    assert "partial_sum" in p19  # map-side combine under the disjunction
+
+
+def test_chunking_no_shuffle_packing_single_window_shuffle(spark, sf_dir):
+    """Chunking is a pure per-row generator (no Exchange at all once the
+    input has enough splits); packing shuffles exactly once for its
+    per-shard window."""
+    from hbasewd_spark.operators.chunking import chunk_documents, pack_sequences
+
+    p = _plan(chunk_documents(spark, sf_dir))
+    assert p.count("Generate") == 1
+    # the only allowed exchange is ensure_min_parallelism's input
+    # round-robin (absent at scale); no hash/range exchange may appear
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+
+    p2 = _plan(pack_sequences(spark, sf_dir))
+    assert p2.count("hashpartitioning") == 1  # the shard window, nothing else
+    assert p2.count("Window") == 1
