@@ -1234,3 +1234,29 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30)
 """
+
+
+LATERAL_SQL = """
+SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+FROM customer, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 3
+) top_orders
+WHERE c_custkey % 10 = 0
+"""
+
+
+def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: top-3 orders per customer, written as a
+    lateral subquery (identical text runs on DuckDB). Catalyst rewrites
+    the correlated limit into a window-ranked join — same plan family
+    as rel_topk_per_group, exposed through the SQL surface the way a
+    migrating user would write it."""
+    from hbasewd_spark.sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(LATERAL_SQL)
+
+
+LATERAL_ORACLE = LATERAL_SQL  # identical text runs on DuckDB

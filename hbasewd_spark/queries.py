@@ -519,6 +519,8 @@ _rel("rel_q18_large_orders", R.q18_large_orders, R.Q18_ORACLE,
      "TPC-H Q18 shape: HAVING-filtered order volumes, aggregate reused")
 _rel("rel_q19_disjunctive", R.q19_disjunctive_revenue, R.Q19_ORACLE,
      "TPC-H Q19 shape: 3-way disjunctive join predicate, single scan")
+_rel("rel_lateral_topn", R.lateral_topn, R.LATERAL_ORACLE,
+     "correlated LATERAL subquery: top-3 orders per customer")
 
 from hbasewd_spark.operators import chunking as CH  # noqa: E402
 

@@ -179,6 +179,45 @@ def stateful_user_counter(stream: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_counter_tws(stream: DataFrame) -> DataFrame:
+    """The same per-user running counter on the modern
+    ``transformWithStateInPandas`` API (Spark 4): explicit named
+    ValueState, per-key Arrow batches, pluggable time modes. Requires
+    the RocksDB state store provider (set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...RocksDBStateStoreProvider``) — which is also the provider
+    you'd run at 100 TB: state spills to disk + changelog checkpoints
+    instead of living on the JVM heap."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            last = None
+            for pdf in rows:
+                n += len(pdf)
+                m = pdf["ts"].max()
+                last = m if last is None or m > last else last
+            self._n.update((n,))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "last_ts": [last]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Counter(),
+        outputStructType="user_id long, n_events long, last_ts timestamp",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def incremental_rollup(
     spark: SparkSession,
     stream: DataFrame,

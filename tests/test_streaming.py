@@ -142,3 +142,43 @@ def test_watermark_drops_late_data_keeps_in_watermark(spark, tmp_path_factory):
     assert got["11:00"] == 1  # late but within watermark: kept
     assert got["12:00"] == 1
     assert got["14:00"] == 1
+
+
+def test_stateful_user_counter_tws_matches_batch(spark, sf_dir, events):
+    """transformWithStateInPandas twin of the applyInPandasWithState
+    counter — same results, modern state API, RocksDB provider.
+
+    The TWS driver worker speaks protobuf to the state server; skip
+    where google.protobuf isn't installed (this container) — the
+    operator itself is plain PySpark and runs wherever protobuf is."""
+    pytest.importorskip("google.protobuf.descriptor")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = ST.stream_events(spark, sf_dir)
+        counted = ST.stateful_user_counter_tws(stream)
+        q = (
+            counted.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_user_counter_tws")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.user_id: r.n_events
+            for r in spark.sql(
+                "SELECT user_id, max(n_events) AS n_events"
+                " FROM t_user_counter_tws GROUP BY user_id"
+            ).collect()
+        }
+        exp = {r.user_id: r["count"] for r in events.groupBy("user_id").count().collect()}
+        assert got == exp
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
