@@ -1260,3 +1260,41 @@ def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LATERAL_ORACLE = LATERAL_SQL  # identical text runs on DuckDB
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with nulls manufactured on both sides: a
+    truncated customer dim against the per-customer order aggregate —
+    customers without orders null out the right, orders from truncated
+    customers null out the left. Shuffle join on the key (full outer
+    can't broadcast either side — both must see all partitions)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ordagg = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("sum_totalprice"),
+    )
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 500)
+    return (
+        cust.join(ordagg, cust.c_custkey == ordagg.o_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            "c_mktsegment",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            "sum_totalprice",
+        )
+    )
+
+
+JOIN_FULL_OUTER_ORACLE = """
+WITH ordagg AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_totalprice
+  FROM orders GROUP BY o_custkey
+),
+cust AS (SELECT * FROM customer WHERE c_custkey < 500)
+SELECT coalesce(c_custkey, o_custkey) AS custkey,
+       c_mktsegment,
+       coalesce(n_orders, 0) AS n_orders,
+       sum_totalprice
+FROM cust FULL OUTER JOIN ordagg ON c_custkey = o_custkey
+"""

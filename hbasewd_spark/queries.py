@@ -521,6 +521,8 @@ _rel("rel_q19_disjunctive", R.q19_disjunctive_revenue, R.Q19_ORACLE,
      "TPC-H Q19 shape: 3-way disjunctive join predicate, single scan")
 _rel("rel_lateral_topn", R.lateral_topn, R.LATERAL_ORACLE,
      "correlated LATERAL subquery: top-3 orders per customer")
+_rel("rel_join_full_outer", R.join_full_outer, R.JOIN_FULL_OUTER_ORACLE,
+     "FULL OUTER join with nulls on both sides")
 
 from hbasewd_spark.operators import chunking as CH  # noqa: E402
 
