@@ -1,0 +1,124 @@
+"""BM25 full-text ranking over the documents corpus.
+
+The retrieval step of a data pipeline: score every document against a
+term query with Okapi BM25 and return the top-k. Pure Catalyst
+(tokenize → explode → two tiny aggregations → one join), no UDFs.
+
+Scale shape (100 TB): the exploded token stream is filtered to the
+query terms BEFORE any shuffle, so the per-term tf aggregation moves
+only |docs_with_term| rows; document lengths are a second map-side-
+combinable aggregate over the same scan; the df/N/avgdl statistics are
+single-row or |terms|-row relations broadcast to the scorer. Nothing
+quadratic, no full-corpus shuffle.
+
+Cross-engine exactness: every arithmetic step except ``ln`` is
+identical IEEE double math evaluated in the same order on Spark and
+DuckDB (per-term scores are folded in a FIXED order via per-term
+conditional aggregates, never a nondeterministic SUM over doubles);
+``ln`` may differ in the last ulp between libm implementations, so the
+score is defined rounded to 6 decimals with doc_id tiebreak — part of
+the operator contract, mirrored in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hbasewd_spark.functions.text import sql_tokens, tokens
+from hbasewd_spark.sources.loaders import ensure_min_parallelism, load_table
+
+BM25_TERMS = ("hash", "join", "scan")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rk, doc_id, score) — top-20 documents for the fixed term query."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    tk = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    doclen = tk.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tk.where(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df_t"))
+    k1, b = BM25_K1, BM25_B
+    idf = F.log((F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
+    term_score = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tok", term_score.alias("s"))
+    )
+    # fixed fold order: one conditional aggregate per term, added in
+    # declaration order — never a SUM whose double fold order floats
+    per_term = [
+        F.coalesce(
+            F.sum(F.when(F.col("tok") == t, F.col("s"))), F.lit(0.0)
+        ).alias(f"s_{t}")
+        for t in BM25_TERMS
+    ]
+    total = None
+    for t in BM25_TERMS:
+        c = F.col(f"s_{t}")
+        total = c if total is None else total + c
+    agg = scored.groupBy("doc_id").agg(*per_term).select(
+        "doc_id", F.round(total, 6).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BM25_TOPK)
+        .select("rk", "doc_id", "score")
+    )
+
+
+def bm25_oracle() -> str:
+    toks = sql_tokens("text", "duckdb")
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    k1, b = BM25_K1, BM25_B
+    per_term = ", ".join(
+        f"coalesce(sum(CASE WHEN tok = '{t}' THEN s END), 0.0) AS s_{t}"
+        for t in BM25_TERMS
+    )
+    total = " + ".join(f"s_{t}" for t in BM25_TERMS)
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({toks}) AS tok FROM documents
+    ),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM doclen
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM tk
+      WHERE tok IN ({terms}) GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(*) AS df_t FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * (tf * ({k1} + 1.0))
+               / (tf + {k1} * (1.0 - {b} + {b} * (dl / avgdl))) AS s
+      FROM tf JOIN dfreq USING (tok) JOIN doclen USING (doc_id), stats
+    ),
+    agg AS (
+      SELECT doc_id, {per_term} FROM scored GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, round({total}, 6) AS score,
+             row_number() OVER (ORDER BY round({total}, 6) DESC, doc_id ASC) AS rk
+      FROM agg
+    )
+    SELECT rk, doc_id, score FROM ranked WHERE rk <= {BM25_TOPK}
+    """

@@ -531,6 +531,11 @@ _rel("ext_text_chunking", CH.chunk_documents, CH.chunking_oracle(),
 _rel("ext_pack_sequences", CH.pack_sequences, CH.packing_oracle(),
      "sequence packing: sharded prefix-sum assignment to token-budget bins")
 
+from hbasewd_spark.operators import ranking as RK  # noqa: E402
+
+_rel("ext_text_bm25", RK.bm25_rank, RK.bm25_oracle(),
+     "BM25 top-20 retrieval: term-filtered tf, broadcast stats, fixed fold order")
+
 
 # ===========================================================================
 # North-star extensions: text analysis / dedup / similarity / multimodal
