@@ -47,6 +47,48 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def idempotent_salted_batch_write(
+    batch_df: DataFrame,
+    epoch_id: int,
+    dest_path: str,
+    distributor: KeyDistributor,
+    key_col: str,
+) -> None:
+    """Exactly-once per-epoch salted write: the batch lands in a hidden
+    staging dir, then every file moves into its salt partition under a
+    name DERIVED FROM THE EPOCH (``epoch-<id>-<seq>.parquet``). A
+    replayed epoch (foreachBatch re-delivery after a crash — Spark's
+    contract is at-least-once per epoch_id) rewrites the *same* target
+    names instead of appending new UUID files, so replays are
+    idempotent and the sink is exactly-once end-to-end.
+
+    ``os.replace`` is an atomic overwrite on POSIX filesystems; on
+    HDFS/S3 the same scheme rides the FileSystem rename / a committer —
+    the invariant is only "target names are a pure function of
+    (epoch, salt, seq)". Staging dirs start with '.' so Spark's file
+    listing never sees partial output."""
+    import glob
+    import shutil
+
+    out = (
+        salted(batch_df, distributor, key_col)
+        .repartition(distributor.buckets, F.col(SALT_COL))
+        .sortWithinPartitions(SALT_COL, key_col)
+    )
+    stage = os.path.join(dest_path, f".staging-epoch-{epoch_id}")
+    shutil.rmtree(stage, ignore_errors=True)
+    out.write.mode("overwrite").partitionBy(SALT_COL).parquet(stage)
+    for salt_dir in sorted(glob.glob(os.path.join(stage, f"{SALT_COL}=*"))):
+        target_dir = os.path.join(dest_path, os.path.basename(salt_dir))
+        os.makedirs(target_dir, exist_ok=True)
+        files = sorted(glob.glob(os.path.join(salt_dir, "*.parquet")))
+        for seq, f in enumerate(files):
+            os.replace(
+                f, os.path.join(target_dir, f"epoch-{epoch_id:010d}-{seq:05d}.parquet")
+            )
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def salted_stream_ingest(
     stream: DataFrame,
     dest_path: str,
@@ -55,16 +97,13 @@ def salted_stream_ingest(
     checkpoint: str,
 ):
     """Hot-spot-free streaming ingest: stateless salting + per-batch
-    salted append. Returns the started StreamingQuery."""
+    exactly-once salted write (idempotent under epoch replay — see
+    :func:`idempotent_salted_batch_write`). Returns the started
+    StreamingQuery."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            salted(batch_df, distributor, key_col)
-            .repartition(distributor.buckets, F.col(SALT_COL))
-            .sortWithinPartitions(SALT_COL, key_col)
-            .write.mode("append")
-            .partitionBy(SALT_COL)
-            .parquet(dest_path)
+        idempotent_salted_batch_write(
+            batch_df, epoch_id, dest_path, distributor, key_col
         )
 
     return (

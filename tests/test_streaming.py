@@ -182,3 +182,30 @@ def test_stateful_user_counter_tws_matches_batch(spark, sf_dir, events):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_ingest_epoch_replay_is_idempotent(spark, sf_dir, events, tmp_path_factory):
+    """foreachBatch delivers at-least-once per epoch; the sink must make
+    that exactly-once. Replaying an epoch (same id, same data) rewrites
+    the same deterministic file names instead of appending duplicates."""
+    base = tmp_path_factory.mktemp("replay")
+    dest = str(base / "tbl")
+    d = HashDistributor(8)
+    batch = events.where(F.col("event_id") < 1000)
+    n0 = batch.count()
+    ST.idempotent_salted_batch_write(batch, 0, dest, d, "ts")
+    n1 = spark.read.parquet(dest).count()
+    files1 = sorted(
+        str(p.relative_to(dest)) for p in __import__("pathlib").Path(dest).rglob("*.parquet")
+    )
+    # crash-replay of the SAME epoch: no duplicates, identical files
+    ST.idempotent_salted_batch_write(batch, 0, dest, d, "ts")
+    assert spark.read.parquet(dest).count() == n1 == n0
+    files2 = sorted(
+        str(p.relative_to(dest)) for p in __import__("pathlib").Path(dest).rglob("*.parquet")
+    )
+    assert files2 == files1
+    # a NEW epoch appends alongside
+    nxt = events.where((F.col("event_id") >= 1000) & (F.col("event_id") < 1500))
+    ST.idempotent_salted_batch_write(nxt, 1, dest, d, "ts")
+    assert spark.read.parquet(dest).count() == n0 + nxt.count()
