@@ -208,6 +208,70 @@ class SaltedTable:
             pred = pred & (F.col(SALT_COL) == salt_of_key)
         return df.where(pred).drop(SALT_COL)
 
+    # --------------------------------------------------- secondary key index
+    KEY_INDEX_DIR = "_key_index"
+
+    def build_key_index(self, index_buckets: int = 32) -> None:
+        """Persist a slim (key → salt) secondary index — the capability
+        the reference fundamentally lacks: under ROUND-ROBIN salting a
+        key's bucket is unknowable, so every point get fans out over all
+        N buckets (O4, RowKeyDistributorByOneBytePrefix.java:60-72).
+        The index restores single-partition lookups for ~16 bytes/row.
+
+        Layout: range-partitioned by key, sorted within files, so a
+        point probe prunes to ONE index file via row-group min/max
+        stats. Lives under ``_key_index/`` — underscore-prefixed, so
+        Spark's file listing never mixes it into table scans. At 100 TB
+        the index is ~0.1% of table bytes; rebuild cost is one
+        column-pruned scan + one range exchange of the slim pairs."""
+        idx_path = os.path.join(self.path, self.KEY_INDEX_DIR)
+        (
+            self.df()
+            .select(self.key_col, SALT_COL)
+            .repartitionByRange(index_buckets, F.col(self.key_col))
+            .sortWithinPartitions(self.key_col)
+            .write.mode("overwrite")
+            .parquet(idx_path)
+        )
+        self._key_index = None
+
+    def _index_df(self) -> DataFrame:
+        if getattr(self, "_key_index", None) is None:
+            self._key_index = self.spark.read.parquet(
+                os.path.join(self.path, self.KEY_INDEX_DIR)
+            )
+        return self._key_index
+
+    def point_get_indexed(self, key_value: Any) -> DataFrame:
+        """Point get through the secondary index: probe the index for
+        the key's salt(s) (one slim file read, stats-pruned), then a
+        statically partition-pruned data read — two small jobs instead
+        of an all-bucket scan. Falls back to :meth:`point_get` when the
+        distributor is deterministic (no index needed) or no index was
+        built."""
+        if self.distributor.deterministic:
+            return self.point_get(key_value)
+        idx_dir = os.path.join(self.path, self.KEY_INDEX_DIR)
+        if not os.path.isdir(idx_dir):
+            return self.point_get(key_value)
+        salts = [
+            r[SALT_COL]
+            for r in self._index_df()
+            .where(F.col(self.key_col) == F.lit(key_value))
+            .select(SALT_COL)
+            .collect()
+        ]
+        if not salts:
+            return self.df().where(F.lit(False)).drop(SALT_COL)
+        return (
+            self.df()
+            .where(
+                F.col(SALT_COL).isin(salts)
+                & (F.col(self.key_col) == F.lit(key_value))
+            )
+            .drop(SALT_COL)
+        )
+
     def multi_get(self, key_values: list[Any]) -> DataFrame:
         """Batch point lookup — the HBase ``HTable.get(List<Get>)``
         shape: one job for N keys. Under deterministic salting the scan

@@ -470,3 +470,36 @@ def test_pack_sequences_invariants(spark, sf_dir):
             prefix += r.n_tokens
     repart = pack_sequences(spark, sf_dir).repartition(7).orderBy("shard", "doc_id")
     assert [tuple(r) for r in repart.collect()] == [tuple(r) for r in rows]
+
+
+# ------------------------------------------------- secondary key index
+
+
+def test_key_index_restores_pruned_point_get_under_roundrobin(spark, tmp_path):
+    """Round-robin salting makes point gets fan out over every bucket
+    (O4); the persistent key->salt index restores a single-partition
+    read. Results match the fan-out path exactly, and the data-side
+    plan carries a PartitionFilters entry on the indexed salt."""
+    from hbasewd_spark.plans.distributor import RoundRobinDistributor
+    from hbasewd_spark.sources.kv_fixture import KEY_PREFIX, kv_df
+    from hbasewd_spark.sources.salted_table import SaltedTable
+
+    df = kv_df(spark)
+    t = SaltedTable.write(
+        df, str(tmp_path / "rr"), RoundRobinDistributor(12, order_col="write_seq"),
+        "key_long",
+    )
+    t.build_key_index(index_buckets=8)
+    k = KEY_PREFIX + 500
+    want = [tuple(r) for r in t.point_get(k).collect()]
+    got_df = t.point_get_indexed(k)
+    got = [tuple(r) for r in got_df.collect()]
+    assert got == want and len(got) == 1
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # statically pruned data read: the salt literal from the index probe
+    # appears as a partition filter on the main-table scan
+    assert re.search(r"PartitionFilters: \[[^\]]*salt", plan), plan
+    # a missing key returns empty without scanning
+    assert t.point_get_indexed(KEY_PREFIX - 10**9).count() == 0
