@@ -33,8 +33,8 @@ BM25_B = 0.75
 BM25_TOPK = 20
 
 
-def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(rk, doc_id, score) — top-20 documents for the fixed term query."""
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) for every document containing a query term."""
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     tk = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
     doclen = tk.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -70,9 +70,14 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in BM25_TERMS:
         c = F.col(f"s_{t}")
         total = c if total is None else total + c
-    agg = scored.groupBy("doc_id").agg(*per_term).select(
+    return scored.groupBy("doc_id").agg(*per_term).select(
         "doc_id", F.round(total, 6).alias("score")
     )
+
+
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rk, doc_id, score) — top-20 documents for the fixed term query."""
+    agg = bm25_scores(spark, sf_dir)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
         agg.withColumn("rk", F.row_number().over(w))
@@ -81,7 +86,9 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bm25_oracle() -> str:
+def _bm25_ctes() -> str:
+    """The WITH-clause body computing ``bm25(doc_id, score)`` — shared
+    by the rank oracle and the hybrid-retrieval oracle."""
     toks = sql_tokens("text", "duckdb")
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     k1, b = BM25_K1, BM25_B
@@ -91,7 +98,7 @@ def bm25_oracle() -> str:
     )
     total = " + ".join(f"s_{t}" for t in BM25_TERMS)
     return f"""
-    WITH tk AS (
+    tk AS (
       SELECT doc_id, unnest({toks}) AS tok FROM documents
     ),
     doclen AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
@@ -112,13 +119,104 @@ def bm25_oracle() -> str:
                / (tf + {k1} * (1.0 - {b} + {b} * (dl / avgdl))) AS s
       FROM tf JOIN dfreq USING (tok) JOIN doclen USING (doc_id), stats
     ),
-    agg AS (
-      SELECT doc_id, {per_term} FROM scored GROUP BY doc_id
-    ),
+    bm25 AS (
+      SELECT doc_id, round({total}, 6) AS score
+      FROM (SELECT doc_id, {per_term} FROM scored GROUP BY doc_id) agg
+    )"""
+
+
+def bm25_oracle() -> str:
+    return f"""
+    WITH {_bm25_ctes()},
     ranked AS (
-      SELECT doc_id, round({total}, 6) AS score,
-             row_number() OVER (ORDER BY round({total}, 6) DESC, doc_id ASC) AS rk
-      FROM agg
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM bm25
     )
     SELECT rk, doc_id, score FROM ranked WHERE rk <= {BM25_TOPK}
+    """
+
+
+HYBRID_CANDIDATES = 50
+HYBRID_TOPK = 10
+HYBRID_ANCHOR = 0  # vec_id of the query document's embedding
+
+
+def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 term match proposes candidates, embedding
+    cosine against an anchor document reranks them —
+    ``0.5 * bm25/max_bm25 + 0.5 * cosine``, the standard two-tower
+    lexical+semantic blend.
+
+    Scale shape: the candidate set (top-``HYBRID_CANDIDATES``) is tiny
+    regardless of corpus size, so the rerank join touches
+    |candidates| embedding rows — fetched by an equi-join that prunes
+    on the candidate ids; the anchor vector and the 1-row max-score
+    relation broadcast. Exactness: both scores fold left-to-right
+    (similarity._dot contract), blend arithmetic is identical IEEE
+    order, output rounded to 6 (the ln/sqrt ulp contract)."""
+    from hbasewd_spark.operators.similarity import _dvec, cosine
+
+    scores = bm25_scores(spark, sf_dir)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    cand = (
+        scores.withColumn("brk", F.row_number().over(w))
+        .where(F.col("brk") <= HYBRID_CANDIDATES)
+        .select("doc_id", "score")
+    )
+    mx = cand.agg(F.max("score").alias("max_score"))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    anchor = emb.where(F.col("vec_id") == HYBRID_ANCHOR).select(
+        F.col("v").alias("anchor_v")
+    )
+    cos = cosine(F.col("v"), F.col("anchor_v"))
+    blended = (
+        cand.join(emb, cand.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(anchor))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            "score",
+            F.round(cos, 6).alias("cos_sim"),
+            F.round(
+                0.5 * (F.col("score") / F.col("max_score")) + 0.5 * cos, 6
+            ).alias("blend"),
+        )
+    )
+    w2 = Window.orderBy(F.col("blend").desc(), F.col("doc_id").asc())
+    return (
+        blended.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= HYBRID_TOPK)
+        .select("rk", "doc_id", "score", "cos_sim", "blend")
+    )
+
+
+def hybrid_oracle() -> str:
+    from hbasewd_spark.operators.similarity import sql_cosine
+
+    cos = sql_cosine("e.embedding", "a.embedding")
+    return f"""
+    WITH {_bm25_ctes()},
+    cand AS (
+      SELECT doc_id, score FROM (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS brk
+        FROM bm25
+      ) t WHERE brk <= {HYBRID_CANDIDATES}
+    ),
+    mx AS (SELECT max(score) AS max_score FROM cand),
+    blended AS (
+      SELECT c.doc_id, c.score,
+             round({cos}, 6) AS cos_sim,
+             round(0.5 * (c.score / max_score) + 0.5 * {cos}, 6) AS blend
+      FROM cand c
+      JOIN embeddings e ON c.doc_id = e.vec_id
+      JOIN embeddings a ON a.vec_id = {HYBRID_ANCHOR}, mx
+    )
+    SELECT rk, doc_id, score, cos_sim, blend FROM (
+      SELECT *, row_number() OVER (ORDER BY blend DESC, doc_id ASC) AS rk
+      FROM blended
+    ) t WHERE rk <= {HYBRID_TOPK}
     """

@@ -535,6 +535,8 @@ from hbasewd_spark.operators import ranking as RK  # noqa: E402
 
 _rel("ext_text_bm25", RK.bm25_rank, RK.bm25_oracle(),
      "BM25 top-20 retrieval: term-filtered tf, broadcast stats, fixed fold order")
+_rel("ext_hybrid_retrieval", RK.hybrid_retrieval, RK.hybrid_oracle(),
+     "hybrid search: BM25 candidates + embedding cosine rerank (two-tower blend)")
 
 
 # ===========================================================================
