@@ -314,3 +314,63 @@ def incremental_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_corpus_ingest(
+    stream: DataFrame,
+    dest_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Incremental corpus building with cross-batch exact dedup: each
+    micro-batch is fingerprinted, deduplicated within the batch
+    (deterministically — min id per fingerprint), anti-joined against
+    every PREVIOUS epoch's fingerprints, and written to an
+    epoch-partitioned directory. The pattern every continuously-crawled
+    training corpus needs: a document seen in any earlier batch never
+    re-enters the corpus.
+
+    Exactly-once: each epoch writes ``epoch=<id>/`` with overwrite, so
+    foreachBatch replay rewrites the same directory (the anti-join
+    excludes the replayed epoch's own rows — a replay after later
+    epochs landed must not delete its own documents).
+
+    At 100 TB the anti-join probes a slim fingerprint relation
+    (8 bytes/doc); bucket the corpus by fingerprint (sources/bucketed)
+    to make it a shuffle-free probe. Returns the started query."""
+    from pyspark.sql import Window
+
+    from hbasewd_spark.functions.text import fingerprint
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy("fp").orderBy(id_col)
+        batch = (
+            batch_df.withColumn("fp", fingerprint(text_col))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        prior_epochs = [
+            d
+            for d in (os.listdir(dest_path) if os.path.isdir(dest_path) else [])
+            if d.startswith("epoch=") and d != f"epoch={epoch_id}"
+        ]
+        if prior_epochs:
+            seen = (
+                spark.read.option("basePath", dest_path)
+                .parquet(*(os.path.join(dest_path, d) for d in prior_epochs))
+                .select("fp")
+            )
+            batch = batch.join(seen, "fp", "left_anti")
+        batch.write.mode("overwrite").parquet(
+            os.path.join(dest_path, f"epoch={epoch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

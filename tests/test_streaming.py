@@ -209,3 +209,44 @@ def test_ingest_epoch_replay_is_idempotent(spark, sf_dir, events, tmp_path_facto
     nxt = events.where((F.col("event_id") >= 1000) & (F.col("event_id") < 1500))
     ST.idempotent_salted_batch_write(nxt, 1, dest, d, "ts")
     assert spark.read.parquet(dest).count() == n0 + nxt.count()
+
+
+def test_dedup_corpus_ingest_cross_batch_and_replay(spark, tmp_path_factory):
+    """A document seen in ANY earlier micro-batch never re-enters the
+    corpus; within-batch duplicates keep the min doc_id; and replaying
+    an epoch after later epochs landed neither duplicates nor deletes
+    its own documents."""
+    base = tmp_path_factory.mktemp("dedup_ingest")
+    src, dest, ckpt = str(base / "src"), str(base / "dst"), str(base / "ckpt")
+    schema = "doc_id long, text string"
+
+    b1 = [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha  BETA ")]  # 3 ~ 1
+    b2 = [(4, "alpha beta"), (5, "epsilon zeta"), (6, "epsilon zeta")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = ST.dedup_corpus_ingest(stream, dest, ckpt)
+    q.awaitTermination()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    q2 = ST.dedup_corpus_ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        dest,
+        ckpt,
+    )
+    q2.awaitTermination()
+
+    got = {r.doc_id: r.text for r in spark.read.parquet(dest).collect()}
+    # 3 dups 1 within batch 1 (normalized fingerprint); 4 dups 1 across
+    # batches; 6 dups 5 within batch 2
+    assert set(got) == {1, 2, 5}
+    # re-running the availableNow query over the same checkpoint (a
+    # full restart with no new files) leaves the corpus unchanged
+    q3 = ST.dedup_corpus_ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        dest,
+        ckpt,
+    )
+    q3.awaitTermination()
+    got2 = {r.doc_id: r.text for r in spark.read.parquet(dest).collect()}
+    assert got2 == got
