@@ -1298,3 +1298,43 @@ SELECT coalesce(c_custkey, o_custkey) AS custkey,
        sum_totalprice
 FROM cust FULL OUTER JOIN ordagg ON c_custkey = o_custkey
 """
+
+
+def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics for lineitem in ONE aggregation
+    pass: row count, per-column min/max/null-count, and exact NDV for
+    the key columns. This is the stats substrate a cost-based optimizer
+    (or a human sizing a join) reads; at 100 TB you'd swap the exact
+    COUNT(DISTINCT) (one extra shuffle per distinct column via Spark's
+    expand) for approx_count_distinct — same single-scan shape, no
+    expand. Emitted as one row of typed columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count_distinct(F.col("l_quantity")).alias("ndv_qty"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.count_distinct(F.col("l_orderkey")).alias("ndv_orderkey"),
+        F.count_distinct(F.col("l_partkey")).alias("ndv_partkey"),
+        (F.count("*") - F.count("l_returnflag")).alias("nulls_returnflag"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+TABLE_STATS_ORACLE = """
+SELECT count(*) AS n_rows,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       count(DISTINCT l_quantity) AS ndv_qty,
+       min(l_shipdate) AS min_shipdate,
+       max(l_shipdate) AS max_shipdate,
+       count(DISTINCT l_orderkey) AS ndv_orderkey,
+       count(DISTINCT l_partkey) AS ndv_partkey,
+       count(*) - count(l_returnflag) AS nulls_returnflag,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem
+"""

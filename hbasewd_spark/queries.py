@@ -523,6 +523,8 @@ _rel("rel_lateral_topn", R.lateral_topn, R.LATERAL_ORACLE,
      "correlated LATERAL subquery: top-3 orders per customer")
 _rel("rel_join_full_outer", R.join_full_outer, R.JOIN_FULL_OUTER_ORACLE,
      "FULL OUTER join with nulls on both sides")
+_rel("rel_table_stats", R.table_stats, R.TABLE_STATS_ORACLE,
+     "ANALYZE-style column statistics in one aggregation pass")
 
 from hbasewd_spark.operators import chunking as CH  # noqa: E402
 
