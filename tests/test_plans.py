@@ -179,3 +179,16 @@ def test_chunking_no_shuffle_packing_single_window_shuffle(spark, sf_dir):
     p2 = _plan(pack_sequences(spark, sf_dir))
     assert p2.count("hashpartitioning") == 1  # the shard window, nothing else
     assert p2.count("Window") == 1
+
+
+def test_hybrid_rerank_broadcasts_anchor_and_max(spark, sf_dir):
+    """The rerank stage joins |candidates| rows; the anchor vector and
+    1-row max-score relations must broadcast (constant-size at any
+    corpus scale), never shuffle the embedding corpus."""
+    from hbasewd_spark.operators.ranking import hybrid_retrieval
+
+    plan = _plan(hybrid_retrieval(spark, sf_dir))
+    # two broadcast nested-loop joins (1-row anchor + 1-row max) and
+    # no shuffle keyed on the embeddings corpus
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "CartesianProduct" not in plan
