@@ -1338,3 +1338,37 @@ SELECT count(*) AS n_rows,
        max(l_extendedprice) AS max_price
 FROM lineitem
 """
+
+
+TIME_RANGE_FRAME_SQL = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_last_hour,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window as a RANGE frame over an INTERVAL —
+    per event: activity in the trailing hour. One shuffle (partition by
+    user); the frame is evaluated by a running two-pointer pass over
+    each sorted partition, never a self-join. The time-series twin of
+    rel_range_frame's numeric RANGE."""
+    from hbasewd_spark.sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TIME_RANGE_FRAME_SQL)
+
+
+# DuckDB reads the nanos timestamp natively; cast to micros TIMESTAMP so
+# frame boundaries match Spark's micros session reads exactly
+TIME_RANGE_FRAME_ORACLE = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_last_hour,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""

@@ -525,6 +525,8 @@ _rel("rel_join_full_outer", R.join_full_outer, R.JOIN_FULL_OUTER_ORACLE,
      "FULL OUTER join with nulls on both sides")
 _rel("rel_table_stats", R.table_stats, R.TABLE_STATS_ORACLE,
      "ANALYZE-style column statistics in one aggregation pass")
+_rel("rel_time_range_frame", R.time_range_frame, R.TIME_RANGE_FRAME_ORACLE,
+     "sliding event-time RANGE frame (trailing-hour activity per event)")
 
 from hbasewd_spark.operators import chunking as CH  # noqa: E402
 
