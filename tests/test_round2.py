@@ -503,3 +503,39 @@ def test_key_index_restores_pruned_point_get_under_roundrobin(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*salt", plan), plan
     # a missing key returns empty without scanning
     assert t.point_get_indexed(KEY_PREFIX - 10**9).count() == 0
+
+
+def test_asof_join_randomized_differential(spark):
+    """300x200 seeded random rows, heavy ts collisions (small value
+    domains) — the union+window implementation must match the brute-
+    force reference on every row, both directions, with tolerance."""
+    import random
+
+    rng = random.Random(20260813)
+    lrows = [(rng.randint(1, 6), rng.randint(0, 50), i) for i in range(300)]
+    rrows = [
+        (rng.randint(1, 6), rng.randint(0, 50), float(i)) for i in range(200)
+    ]
+    # right-side ts ties: keep the max-value row per (k, t) like the
+    # operator's documented dedup (latest writer wins deterministically)
+    best = {}
+    for k, t, v in rrows:
+        best[(k, t)] = max(best.get((k, t), float("-inf")), v)
+    rrows_dedup = [(k, t, v) for (k, t), v in best.items()]
+
+    from pyspark.sql import Row
+
+    from hbasewd_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([Row(k=k, t=t, lid=i) for k, t, i in lrows])
+    right = spark.createDataFrame([Row(k=k, t=t, v=v) for k, t, v in rrows_dedup])
+    for direction in ("backward", "forward"):
+        got = {
+            r.lid: r.v_r
+            for r in asof_join(
+                left, right, on="t", by="k", value_cols=["v"], direction=direction
+            ).collect()
+        }
+        exp = _brute_asof(lrows, rrows_dedup, direction)
+        assert got == exp, f"direction={direction}"
+        assert len(got) == len(lrows)
