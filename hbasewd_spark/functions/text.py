@@ -13,6 +13,11 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 FNV_MOD = 1_000_000_007
+# second independent modulus: a fingerprint collision requires equality
+# mod BOTH primes (~2^60 combined space) — a single 1e9+7 hash has a
+# ~2^30 space where corpus-scale dedup would silently drop distinct
+# documents (birthday bound ~50% at 37k docs)
+FNV_MOD2 = 998_244_353
 
 # tiny per-language stopword sets for the n-gram/stopword heuristic —
 # deterministic and cheap; a real deployment would swap in fastText etc.
@@ -147,26 +152,40 @@ def sql_quality_score(expr: str, dialect: str) -> str:
 
 def fingerprint(col: Column | str) -> Column:
     """Rolling 31-polynomial hash of the character stream of the
-    normalized (lowercased, whitespace-collapsed) text, mod 1e9+7 —
-    a content fingerprint stable under trailing-whitespace noise."""
+    normalized (lowercased, whitespace-collapsed) text under TWO
+    independent prime moduli, combined as ``h1 * M2 + h2`` — a ~60-bit
+    content fingerprint stable under trailing-whitespace noise.
+    Collision needs agreement mod both primes, so corpus-scale exact
+    dedup doesn't silently merge distinct documents."""
     c = F.col(col) if isinstance(col, str) else col
     norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     chars = F.split(norm, "")
     cps = F.transform(chars, lambda ch: F.ascii(ch).cast("bigint"))
-    return F.aggregate(
-        cps, F.lit(7).cast("bigint"), lambda h, cp: (h * 31 + cp) % FNV_MOD
-    )
+
+    def roll(mod: int) -> Column:
+        return F.aggregate(
+            cps, F.lit(7).cast("bigint"), lambda h, cp: (h * 31 + cp) % mod
+        )
+
+    return roll(FNV_MOD) * FNV_MOD2 + roll(FNV_MOD2)
 
 
 def sql_fingerprint(expr: str, dialect: str) -> str:
     if dialect == "spark":
         norm = f"trim(regexp_replace(lower({expr}), '\\\\s+', ' '))"
         cps = f"transform(split({norm}, ''), ch -> CAST(ascii(ch) AS BIGINT))"
-        return f"aggregate({cps}, CAST(7 AS BIGINT), (h, cp) -> (h * 31 + cp) % {FNV_MOD})"
+        roll = lambda mod: (  # noqa: E731
+            f"aggregate({cps}, CAST(7 AS BIGINT), (h, cp) -> (h * 31 + cp) % {mod})"
+        )
+        return f"({roll(FNV_MOD)} * {FNV_MOD2} + {roll(FNV_MOD2)})"
     norm = f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
     cps = f"list_transform(string_split({norm}, ''), ch -> CAST(ascii(ch) AS BIGINT))"
     # duckdb list_reduce has no init -> prepend it
-    return f"list_reduce(list_prepend(CAST(7 AS BIGINT), {cps}), (h, cp) -> (h * 31 + cp) % {FNV_MOD})"
+    roll = lambda mod: (  # noqa: E731
+        f"list_reduce(list_prepend(CAST(7 AS BIGINT), {cps}),"
+        f" (h, cp) -> (h * 31 + cp) % {mod})"
+    )
+    return f"({roll(FNV_MOD)} * {FNV_MOD2} + {roll(FNV_MOD2)})"
 
 
 # ---------------------------------------------------------------------------

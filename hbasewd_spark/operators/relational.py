@@ -987,9 +987,6 @@ GROUP BY event_type
 # columns that exist)
 # ---------------------------------------------------------------------------
 
-_REV = None  # revenue expression built per-query to keep decimal types local
-
-
 def _revenue() -> Column:
     return dec("l_extendedprice") * (
         F.lit(1).cast("decimal(12,4)") - dec("l_discount", "decimal(12,4)")
@@ -1067,8 +1064,6 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarter, deterministic top-20. Orders are date-filtered at the scan
     (one quarter ~ 4% of the fact), lineitem filtered to returns;
     customer/nation broadcast; one groupBy on c_custkey."""
-    from pyspark.sql import Window
-
     orders = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -1163,8 +1158,6 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny fraction (threshold at ~p99), so the orders/customer joins
     run on a sliver; orders join is a broadcast of the sliver against
     the orders table, never a full shuffle of either fact."""
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")

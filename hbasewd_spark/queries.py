@@ -614,7 +614,7 @@ def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, {TX.sql_fingerprint('text', 'duckdb')} AS fp
     FROM documents
     """,
-    "rolling 31-polynomial content fingerprint mod 1e9+7",
+    "rolling dual-modulus 31-polynomial content fingerprint (~60-bit)",
 )
 def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)

@@ -160,6 +160,10 @@ class SaltedTable:
 
     def refresh(self) -> None:
         self._df = None
+        # derived caches go stale with the data: zone maps reference
+        # concrete file paths; the key index may miss newly-appended keys
+        self._zone_maps = None
+        self._key_index = None
 
     def scan(
         self,
@@ -247,8 +251,10 @@ class SaltedTable:
         the key's salt(s) (one slim file read, stats-pruned), then a
         statically partition-pruned data read — two small jobs instead
         of an all-bucket scan. Falls back to :meth:`point_get` when the
-        distributor is deterministic (no index needed) or no index was
-        built."""
+        distributor is deterministic (no index needed), no index was
+        built, or the key misses the index — an index built before an
+        append doesn't know about newer keys, so an empty probe means
+        "not indexed", never "not present"."""
         if self.distributor.deterministic:
             return self.point_get(key_value)
         idx_dir = os.path.join(self.path, self.KEY_INDEX_DIR)
@@ -262,7 +268,7 @@ class SaltedTable:
             .collect()
         ]
         if not salts:
-            return self.df().where(F.lit(False)).drop(SALT_COL)
+            return self.point_get(key_value)
         return (
             self.df()
             .where(
@@ -423,6 +429,11 @@ def compact(table: SaltedTable, target_files_per_salt: int = 1) -> SaltedTable:
     meta_src = os.path.join(table.path, META_FILE)
     meta_dst = os.path.join(tmp, META_FILE)
     shutil.copyfile(meta_src, meta_dst)
+    # the key->salt index survives compaction unchanged (compaction
+    # never moves a row across salt partitions), so carry it over
+    idx_src = os.path.join(table.path, SaltedTable.KEY_INDEX_DIR)
+    if os.path.isdir(idx_src):
+        shutil.copytree(idx_src, os.path.join(tmp, SaltedTable.KEY_INDEX_DIR))
     shutil.rmtree(table.path)
     os.rename(tmp, table.path)
     table.refresh()

@@ -47,6 +47,39 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+class _Fs:
+    """Thin wrapper over Hadoop's FileSystem API so every path
+    operation works on ANY Spark-supported scheme (file://, hdfs://,
+    s3a://, …) — driver-local ``os``/``glob`` calls would silently
+    no-op against object stores."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self._jvm = spark._jvm
+        self._p = self._jvm.org.apache.hadoop.fs.Path(path)
+        self.fs = self._p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def glob(self, pattern: str) -> list[str]:
+        statuses = self.fs.globStatus(self.path(pattern))
+        if statuses is None:
+            return []
+        return sorted(str(s.getPath()) for s in statuses)
+
+    def delete(self, p: str, recursive: bool = False) -> None:
+        self.fs.delete(self.path(p), recursive)
+
+    def mkdirs(self, p: str) -> None:
+        self.fs.mkdirs(self.path(p))
+
+    def rename(self, src: str, dst: str) -> None:
+        self.fs.rename(self.path(src), self.path(dst))
+
+    def exists(self, p: str) -> bool:
+        return self.fs.exists(self.path(p))
+
+
 def idempotent_salted_batch_write(
     batch_df: DataFrame,
     epoch_id: int,
@@ -58,35 +91,34 @@ def idempotent_salted_batch_write(
     staging dir, then every file moves into its salt partition under a
     name DERIVED FROM THE EPOCH (``epoch-<id>-<seq>.parquet``). A
     replayed epoch (foreachBatch re-delivery after a crash — Spark's
-    contract is at-least-once per epoch_id) rewrites the *same* target
-    names instead of appending new UUID files, so replays are
-    idempotent and the sink is exactly-once end-to-end.
+    contract is at-least-once per epoch_id) first purges this epoch's
+    previous files (under round-robin salting a replay may salt rows
+    differently, so name-overwrite alone isn't enough), then writes the
+    same deterministic names — replays are idempotent and the sink is
+    exactly-once end-to-end.
 
-    ``os.replace`` is an atomic overwrite on POSIX filesystems; on
-    HDFS/S3 the same scheme rides the FileSystem rename / a committer —
-    the invariant is only "target names are a pure function of
-    (epoch, salt, seq)". Staging dirs start with '.' so Spark's file
-    listing never sees partial output."""
-    import glob
-    import shutil
-
+    All path operations go through Hadoop's FileSystem (works on any
+    scheme Spark can write to, not just the local disk). Staging dirs
+    start with '.' so Spark's file listing never sees partial output."""
     out = (
         salted(batch_df, distributor, key_col)
         .repartition(distributor.buckets, F.col(SALT_COL))
         .sortWithinPartitions(SALT_COL, key_col)
     )
-    stage = os.path.join(dest_path, f".staging-epoch-{epoch_id}")
-    shutil.rmtree(stage, ignore_errors=True)
+    fs = _Fs(batch_df.sparkSession, dest_path)
+    stage = dest_path.rstrip("/") + f"/.staging-epoch-{epoch_id}"
+    fs.delete(stage, recursive=True)
     out.write.mode("overwrite").partitionBy(SALT_COL).parquet(stage)
-    for salt_dir in sorted(glob.glob(os.path.join(stage, f"{SALT_COL}=*"))):
-        target_dir = os.path.join(dest_path, os.path.basename(salt_dir))
-        os.makedirs(target_dir, exist_ok=True)
-        files = sorted(glob.glob(os.path.join(salt_dir, "*.parquet")))
-        for seq, f in enumerate(files):
-            os.replace(
-                f, os.path.join(target_dir, f"epoch-{epoch_id:010d}-{seq:05d}.parquet")
-            )
-    shutil.rmtree(stage, ignore_errors=True)
+    for stale in fs.glob(
+        f"{dest_path.rstrip('/')}/{SALT_COL}=*/epoch-{epoch_id:010d}-*.parquet"
+    ):
+        fs.delete(stale)
+    for salt_dir in fs.glob(f"{stage}/{SALT_COL}=*"):
+        target_dir = dest_path.rstrip("/") + "/" + salt_dir.rsplit("/", 1)[1]
+        fs.mkdirs(target_dir)
+        for seq, f in enumerate(fs.glob(f"{salt_dir}/*.parquet")):
+            fs.rename(f, f"{target_dir}/epoch-{epoch_id:010d}-{seq:05d}.parquet")
+    fs.delete(stage, recursive=True)
 
 
 def salted_stream_ingest(
@@ -352,20 +384,21 @@ def dedup_corpus_ingest(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
+        fs = _Fs(spark, dest_path)
         prior_epochs = [
             d
-            for d in (os.listdir(dest_path) if os.path.isdir(dest_path) else [])
-            if d.startswith("epoch=") and d != f"epoch={epoch_id}"
+            for d in fs.glob(f"{dest_path.rstrip('/')}/epoch=*")
+            if not d.endswith(f"epoch={epoch_id}")
         ]
         if prior_epochs:
             seen = (
                 spark.read.option("basePath", dest_path)
-                .parquet(*(os.path.join(dest_path, d) for d in prior_epochs))
+                .parquet(*prior_epochs)
                 .select("fp")
             )
             batch = batch.join(seen, "fp", "left_anti")
         batch.write.mode("overwrite").parquet(
-            os.path.join(dest_path, f"epoch={epoch_id}")
+            dest_path.rstrip("/") + f"/epoch={epoch_id}"
         )
 
     return (

