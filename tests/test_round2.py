@@ -538,3 +538,26 @@ def test_asof_join_randomized_differential(spark):
         exp = _brute_asof(lrows, rrows_dedup, direction)
         assert got == exp, f"direction={direction}"
         assert len(got) == len(lrows)
+
+
+def test_compact_preserves_key_index(spark, tmp_path):
+    """Nightly compaction must not destroy the secondary key index:
+    rows never cross salt partitions during compaction, so the index
+    stays valid and indexed point gets keep working afterwards."""
+    from hbasewd_spark.plans.distributor import RoundRobinDistributor
+    from hbasewd_spark.sources.kv_fixture import KEY_PREFIX, kv_df
+    from hbasewd_spark.sources.salted_table import SaltedTable, compact
+
+    t = SaltedTable.write(
+        kv_df(spark), str(tmp_path / "c"),
+        RoundRobinDistributor(6, order_col="write_seq"), "key_long",
+    )
+    t.build_key_index(index_buckets=4)
+    k = KEY_PREFIX + 321
+    before = [tuple(r) for r in t.point_get_indexed(k).collect()]
+    compact(t)
+    after = [tuple(r) for r in t.point_get_indexed(k).collect()]
+    assert after == before and len(after) == 1
+    import os
+
+    assert os.path.isdir(str(tmp_path / "c" / SaltedTable.KEY_INDEX_DIR))
