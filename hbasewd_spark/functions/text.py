@@ -161,13 +161,23 @@ def fingerprint(col: Column | str) -> Column:
     norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     chars = F.split(norm, "")
     cps = F.transform(chars, lambda ch: F.ascii(ch).cast("bigint"))
-
-    def roll(mod: int) -> Column:
-        return F.aggregate(
-            cps, F.lit(7).cast("bigint"), lambda h, cp: (h * 31 + cp) % mod
-        )
-
-    return roll(FNV_MOD) * FNV_MOD2 + roll(FNV_MOD2)
+    # SINGLE pass with a struct accumulator: two separate aggregate()
+    # calls would inline (and so evaluate) the per-char cps array twice
+    # — measured 3x on the curation pipeline. The DuckDB twin keeps the
+    # two-reduce form (list_reduce has no struct-friendly init there);
+    # same values, and the oracle only needs to be correct, not fast.
+    acc0 = F.struct(
+        F.lit(7).cast("bigint").alias("a"), F.lit(7).cast("bigint").alias("b")
+    )
+    return F.aggregate(
+        cps,
+        acc0,
+        lambda acc, cp: F.struct(
+            ((acc["a"] * 31 + cp) % FNV_MOD).alias("a"),
+            ((acc["b"] * 31 + cp) % FNV_MOD2).alias("b"),
+        ),
+        lambda acc: acc["a"] * FNV_MOD2 + acc["b"],
+    )
 
 
 def sql_fingerprint(expr: str, dialect: str) -> str:
