@@ -30,19 +30,64 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+# below this many edges the component structure fits comfortably on the
+# driver: one collect + union-find beats log(diameter) shuffle rounds.
+# Near-dup graphs are edge-sparse (edges ~ dup pairs, a sliver of the
+# corpus), so even petabyte corpora often take this path; the threshold
+# is a knob, and the distributed path is the same contract.
+SMALL_GRAPH_EDGES = 5_000_000
+
+
+def _driver_union_find(spark, pairs: list[tuple[int, int]]) -> DataFrame:
+    """Exact min-label components on the driver (path-compressed
+    union-find); same (id, cluster_id=min id) contract as the
+    distributed path."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        if a == b:  # self-loops carry no component info (distributed
+            continue  # path filters them identically)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN so the root is always the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(v, find(v)) for v in parent]
+    return spark.createDataFrame(rows, "id bigint, cluster_id bigint")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """(id, cluster_id) for every vertex appearing in ``edges``;
     ``cluster_id`` is the minimum vertex id of the component —
     deterministic, engine-independent (the DuckDB oracle reproduces it
-    with a recursive CTE)."""
+    with a recursive CTE).
+
+    Scale-adaptive: edge sets under ``small_graph_edges`` collect to
+    the driver for one-pass union-find (no iterative shuffle rounds);
+    larger graphs run log-round label propagation + pointer jumping."""
     e = edges.select(
         F.col(src).cast("bigint").alias("src"), F.col(dst).cast("bigint").alias("dst")
     )
+    n_edges = e.count()
+    if n_edges <= small_graph_edges:
+        pairs = [(r.src, r.dst) for r in e.collect()]
+        return _driver_union_find(edges.sparkSession, pairs)
     bidir = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst"))

@@ -561,3 +561,27 @@ def test_compact_preserves_key_index(spark, tmp_path):
     import os
 
     assert os.path.isdir(str(tmp_path / "c" / SaltedTable.KEY_INDEX_DIR))
+
+
+def test_connected_components_driver_and_distributed_paths_agree(spark):
+    """The small-graph union-find fast path and the distributed
+    label-propagation path are the same contract: identical
+    (id, cluster_id=min id) output on a seeded random graph with
+    self-loops, chains, and singleton-free structure."""
+    import random
+
+    from hbasewd_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randint(0, 120), rng.randint(0, 120)) for _ in range(150)]
+    edges += [(200, 201), (201, 202), (202, 203), (300, 300)]  # chain + loop
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    fast = {
+        (r.id, r.cluster_id)
+        for r in connected_components(df).collect()
+    }
+    dist = {
+        (r.id, r.cluster_id)
+        for r in connected_components(df, small_graph_edges=0).collect()
+    }
+    assert fast == dist and fast
