@@ -201,7 +201,23 @@ def _cached_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# the verified pairs frame is even smaller than the features (a few
+# hundred rows at bench scale) and consumed by three queries (pairs,
+# clusters, curation) — lazy-persist it like the features so the band
+# join + Jaccard verification runs once per (session, sf)
+_PAIRS_CACHE: dict = {}
+
+
 def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    df = _PAIRS_CACHE.get(key)
+    if df is None:
+        df = _minhash_dedup_pairs_uncached(spark, sf_dir).persist()
+        _PAIRS_CACHE[key] = df
+    return df
+
+
+def _minhash_dedup_pairs_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: LSH candidates (same band hash in any band),
     verified with exact Jaccard >= threshold over the *hashed* shingle
     sets (32-bit md5 prefixes — collision probability per pair is
