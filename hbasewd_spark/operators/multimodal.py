@@ -270,3 +270,63 @@ SELECT format, count(DISTINCT doc_id) AS n_docs, count(*) AS n_frames,
        sum(least({FRAME_BYTES}, b - frame_idx * {FRAME_BYTES})) AS total_frame_bytes
 FROM fr GROUP BY format
 """
+
+
+# ---------------------------------------------------------------------------
+# audio segmentation: pure-Catalyst byte-range slicing (no Python at all)
+# ---------------------------------------------------------------------------
+
+SEG_BYTES = 200  # "2-second windows" at the synthetic 100 B/s PCM rate
+
+
+def audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment each audio payload into fixed byte-length windows —
+    ENTIRELY in Catalyst: unlike decode/resize (which need codecs and
+    go through mapInPandas), raw byte-range extraction is expressible
+    with substring-on-binary inside an inline generator, so it runs in
+    whole-stage codegen with zero Python boundary. Each segment emits
+    (seg_idx, seg_bytes, seg_md5): the md5 proves the BYTES are exact,
+    not just the lengths — the DuckDB oracle reproduces every hash.
+
+    At 100 TB: per-row generator, no shuffle; segments carry 16-byte
+    hashes + metadata, never the payload bytes themselves."""
+    m = media_df(spark, sf_dir)
+    n_segs = F.expr(f"(meta.n_bytes + {SEG_BYTES - 1}) div {SEG_BYTES}")
+    idx = F.sequence(F.lit(0).cast("bigint"), F.greatest(n_segs - 1, F.lit(0)))
+    seg = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("seg_idx"),
+            F.octet_length(
+                F.substring(F.col("payload"), (i * SEG_BYTES + 1).cast("int"), SEG_BYTES)
+            ).alias("seg_bytes"),
+            F.md5(
+                F.substring(F.col("payload"), (i * SEG_BYTES + 1).cast("int"), SEG_BYTES)
+            ).alias("seg_md5"),
+        ),
+    )
+    return m.select("doc_id", F.explode(seg).alias("g")).select(
+        "doc_id", "g.seg_idx", "g.seg_bytes", "g.seg_md5"
+    )
+
+
+# the payload is UTF-8 of pure-ASCII text (verified for every sf), so
+# byte offsets == char offsets and the oracle can slice the VARCHAR;
+# DuckDB 1.0 has no BLOB substring/md5, and md5(varchar) hashes the
+# same UTF-8 bytes Spark's md5(binary) sees
+AUDIO_SEGMENTS_ORACLE = f"""
+WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+segs AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, greatest((n + {SEG_BYTES - 1}) // {SEG_BYTES} - 1, 0)),
+           i -> struct_pack(
+             seg_idx := i,
+             s := substring(text, CAST(i * {SEG_BYTES} + 1 AS INT), {SEG_BYTES})
+           ))) AS g
+  FROM m
+)
+SELECT doc_id, g.seg_idx AS seg_idx,
+       length(g.s) AS seg_bytes, md5(g.s) AS seg_md5
+FROM segs
+"""

@@ -552,6 +552,9 @@ from hbasewd_spark.operators import dedup as DD  # noqa: E402
 from hbasewd_spark.operators import multimodal as MM  # noqa: E402
 from hbasewd_spark.operators import similarity as SIM  # noqa: E402
 
+_rel("ext_multimodal_audio_segments", MM.audio_segments, MM.AUDIO_SEGMENTS_ORACLE,
+     "pure-Catalyst audio byte-segmentation, md5-verified bytes")
+
 
 @q(
     "ext_text_stats",
