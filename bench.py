@@ -121,6 +121,10 @@ def main() -> None:
     timed("chunking", lambda: Q.REGISTRY["ext_text_chunking"].fn(spark, SF_DIR).count())
     timed("packing", lambda: Q.REGISTRY["ext_pack_sequences"].fn(spark, SF_DIR).count())
 
+    # 23-24. retrieval + pure-Catalyst multimodal slicing
+    timed("bm25", lambda: Q.REGISTRY["ext_text_bm25"].fn(spark, SF_DIR).count())
+    timed("audio_segments", lambda: Q.REGISTRY["ext_multimodal_audio_segments"].fn(spark, SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
