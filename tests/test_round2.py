@@ -585,3 +585,26 @@ def test_connected_components_driver_and_distributed_paths_agree(spark):
         for r in connected_components(df, small_graph_edges=0).collect()
     }
     assert fast == dist and fast
+
+
+def test_ivf_index_prunes_partitions_and_matches_inmemory(spark, sf_dir, tmp_path):
+    """The persisted IVF index makes the scale claim physical: a probe
+    reads only the probed cells' partition directories (plan-asserted
+    static pruning) and returns exactly the in-memory ivf_topk
+    results."""
+    import re
+
+    from hbasewd_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_indexed,
+        ivf_topk,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(spark, sf_dir, path)
+    got_df = ivf_probe_indexed(spark, sf_dir, path)
+    got = {(r.query_id, r.rank): r.vec_id for r in got_df.collect()}
+    want = {(r.query_id, r.rank): r.vec_id for r in ivf_topk(spark, sf_dir).collect()}
+    assert got == want and got
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
