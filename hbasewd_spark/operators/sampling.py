@@ -51,3 +51,34 @@ def stratified_sample(df: DataFrame, key: str, stratum: str, fractions: dict[str
     for value, frac in sorted(fractions.items()):
         thr = F.when(F.col(stratum) == value, F.lit(int(round(frac * _SPACE)))).otherwise(thr)
     return df.where(bucket < thr)
+
+
+# train/val/test split boundaries in basis points of the hash space
+SPLIT_BOUNDS = {"train": (0, 9_000), "val": (9_000, 9_500), "test": (9_500, 10_000)}
+
+
+def split_assign(key: Column | str) -> Column:
+    """'train' / 'val' / 'test' as a pure function of hash(key) —
+    the 90/5/5 split every training pipeline needs, with the same
+    guarantees as deterministic_sample: partitioning-independent,
+    stable across engines and retries, and join-consistent (all rows
+    of an entity land in the same split when keyed on the entity)."""
+    b = sample_bucket(key)
+    out = F.lit("test")
+    for name, (lo, hi) in sorted(SPLIT_BOUNDS.items()):
+        if name != "test":
+            out = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(out)
+    return out
+
+
+def sql_split_assign(expr: str, dialect: str) -> str:
+    from hbasewd_spark.functions.codec import sql_md5_long
+
+    typ = "STRING" if dialect == "spark" else "VARCHAR"
+    b = f"({sql_md5_long(f'CAST({expr} AS {typ})', dialect)} % {_SPACE})"
+    cases = " ".join(
+        f"WHEN {b} >= {lo} AND {b} < {hi} THEN '{name}'"
+        for name, (lo, hi) in sorted(SPLIT_BOUNDS.items())
+        if name != "test"
+    )
+    return f"(CASE {cases} ELSE 'test' END)"

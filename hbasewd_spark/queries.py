@@ -923,6 +923,29 @@ def _register_rollup() -> None:
 _register_rollup()
 
 
+def _split_sql(dialect: str) -> str:
+    from hbasewd_spark.operators.sampling import sql_split_assign
+
+    split = sql_split_assign("doc_id", dialect)
+    tokens = TX.sql_token_count("text", dialect)
+    return f"""
+    SELECT {split} AS split, count(*) AS n_docs,
+           sum({tokens}) AS total_tokens,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+    FROM documents GROUP BY 1
+    """
+
+
+@q(
+    "ext_train_val_test_split",
+    _split_sql("duckdb"),
+    "deterministic 90/5/5 train/val/test split by key hash: "
+    "partitioning-independent, engine-reproducible, join-consistent",
+)
+def ext_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _split_sql("spark"))
+
+
 def _sample_sql(dialect: str) -> str:
     from hbasewd_spark.operators.sampling import sql_sample_bucket
 

