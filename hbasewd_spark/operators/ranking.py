@@ -22,9 +22,10 @@ the operator contract, mirrored in the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hbasewd_spark.functions.text import sql_tokens, tokens
+from hbasewd_spark.operators.topk import global_topk
 from hbasewd_spark.sources.loaders import ensure_min_parallelism, load_table
 
 BM25_TERMS = ("hash", "join", "scan")
@@ -76,14 +77,14 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(rk, doc_id, score) — top-20 documents for the fixed term query."""
+    """(rk, doc_id, score) — top-20 documents for the fixed term query.
+
+    Top-k via TakeOrderedAndProject (partial per-partition heaps), not
+    a global single-partition window — see operators/topk.py.
+    """
     agg = bm25_scores(spark, sf_dir)
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        agg.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= BM25_TOPK)
-        .select("rk", "doc_id", "score")
-    )
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    return global_topk(agg, order, BM25_TOPK).select("rk", "doc_id", "score")
 
 
 def _bm25_ctes() -> str:
@@ -158,12 +159,12 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbasewd_spark.operators.similarity import _dvec, cosine
 
     scores = bm25_scores(spark, sf_dir)
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    cand = (
-        scores.withColumn("brk", F.row_number().over(w))
-        .where(F.col("brk") <= HYBRID_CANDIDATES)
-        .select("doc_id", "score")
-    )
+    cand = global_topk(
+        scores,
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        HYBRID_CANDIDATES,
+        rk_name=None,
+    ).select("doc_id", "score")
     mx = cand.agg(F.max("score").alias("max_score"))
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v")
@@ -185,12 +186,9 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("blend"),
         )
     )
-    w2 = Window.orderBy(F.col("blend").desc(), F.col("doc_id").asc())
-    return (
-        blended.withColumn("rk", F.row_number().over(w2))
-        .where(F.col("rk") <= HYBRID_TOPK)
-        .select("rk", "doc_id", "score", "cos_sim", "blend")
-    )
+    return global_topk(
+        blended, [F.col("blend").desc(), F.col("doc_id").asc()], HYBRID_TOPK
+    ).select("rk", "doc_id", "score", "cos_sim", "blend")
 
 
 def hybrid_oracle() -> str:

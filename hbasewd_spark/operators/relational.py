@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from hbasewd_spark.operators.topk import global_topk
 from hbasewd_spark.sources.loaders import load_table
 
 MONEY = "decimal(18,4)"
@@ -484,8 +485,10 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, event_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         -- DuckDB sum(INTEGER) OVER w is HUGEINT (int128); cast to BIGINT so
+         -- the driver's value hash matches Spark's LongType session_id.
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -539,7 +542,8 @@ def json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_ORACLE = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       -- sum(INTEGER) is HUGEINT in DuckDB; BIGINT matches Spark's sum(int).
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
        count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_distinct_k
@@ -683,9 +687,14 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     no cross-engine oracle (sketches differ by design); the driver
     records a rows-only check and tests bound the error vs exact."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Quantiles emitted as three scalar columns (not one array column):
+    # scalar columns keep the output hashable/sortable by generic harnesses.
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("price_quantiles"),
+        q.getItem(0).alias("p50"),
+        q.getItem(1).alias("p90"),
+        q.getItem(2).alias("p99"),
         F.count("*").alias("n"),
     )
 
@@ -870,12 +879,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("decimal(25,4)").cast("double").alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
-    return (
-        grouped.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 10)
-        .select("rk", "l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-    )
+    return global_topk(
+        grouped, [F.col("revenue").desc(), F.col("l_orderkey").asc()], 10
+    ).select("rk", "l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
 
 
 Q3_ORACLE = """
@@ -1079,12 +1085,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", F.col("n_name"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return (
-        grouped.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 20)
-        .select("rk", "c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
-    )
+    return global_topk(
+        grouped, [F.col("revenue").desc(), F.col("c_custkey").asc()], 20
+    ).select("rk", "c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
 
 
 Q10_ORACLE = f"""
@@ -1171,11 +1174,12 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
     )
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return (
-        j.select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 100)
+    return global_topk(
+        j.select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+        ),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        100,
     )
 
 

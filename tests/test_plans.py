@@ -192,3 +192,71 @@ def test_hybrid_rerank_broadcasts_anchor_and_max(spark, sf_dir):
     # no shuffle keyed on the embeddings corpus
     assert plan.count("BroadcastNestedLoopJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Window plan lines with an empty partition spec.
+
+    A Window node prints ``Window [exprs], [partSpec], [orderSpec]``
+    with empty specs omitted. Two bracket groups is therefore
+    ambiguous: part-only (unordered) or order-only (unpartitioned).
+    Order specs always carry ASC/DESC sort-direction markers, so a
+    2-group node whose trailing group has a direction marker is the
+    unpartitioned single-partition case we forbid.
+    """
+    hits = []
+    for line in plan.splitlines():
+        idx = line.find("Window [")
+        if idx < 0:
+            continue
+        depth, groups, buf = 0, [], []
+        for ch in line[idx + len("Window ") :]:
+            if ch == "[":
+                if depth == 0:
+                    buf = []
+                depth += 1
+                if depth == 1:
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(buf))
+                    continue
+            if depth >= 1:
+                buf.append(ch)
+        unpartitioned = len(groups) == 2 and (
+            " ASC" in groups[-1] or " DESC" in groups[-1]
+        )
+        if unpartitioned or len(groups) < 2:
+            hits.append(line.strip())
+    return hits
+
+
+# Documented parity fixtures that inherently need a whole-input global
+# window (the reference's single-writer round-robin counter / the
+# ordered-scan rn verification stamp over a bounded key range).
+_GLOBAL_WINDOW_FIXTURES = {
+    "o1_roundrobin_salt_balance",
+    "o3_desalt_roundtrip",
+    "o4_point_get_roundrobin_fanout",
+    "o9_ordered_range_scan",
+}
+
+
+def test_no_unbounded_global_window_anywhere(spark, sf_dir):
+    """No registry query may plan a WindowExec with an empty partition
+    spec ("No Partition Defined ... single partition") outside the
+    explicitly documented parity fixtures. Ranked top-k queries go
+    through operators/topk.py (TakeOrderedAndProject + id stamp)
+    instead."""
+    from hbasewd_spark.queries import REGISTRY
+
+    skip = {"stream_windowed_agg"} | _GLOBAL_WINDOW_FIXTURES
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if name in skip:
+            continue
+        wins = _unpartitioned_windows(_plan(spec.fn(spark, sf_dir)))
+        if wins:
+            offenders[name] = wins[0][:200]
+    assert not offenders, f"unpartitioned windows in: {offenders}"

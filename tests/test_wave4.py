@@ -42,8 +42,7 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     for r in rows:
         rel_err = abs(r.approx_orders - exact[r.l_returnflag]) / exact[r.l_returnflag]
         assert rel_err < 0.1, (r.l_returnflag, r.approx_orders, exact[r.l_returnflag])
-        q50, q90, q99 = r.price_quantiles
-        assert q50 <= q90 <= q99
+        assert r.p50 <= r.p90 <= r.p99
 
 
 @pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
