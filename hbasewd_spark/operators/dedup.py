@@ -387,58 +387,142 @@ def simhash_pairs_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard (no LSH — banded by a cheap blocking key)
+# n-gram Jaccard (rare-gram blocking: candidate generation is an
+# equi-join on each document's rarest grams, never an all-pairs block)
 # ---------------------------------------------------------------------------
+
+NGRAM_BLOCK_B = 6  # blocking grams per document (its B globally rarest)
+
+
+def _gram_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, g) — deduped character-4-gram set per document.
+
+    The normalized text is materialized as its own projection so the
+    regexp runs once per document, not once per gram position (a ~7x
+    end-to-end difference measured at sf0.01; the oracle mirrors the
+    same shape with a CTE)."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    n = docs.select("doc_id", "lang", norm.alias("nm"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("nm") - 3, F.lit(0))),
+            lambda i: F.col("nm").substr(i, F.lit(4)),
+        )
+    )
+    return n.select("doc_id", "lang", grams.alias("g"))
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-4-gram Jaccard over same-`lang` document pairs (the
-    blocking key keeps the pair space linear-ish; at 100 TB you'd block
-    on a rare-ngram bucket instead). Exact set arithmetic via
-    array_intersect on deduped gram arrays."""
-    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    n = F.length(norm)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 3, F.lit(0))),
-            lambda i: norm.substr(i, F.lit(4)),
+    """Character-4-gram Jaccard near-dup pairs with rare-gram blocking.
+
+    Candidate generation: each document nominates its ``NGRAM_BLOCK_B``
+    globally rarest grams (by corpus document frequency, (df, gram)
+    tie-break for determinism); two documents become a candidate pair
+    iff they share a nominated gram — an equi-join on the gram, exactly
+    the MinHash band-bucket shape. Near-dups share most of their grams,
+    so they collide on rare grams with high probability; the pair space
+    is sum-of-bucket-sizes squared over RARE grams (df is small by
+    construction), not O(n^2 / |blocks|) over a constant block domain.
+    Verification is exact set arithmetic (array_intersect, evaluated
+    once per candidate) keeping same-``lang`` pairs with Jaccard >= 0.35.
+
+    At 100 TB: the df aggregation and the per-doc top-B are linear
+    scans + one gram-keyed shuffle; production would additionally cap
+    nominated grams at a df ceiling to bound hot buckets (df <= ~1000),
+    which only drops candidates a cheaper blocking (MinHash) recovers.
+    """
+    from pyspark.sql import Window
+
+    g = _gram_sets(spark, sf_dir)
+    dg = g.select("doc_id", F.explode("g").alias("gram"))
+    df_t = dg.groupBy("gram").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("gram").asc())
+    block = (
+        dg.join(df_t, "gram")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= NGRAM_BLOCK_B)
+        .select("gram", "doc_id")
+    )
+    cand = (
+        block.alias("x")
+        .join(block.alias("y"), "gram")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ga = g.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang"),
+        F.col("g").alias("g_a"),
+    )
+    gb = g.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("g").alias("g_b"),
+    )
+    scored = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .where(F.col("lang") == F.col("lang_b"))
+        .select(
+            "lang", "doc_a", "doc_b",
+            F.size(F.array_intersect("g_a", "g_b")).alias("n_inter"),
+            F.size("g_a").alias("sa"), F.size("g_b").alias("sb"),
         )
     )
-    g = docs.select("doc_id", "lang", grams.alias("g")).where(F.col("doc_id") % 5 == 0)
-    a = g.select(F.col("lang"), F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
-    b = g.select(F.col("lang"), F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
-    pairs = (
-        a.join(b, "lang")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("n_inter", F.size(F.array_intersect("g_a", "g_b")))
-        .withColumn("n_union", F.size("g_a") + F.size("g_b") - F.col("n_inter"))
-        .withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union").cast("double"))
-        .where(F.col("jaccard") >= 0.35)
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa") + F.col("sb") - F.col("n_inter")
+    ).cast("double")
+    return scored.select("lang", "doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= 0.35
     )
-    return pairs.select("lang", "doc_a", "doc_b", "jaccard")
 
 
 def ngram_jaccard_oracle() -> str:
-    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-    grams = (
-        f"list_distinct(list_transform(generate_series(1, greatest(length({norm}) - 3, 0)),"
-        f" i -> substring({norm}, i, 4)))"
-    )
     return f"""
-    WITH g AS (
-      SELECT doc_id, lang, {grams} AS g FROM documents WHERE doc_id % 5 = 0
+    WITH n AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+      FROM documents
     ),
-    pairs AS (
-      SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+    g AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(nm) - 3, 0)),
+               i -> substring(nm, i, 4))) AS g
+      FROM n
+    ),
+    dg AS (SELECT doc_id, unnest(g) AS gram FROM g),
+    dft AS (SELECT gram, count(*) AS df FROM dg GROUP BY gram),
+    block AS (
+      SELECT gram, doc_id FROM (
+        SELECT dg.gram, dg.doc_id,
+               row_number() OVER (PARTITION BY dg.doc_id
+                                  ORDER BY df ASC, dg.gram ASC) AS rk
+        FROM dg JOIN dft USING (gram)
+      ) t WHERE rk <= {NGRAM_BLOCK_B}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM block x JOIN block y
+        ON x.gram = y.gram AND x.doc_id < y.doc_id
+    ),
+    scored AS (
+      SELECT a.lang, doc_a, doc_b,
              len(list_intersect(a.g, b.g)) AS n_inter,
-             len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS n_union
-      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             len(a.g) AS sa, len(b.g) AS sb
+      FROM cand
+      JOIN g a ON a.doc_id = doc_a
+      JOIN g b ON b.doc_id = doc_b
+      WHERE a.lang = b.lang
     )
     SELECT lang, doc_a, doc_b,
-           CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
-    FROM pairs
-    WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.35
+           CAST(n_inter AS DOUBLE) / CAST(sa + sb - n_inter AS DOUBLE) AS jaccard
+    FROM scored
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa + sb - n_inter AS DOUBLE) >= 0.35
     """
 
 

@@ -251,28 +251,93 @@ def ivf_topk_oracle() -> str:
 NEARDUP_TAU = 0.30  # calibrated: 99th pct of same-label cosine is ~0.295
 
 
+NEARDUP_BANDS = 4  # OR-amplification: candidate iff ANY band matches
+NEARDUP_BAND_BITS = 2  # AND-amplification within a band
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine >= τ, blocked by label
-    (same-label pairs only — the cheap blocking key; the LSH-bucketed
-    variant replaces the label with a random-hyperplane signature)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", "label", _dvec("embedding").alias("v"))
-    a = v.select(F.col("label"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = v.select(F.col("label"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    return (
-        a.join(b, "label")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("label", "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
-        .where(F.col("cos_sim") >= NEARDUP_TAU)
+    """Embedding near-duplicate pairs: cosine >= τ over candidates
+    blocked on (label, LSH band, band signature) — the MinHash
+    band-bucket shape applied to signed-random-projection bits.
+
+    The label alone is a constant-domain block (O(n²/|labels|) pairs —
+    a scale-killer). Instead the hyperplane signature is split into
+    ``NEARDUP_BANDS`` bands of ``NEARDUP_BAND_BITS`` bits; two vectors
+    become a candidate iff some band's bit pattern matches exactly —
+    an equi-join on (label, band, band_sig), never an all-pairs block.
+    AND-within-band / OR-across-bands gives the classic S-curve: at
+    per-bit agreement p = 1 - θ/π, candidate probability is
+    1-(1-p^BB)^NB (≈0.82 for τ=0.30 pairs here, falling geometrically
+    for dissimilar ones; production near-dup at τ≈0.9 discriminates
+    far more sharply with wider bands). Verification is exact cosine
+    on candidates only; recall is part of the operator contract and
+    the oracle mirrors the same bands bit-for-bit."""
+    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    corpus = emb.select("vec_id", "label", _dvec("embedding").alias("v"))
+    planes = (
+        emb.where(F.col("vec_id") < NEARDUP_BANDS * NEARDUP_BAND_BITS)
+        .select(F.col("vec_id").cast("int").alias("pid"), _dvec("embedding").alias("pv"))
     )
+    dotted = corpus.crossJoin(F.broadcast(planes)).select(
+        "vec_id", "pid",
+        F.when(_dot(F.col("v"), F.col("pv")) >= 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
+    )
+    bsig = dotted.groupBy(
+        "vec_id", F.floor(F.col("pid") / NEARDUP_BAND_BITS).cast("int").alias("band")
+    ).agg(
+        F.sum(
+            F.col("bit")
+            * F.pow(F.lit(2.0), F.col("pid") % NEARDUP_BAND_BITS).cast("bigint")
+        ).alias("band_sig")
+    )
+    feat = corpus.join(bsig, "vec_id")
+    a = feat.select(
+        "label", "band", "band_sig",
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+    )
+    b = feat.select(
+        "label", "band", "band_sig",
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+    )
+    cand = (
+        a.join(b, ["label", "band", "band_sig"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("label", "vec_a", "vec_b", "va", "vb")
+        .dropDuplicates(["label", "vec_a", "vec_b"])
+    )
+    return cand.select(
+        "label", "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+    ).where(F.col("cos_sim") >= NEARDUP_TAU)
 
 
 def embedding_neardup_oracle() -> str:
     cos = sql_cosine("a.embedding", "b.embedding")
+    dot_vp = sql_dot("c.embedding", "p.embedding")
+    nbits = NEARDUP_BANDS * NEARDUP_BAND_BITS
     return f"""
-    SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+    WITH planes AS (SELECT vec_id AS pid, embedding FROM embeddings WHERE vec_id < {nbits}),
+    bits AS (
+      SELECT c.vec_id, p.pid,
+             CASE WHEN {dot_vp} >= 0 THEN 1 ELSE 0 END AS bit
+      FROM embeddings c CROSS JOIN planes p
+    ),
+    bsig AS (
+      SELECT vec_id, CAST(floor(pid / {NEARDUP_BAND_BITS}) AS INTEGER) AS band,
+             CAST(sum(bit * CAST(pow(2.0, pid % {NEARDUP_BAND_BITS}) AS BIGINT)) AS BIGINT) AS band_sig
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.label, sa.vec_id AS vec_a, sb.vec_id AS vec_b
+      FROM bsig sa
+      JOIN bsig sb ON sa.band = sb.band AND sa.band_sig = sb.band_sig
+                   AND sa.vec_id < sb.vec_id
+      JOIN embeddings a ON a.vec_id = sa.vec_id
+      JOIN embeddings b ON b.vec_id = sb.vec_id AND a.label = b.label
+    )
+    SELECT cand.label, vec_a, vec_b, {cos} AS cos_sim
+    FROM cand
+    JOIN embeddings a ON a.vec_id = vec_a
+    JOIN embeddings b ON b.vec_id = vec_b
     WHERE {cos} >= {NEARDUP_TAU}
     """
 
@@ -344,14 +409,11 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_BITS = 8
 
 
-def lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signed-random-projection LSH near-dup: bucket every vector by the
-    sign pattern of its dot products with LSH_BITS hyperplanes
-    (deterministic: the lowest-vec_id vectors), then compare only
-    same-bucket pairs with exact cosine. At 100 TB the bucket id is the
-    partition key, so candidate generation is an equi-join on a 2^8
-    domain instead of an n² cross product; recall is tunable via bits
-    and multi-probe."""
+def _lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket) — signed-random-projection signature: the sign
+    pattern of each vector's dot products with ``LSH_BITS`` hyperplanes
+    (deterministic: the lowest-vec_id vectors), packed into an integer
+    bucket id. One broadcast join + one vec_id-keyed aggregation."""
     emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
     corpus = emb.select("vec_id", _dvec("embedding").alias("v"))
     planes = (
@@ -359,12 +421,24 @@ def lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").cast("int").alias("pid"), _dvec("embedding").alias("pv"))
     )
     dotted = corpus.crossJoin(F.broadcast(planes)).select(
-        "vec_id", "v", "pid",
+        "vec_id", "pid",
         F.when(_dot(F.col("v"), F.col("pv")) >= 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
     )
-    sig = dotted.groupBy("vec_id").agg(
+    return dotted.groupBy("vec_id").agg(
         F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("pid")).cast("bigint")).alias("bucket")
     )
+
+
+def lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH near-dup: bucket every vector by its
+    hyperplane signature (``_lsh_signatures``), then compare only
+    same-bucket pairs with exact cosine. At 100 TB the bucket id is the
+    partition key, so candidate generation is an equi-join on a 2^8
+    domain instead of an n² cross product; recall is tunable via bits
+    and multi-probe."""
+    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    corpus = emb.select("vec_id", _dvec("embedding").alias("v"))
+    sig = _lsh_signatures(spark, sf_dir)
     bucketed = corpus.join(sig, "vec_id")
     a = bucketed.select(F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = bucketed.select(F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
