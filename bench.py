@@ -126,6 +126,7 @@ def main() -> None:
     timed("audio_segments", lambda: Q.REGISTRY["ext_multimodal_audio_segments"].fn(spark, SF_DIR).count())
 
     total = round(sum(timings.values()), 3)
+    _report_vs_history(total, timings)
     print(
         json.dumps(
             {
@@ -137,6 +138,36 @@ def main() -> None:
             }
         )
     )
+
+
+def _report_vs_history(total: float, timings: dict) -> None:
+    """Per-query delta vs the last BENCH_HISTORY.md record, to stderr
+    (stdout is reserved for the single driver-contract JSON line)."""
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.md")
+    last = None
+    try:
+        with open(hist_path) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    last = json.loads(line)
+    except OSError:
+        pass
+    if not last:
+        return
+    prev = last.get("queries", {})
+    print(
+        f"--- vs BENCH_HISTORY round {last.get('round')}: "
+        f"total {last.get('value')}s -> {total}s ---",
+        file=sys.stderr,
+    )
+    for name, sec in timings.items():
+        if name in prev and prev[name] > 0:
+            ratio = sec / prev[name]
+            flag = "  <-- regression" if ratio > 1.3 else ("  <-- win" if ratio < 0.7 else "")
+            print(f"{name:>20}: {prev[name]:7.3f}s -> {sec:7.3f}s ({ratio:4.2f}x){flag}", file=sys.stderr)
+        else:
+            print(f"{name:>20}: (new) {sec:7.3f}s", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,83 @@
+"""Hadoop FileSystem wrapper for driver-side path operations.
+
+Every path manipulation in the engine (sink swaps, metadata files,
+index probes, compaction) goes through this class instead of
+driver-local ``os``/``shutil``/``glob`` — those silently no-op or fail
+on non-local schemes (s3a://, hdfs://, abfs://), which is exactly
+where a 100 TB table lives. The JVM-side FileSystem resolves the
+scheme from the path, so the same code runs on any Spark-supported
+filesystem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+class Fs:
+    def __init__(self, spark: SparkSession, path: str):
+        self._spark = spark
+        self._jvm = spark._jvm
+        self._p = self._jvm.org.apache.hadoop.fs.Path(path)
+        self._conf = spark._jsc.hadoopConfiguration()
+        self.fs = self._p.getFileSystem(self._conf)
+
+    def path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def glob(self, pattern: str) -> list[str]:
+        statuses = self.fs.globStatus(self.path(pattern))
+        if statuses is None:
+            return []
+        return sorted(str(s.getPath()) for s in statuses)
+
+    def glob_stats(self, pattern: str) -> list[tuple[str, int, int]]:
+        """(path, length, modification_time_ms) per match, path-sorted."""
+        statuses = self.fs.globStatus(self.path(pattern))
+        if statuses is None:
+            return []
+        return sorted(
+            (str(s.getPath()), s.getLen(), s.getModificationTime())
+            for s in statuses
+        )
+
+    def delete(self, p: str, recursive: bool = False) -> None:
+        self.fs.delete(self.path(p), recursive)
+
+    def mkdirs(self, p: str) -> None:
+        self.fs.mkdirs(self.path(p))
+
+    def rename(self, src: str, dst: str) -> None:
+        self.fs.rename(self.path(src), self.path(dst))
+
+    def exists(self, p: str) -> bool:
+        return self.fs.exists(self.path(p))
+
+    def is_dir(self, p: str) -> bool:
+        jp = self.path(p)
+        return self.fs.exists(jp) and self.fs.getFileStatus(jp).isDirectory()
+
+    def copy(self, src: str, dst: str) -> None:
+        """Recursive copy (file or directory), same or cross filesystem."""
+        src_p, dst_p = self.path(src), self.path(dst)
+        src_fs = src_p.getFileSystem(self._conf)
+        dst_fs = dst_p.getFileSystem(self._conf)
+        self._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            src_fs, src_p, dst_fs, dst_p, False, True, self._conf
+        )
+
+    def write_text(self, p: str, text: str) -> None:
+        out = self.fs.create(self.path(p), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, p: str) -> str:
+        stm = self.fs.open(self.path(p))
+        try:
+            return str(
+                self._jvm.org.apache.commons.io.IOUtils.toString(stm, "UTF-8")
+            )
+        finally:
+            stm.close()

@@ -176,9 +176,12 @@ def zvalue16(x: Column | str, y: Column | str) -> Column:
     sorted by zvalue gives parquet row groups that are tight in BOTH
     dimensions, so 2-D range predicates prune row groups the way the
     reference's 1-D key-sorted buckets prune on the row key. Pure
-    integer arithmetic — codegen'd, no UDF, identical in DuckDB."""
-    xc = (F.col(x) if isinstance(x, str) else x).cast("bigint") % (1 << ZBITS)
-    yc = (F.col(y) if isinstance(y, str) else y).cast("bigint") % (1 << ZBITS)
+    integer arithmetic — codegen'd, no UDF, identical in DuckDB.
+
+    Negative inputs are folded with pmod (not %, which keeps the sign
+    in both Spark and DuckDB and would interleave garbage bits)."""
+    xc = F.pmod((F.col(x) if isinstance(x, str) else x).cast("bigint"), F.lit(1 << ZBITS))
+    yc = F.pmod((F.col(y) if isinstance(y, str) else y).cast("bigint"), F.lit(1 << ZBITS))
     z = F.lit(0).cast("bigint")
     for i in range(ZBITS):
         z = z + F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
@@ -187,8 +190,10 @@ def zvalue16(x: Column | str, y: Column | str) -> Column:
 
 
 def sql_zvalue16(x: str, y: str, dialect: str) -> str:
-    xs = f"(CAST({x} AS BIGINT) % {1 << ZBITS})"
-    ys = f"(CAST({y} AS BIGINT) % {1 << ZBITS})"
+    m = 1 << ZBITS
+    # ((v % m) + m) % m = pmod in both dialects (% preserves sign in each)
+    xs = f"(((CAST({x} AS BIGINT) % {m}) + {m}) % {m})"
+    ys = f"(((CAST({y} AS BIGINT) % {m}) + {m}) % {m})"
     terms = []
     for i in range(ZBITS):
         terms.append(f"((({xs} >> {i}) & 1) << {2 * i})")

@@ -188,33 +188,59 @@ def minhash_band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # several queries (pairs, clusters, curation); a LAZY persist lets the
 # first job materialize it in-passing (an eager localCheckpoint costs a
 # separate serialize pass ~4x the compute) and later references hit the
-# in-memory columnar cache
+# in-memory columnar cache.
+#
+# Keyed on the session's applicationId (stable, never reused across
+# sessions — id(spark) can be, after GC) + sf_dir; one entry per key,
+# evicted/unpersisted via clear_dedup_caches() or on key turnover.
 _FEATS_CACHE: dict = {}
+_PAIRS_CACHE: dict = {}
+
+
+def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    return (spark.sparkContext.applicationId, sf_dir)
+
+
+def clear_dedup_caches() -> None:
+    """Unpersist and drop every cached dedup frame (safe to call with
+    the owning sessions already stopped)."""
+    for cache in (_FEATS_CACHE, _PAIRS_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        cache.clear()
+
+
+def _cached(cache: dict, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    key = _cache_key(spark, sf_dir)
+    df = cache.get(key)
+    if df is None:
+        # new session or new sf_dir: drop frames from dead sessions so
+        # persisted blocks don't accumulate unboundedly
+        for stale in [k for k in cache if k[0] != key[0]]:
+            try:
+                cache.pop(stale).unpersist()
+            except Exception:
+                pass
+        df = build(spark, sf_dir).persist()
+        cache[key] = df
+    return df
 
 
 def _cached_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    df = _FEATS_CACHE.get(key)
-    if df is None:
-        df = minhash_features(spark, sf_dir).persist()
-        _FEATS_CACHE[key] = df
-    return df
+    return _cached(_FEATS_CACHE, spark, sf_dir, minhash_features)
 
 
 # the verified pairs frame is even smaller than the features (a few
 # hundred rows at bench scale) and consumed by three queries (pairs,
 # clusters, curation) — lazy-persist it like the features so the band
 # join + Jaccard verification runs once per (session, sf)
-_PAIRS_CACHE: dict = {}
 
 
 def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    df = _PAIRS_CACHE.get(key)
-    if df is None:
-        df = _minhash_dedup_pairs_uncached(spark, sf_dir).persist()
-        _PAIRS_CACHE[key] = df
-    return df
+    return _cached(_PAIRS_CACHE, spark, sf_dir, _minhash_dedup_pairs_uncached)
 
 
 def _minhash_dedup_pairs_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:

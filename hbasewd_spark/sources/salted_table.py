@@ -30,6 +30,7 @@ from typing import Any, Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from hbasewd_spark.fsutil import Fs
 from hbasewd_spark.plans.distributor import KeyDistributor, distributor_from_meta
 from hbasewd_spark.plans.intervals import range_predicate
 
@@ -110,8 +111,9 @@ class SaltedTable:
             "data_schema": data_schema_json,
             **distributor.to_meta(),
         }
-        with open(os.path.join(path, META_FILE), "w") as f:
-            json.dump(meta, f)
+        Fs(df.sparkSession, path).write_text(
+            path.rstrip("/") + "/" + META_FILE, json.dumps(meta)
+        )
         return cls(df.sparkSession, path, distributor, key_col, fmt, data_schema_json)
 
     # -------------------------------------------------------------- read
@@ -119,8 +121,9 @@ class SaltedTable:
     def load(cls, spark: SparkSession, path: str) -> "SaltedTable":
         """Open a salted table, rehydrating its distributor from the
         persisted metadata (O11 without reflection)."""
-        with open(os.path.join(path, META_FILE)) as f:
-            meta = json.load(f)
+        meta = json.loads(
+            Fs(spark, path).read_text(path.rstrip("/") + "/" + META_FILE)
+        )
         return cls(
             spark,
             path,
@@ -164,6 +167,7 @@ class SaltedTable:
         # concrete file paths; the key index may miss newly-appended keys
         self._zone_maps = None
         self._key_index = None
+        self._index_fresh_memo = None
 
     def scan(
         self,
@@ -228,7 +232,7 @@ class SaltedTable:
         Spark's file listing never mixes it into table scans. At 100 TB
         the index is ~0.1% of table bytes; rebuild cost is one
         column-pruned scan + one range exchange of the slim pairs."""
-        idx_path = os.path.join(self.path, self.KEY_INDEX_DIR)
+        idx_path = self.path.rstrip("/") + "/" + self.KEY_INDEX_DIR
         (
             self.df()
             .select(self.key_col, SALT_COL)
@@ -237,12 +241,48 @@ class SaltedTable:
             .write.mode("overwrite")
             .parquet(idx_path)
         )
+        # watermark: the data-file listing signature at build time.
+        # point_get_indexed compares it so an index that predates an
+        # append/compaction is detected and bypassed — a stale probe
+        # would silently DROP rows a key gained in another salt since
+        # the build (round-robin re-appends don't reuse the old salt).
+        fs = Fs(self.spark, self.path)
+        fs.write_text(
+            idx_path + "/" + self.INDEX_META_FILE,
+            json.dumps({"data_sig": self._data_signature(fs)}),
+        )
         self._key_index = None
+
+    INDEX_META_FILE = "_index_meta.json"
+
+    def _data_signature(self, fs: Fs) -> list:
+        """Listing signature of the table's data files: (path, bytes,
+        mtime) triples — cheap (one LIST per salt glob) and changes on
+        any append, overwrite, or compaction."""
+        return [
+            list(t)
+            for t in fs.glob_stats(f"{self.path.rstrip('/')}/{SALT_COL}=*/*")
+            if not t[0].rsplit("/", 1)[1].startswith((".", "_"))
+        ]
+
+    def _index_fresh(self, fs: Fs, idx_dir: str) -> bool:
+        # freshness is memoized per table handle (one LIST + one meta
+        # read, not one per get); refresh() clears the memo after writes
+        cached = getattr(self, "_index_fresh_memo", None)
+        if cached is not None:
+            return cached
+        try:
+            meta = json.loads(fs.read_text(idx_dir + "/" + self.INDEX_META_FILE))
+            fresh = meta.get("data_sig") == self._data_signature(fs)
+        except Exception:
+            fresh = False  # pre-watermark index: treat as stale
+        self._index_fresh_memo = fresh
+        return fresh
 
     def _index_df(self) -> DataFrame:
         if getattr(self, "_key_index", None) is None:
             self._key_index = self.spark.read.parquet(
-                os.path.join(self.path, self.KEY_INDEX_DIR)
+                self.path.rstrip("/") + "/" + self.KEY_INDEX_DIR
             )
         return self._key_index
 
@@ -252,13 +292,15 @@ class SaltedTable:
         statically partition-pruned data read — two small jobs instead
         of an all-bucket scan. Falls back to :meth:`point_get` when the
         distributor is deterministic (no index needed), no index was
-        built, or the key misses the index — an index built before an
-        append doesn't know about newer keys, so an empty probe means
+        built, the index predates the current data files (watermark
+        mismatch — newer appends may have landed the key in other
+        salts), or the key misses the index — an empty probe means
         "not indexed", never "not present"."""
         if self.distributor.deterministic:
             return self.point_get(key_value)
-        idx_dir = os.path.join(self.path, self.KEY_INDEX_DIR)
-        if not os.path.isdir(idx_dir):
+        fs = Fs(self.spark, self.path)
+        idx_dir = self.path.rstrip("/") + "/" + self.KEY_INDEX_DIR
+        if not fs.is_dir(idx_dir) or not self._index_fresh(fs, idx_dir):
             return self.point_get(key_value)
         salts = [
             r[SALT_COL]
@@ -414,27 +456,37 @@ def compact(table: SaltedTable, target_files_per_salt: int = 1) -> SaltedTable:
     partition value is a local-ish exchange), preserves the layout
     invariant (key-sorted files => tight row-group stats), and is safe
     to run per-partition-subset. Write-to-temp-then-swap keeps readers
-    consistent on filesystems without atomic rename semantics."""
-    import shutil
-
+    consistent on filesystems without atomic rename semantics. Every
+    path op goes through Hadoop's FileSystem so the same code compacts
+    an s3a:// or hdfs:// table, not just local disk."""
     from pyspark.sql import functions as F
 
-    tmp = table.path.rstrip("/") + ".compact_tmp"
+    fs = Fs(table.spark, table.path)
+    base = table.path.rstrip("/")
+    tmp = base + ".compact_tmp"
+    fs.delete(tmp, recursive=True)
     n = table.distributor.buckets * target_files_per_salt
     table._writer(
         table.df()
         .repartition(n, F.col(SALT_COL))
         .sortWithinPartitions(SALT_COL, table.key_col)
     ).mode("overwrite").save(tmp)
-    meta_src = os.path.join(table.path, META_FILE)
-    meta_dst = os.path.join(tmp, META_FILE)
-    shutil.copyfile(meta_src, meta_dst)
+    fs.copy(base + "/" + META_FILE, tmp + "/" + META_FILE)
     # the key->salt index survives compaction unchanged (compaction
     # never moves a row across salt partitions), so carry it over
-    idx_src = os.path.join(table.path, SaltedTable.KEY_INDEX_DIR)
-    if os.path.isdir(idx_src):
-        shutil.copytree(idx_src, os.path.join(tmp, SaltedTable.KEY_INDEX_DIR))
-    shutil.rmtree(table.path)
-    os.rename(tmp, table.path)
+    idx_src = base + "/" + SaltedTable.KEY_INDEX_DIR
+    if fs.is_dir(idx_src):
+        fs.copy(idx_src, tmp + "/" + SaltedTable.KEY_INDEX_DIR)
+    fs.delete(base, recursive=True)
+    fs.rename(tmp, base)
     table.refresh()
+    # compaction rewrote the data files: restamp the index watermark
+    # (the mapping itself is unchanged) so indexed gets stay on the
+    # fast path
+    idx_dir = base + "/" + SaltedTable.KEY_INDEX_DIR
+    if fs.is_dir(idx_dir):
+        fs.write_text(
+            idx_dir + "/" + SaltedTable.INDEX_META_FILE,
+            json.dumps({"data_sig": table._data_signature(fs)}),
+        )
     return table

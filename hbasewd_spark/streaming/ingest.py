@@ -23,6 +23,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from hbasewd_spark.fsutil import Fs as _Fs
 from hbasewd_spark.plans.distributor import KeyDistributor
 from hbasewd_spark.sources.salted_table import SALT_COL, salted
 
@@ -45,39 +46,6 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
-
-
-class _Fs:
-    """Thin wrapper over Hadoop's FileSystem API so every path
-    operation works on ANY Spark-supported scheme (file://, hdfs://,
-    s3a://, …) — driver-local ``os``/``glob`` calls would silently
-    no-op against object stores."""
-
-    def __init__(self, spark: SparkSession, path: str):
-        self._jvm = spark._jvm
-        self._p = self._jvm.org.apache.hadoop.fs.Path(path)
-        self.fs = self._p.getFileSystem(spark._jsc.hadoopConfiguration())
-
-    def path(self, p: str):
-        return self._jvm.org.apache.hadoop.fs.Path(p)
-
-    def glob(self, pattern: str) -> list[str]:
-        statuses = self.fs.globStatus(self.path(pattern))
-        if statuses is None:
-            return []
-        return sorted(str(s.getPath()) for s in statuses)
-
-    def delete(self, p: str, recursive: bool = False) -> None:
-        self.fs.delete(self.path(p), recursive)
-
-    def mkdirs(self, p: str) -> None:
-        self.fs.mkdirs(self.path(p))
-
-    def rename(self, src: str, dst: str) -> None:
-        self.fs.rename(self.path(src), self.path(dst))
-
-    def exists(self, p: str) -> bool:
-        return self.fs.exists(self.path(p))
 
 
 def idempotent_salted_batch_write(
@@ -306,7 +274,34 @@ def incremental_rollup(
     day the per-batch agg output is ~minutes x event_types rows, so the
     merge rewrites a tiny table while the raw stream is never re-read;
     a production sink would MERGE INTO (Delta/Iceberg) instead of the
-    read-modify-overwrite used here over plain parquet."""
+    snapshot chain used here over plain parquet.
+
+    Replay safety under foreachBatch's at-least-once epoch contract:
+    the state is a chain of epoch-stamped COMPLETE snapshots
+    (``state_path/epoch=<id>``). A merge for epoch e reads the newest
+    snapshot with id < e — so a crash-replayed epoch re-reads the same
+    pre-state and rewrites the same snapshot (idempotent), never
+    double-merging its partials; a snapshot half-written before a
+    crash is invisible to the re-run (id >= e is excluded) and is
+    overwritten via stage + atomic rename. Only the snapshot being
+    replaced and its predecessor are retained (epochs commit in
+    order, so only the newest epoch can ever be replayed). All path
+    ops go through the Hadoop FileSystem wrapper, never driver-local
+    ``os`` — the state may live on s3a://, hdfs://, etc.
+
+    Read the current state with :func:`read_rollup_state`."""
+    merge_batch = _rollup_merge_fn(state_path)
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _rollup_merge_fn(state_path: str):
+    """The foreachBatch merge for :func:`incremental_rollup`, exposed
+    so tests can drive epoch replay directly."""
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         part = batch_df.groupBy(
@@ -318,34 +313,65 @@ def incremental_rollup(
             F.max("value").alias("max_value"),
         )
         s = batch_df.sparkSession
-        try:
-            old = s.read.parquet(state_path)
-        except Exception:
-            old = None
-        merged = part if old is None else (
-            old.unionByName(part)
-            .groupBy("bucket_ts", "event_type")
-            .agg(
-                F.sum("n").alias("n"),
-                F.sum("sv").alias("sv"),
-                F.min("min_value").alias("min_value"),
-                F.max("max_value").alias("max_value"),
+        fs = _Fs(s, state_path)
+        base = state_path.rstrip("/")
+        prior = [
+            (eid, p)
+            for eid, p in _rollup_snapshots(fs, base)
+            if eid < epoch_id
+        ]
+        merged = part
+        if prior:
+            old = s.read.parquet(prior[-1][1])
+            merged = (
+                old.unionByName(part)
+                .groupBy("bucket_ts", "event_type")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("sv").alias("sv"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                )
             )
-        )
         # plain-parquet stand-in for MERGE INTO: collect the (tiny)
-        # rollup to the driver, then rewrite — the raw stream data is
-        # never re-read and never re-shuffled
+        # rollup to the driver, then write a fresh snapshot — the raw
+        # stream data is never re-read and never re-shuffled
         rows = merged.collect()
+        stage = f"{base}/.staging-epoch-{epoch_id}"
+        fs.delete(stage, recursive=True)
         s.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(state_path)
+        ).parquet(stage)
+        final = f"{base}/epoch={epoch_id}"
+        fs.delete(final, recursive=True)
+        fs.rename(stage, final)
+        # GC: keep this snapshot + its predecessor (the only one a
+        # replay of a NEWER epoch could still need)
+        for eid, p in prior[:-1]:
+            fs.delete(p, recursive=True)
 
-    return (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return merge_batch
+
+
+def _rollup_snapshots(fs: _Fs, base: str) -> list[tuple[int, str]]:
+    """(epoch_id, path) for every state snapshot, ascending by epoch."""
+    out = []
+    for p in fs.glob(f"{base}/epoch=*"):
+        try:
+            out.append((int(p.rsplit("epoch=", 1)[1]), p))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def read_rollup_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The current continuous-aggregate state: the newest complete
+    epoch snapshot written by :func:`incremental_rollup`."""
+    fs = _Fs(spark, state_path)
+    snaps = _rollup_snapshots(fs, state_path.rstrip("/"))
+    if not snaps:
+        raise FileNotFoundError(f"no rollup state under {state_path}")
+    return spark.read.parquet(snaps[-1][1])
 
 
 def dedup_corpus_ingest(

@@ -197,6 +197,11 @@ def test_zvalue16_interleave_matches_reference(spark):
     got = df.select("x", "y", zvalue16("x", "y").alias("zv")).collect()
     for r in got:
         assert r.zv == z(r.x, r.y), (r.x, r.y)
+    # negative inputs fold with pmod (sign-preserving % would
+    # interleave garbage): -1 ≡ 0xFFFF, -65536 ≡ 0
+    neg = spark.createDataFrame([Row(x=-1, y=-65536)])
+    r = neg.select(zvalue16("x", "y").alias("zv")).collect()[0]
+    assert r.zv == z(0xFFFF, 0)
 
 
 def test_zvalue16_preserves_quadrant_locality(spark):
@@ -368,7 +373,7 @@ def test_incremental_rollup_equals_batch_rollup(spark, sf_dir, tmp_path):
     """Stream events in 4 micro-batches through the continuous
     aggregate; the merged state must equal the batch minute rollup
     bit-for-bit (composable-measure exactness)."""
-    from hbasewd_spark.streaming.ingest import incremental_rollup
+    from hbasewd_spark.streaming.ingest import incremental_rollup, read_rollup_state
 
     ev = load_table(spark, sf_dir, "events")
     src = str(tmp_path / "src")
@@ -384,7 +389,7 @@ def test_incremental_rollup_equals_batch_rollup(spark, sf_dir, tmp_path):
 
     got = {
         (r.bucket_ts, r.event_type): (r.n, r.sv, r.min_value, r.max_value)
-        for r in spark.read.parquet(state).collect()
+        for r in read_rollup_state(spark, state).collect()
     }
     want = {
         (r.bucket_ts, r.event_type): (r.n, r.sv, r.min_value, r.max_value)
@@ -399,6 +404,28 @@ def test_incremental_rollup_equals_batch_rollup(spark, sf_dir, tmp_path):
         )
         .collect()
     }
+    assert got == want
+
+
+def test_incremental_rollup_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: re-running an epoch's merge must
+    not double-count. The epoch-snapshot chain makes a replay re-read
+    the same pre-state and rewrite the same snapshot."""
+    from hbasewd_spark.streaming.ingest import _rollup_merge_fn, read_rollup_state
+
+    ev = load_table(spark, sf_dir, "events")
+    batches = ev.randomSplit([1.0, 1.0, 1.0], seed=7)
+    state = str(tmp_path / "state")
+    merge = _rollup_merge_fn(state)
+    for i, b in enumerate(batches):
+        merge(b, i)
+    want = sorted(
+        map(tuple, read_rollup_state(spark, state).collect())
+    )
+    # crash-replay of the newest epoch, twice
+    merge(batches[-1], len(batches) - 1)
+    merge(batches[-1], len(batches) - 1)
+    got = sorted(map(tuple, read_rollup_state(spark, state).collect()))
     assert got == want
 
 
@@ -502,6 +529,35 @@ def test_key_index_restores_pruned_point_get_under_roundrobin(spark, tmp_path):
     # (an index probe can't distinguish "absent" from "appended after
     # the index was built") — a truly absent key still returns empty
     assert t.point_get_indexed(KEY_PREFIX - 10**9).count() == 0
+
+
+def test_indexed_point_get_detects_stale_index(spark, tmp_path):
+    """An index built before an append must not silently drop the
+    newer rows of an already-indexed key: under round-robin the
+    re-append lands in an arbitrary salt the index doesn't know, so
+    the data-file watermark forces the fan-out fallback."""
+    from hbasewd_spark.plans.distributor import RoundRobinDistributor
+    from hbasewd_spark.sources.kv_fixture import KEY_PREFIX, kv_df
+    from hbasewd_spark.sources.salted_table import SaltedTable
+    from hbasewd_spark.streaming.ingest import idempotent_salted_batch_write
+
+    dist = RoundRobinDistributor(6, order_col="write_seq")
+    path = str(tmp_path / "stale")
+    t = SaltedTable.write(kv_df(spark), path, dist, "key_long")
+    t.build_key_index(index_buckets=4)
+    k = KEY_PREFIX + 111
+    assert t.point_get_indexed(k).count() == 1
+    # re-append the same key (a later batch of the same stream)
+    extra = kv_df(spark).where(F.col("key_long") == k)
+    idempotent_salted_batch_write(extra, 99, path, dist, "key_long")
+    t.refresh()
+    # fan-out point_get sees both rows; the indexed path must too
+    assert t.point_get(k).count() == 2
+    assert t.point_get_indexed(k).count() == 2
+    # rebuilding the index restores the pruned fast path
+    t.build_key_index(index_buckets=4)
+    t.refresh()
+    assert t.point_get_indexed(k).count() == 2
 
 
 def test_asof_join_randomized_differential(spark):
