@@ -832,11 +832,12 @@ def _curation_oracle() -> str:
 REGISTRY["ext_pipeline_corpus_curation"].oracle = _curation_oracle()
 
 REGISTRY["ext_kmeans_clusters"] = QuerySpec(
-    SIM.kmeans_clusters,
-    None,
-    "iterative Lloyd's k-means (3 rounds) over embeddings — rows-only "
-    "(iteration doesn't fit one SQL statement); inertia descent "
-    "asserted in tests",
+    SIM.kmeans_one_iter_summary,
+    SIM.kmeans_one_iter_oracle(),
+    "one closed-form Lloyd iteration (assign -> decimal-mean centroid "
+    "update -> reassign), hash-checked against DuckDB; the "
+    "multi-iteration descent (SIM.kmeans_clusters) stays under "
+    "property tests",
 )
 
 

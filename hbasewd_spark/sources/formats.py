@@ -50,18 +50,38 @@ class HBaseSink:
         from pyspark.sql import functions as F
 
         from hbasewd_spark.functions import codec
-        from hbasewd_spark.sources.salted_table import SALT_COL, salted
 
-        sdf = salted(df, distributor, key_col)
+        # The reference salts the PHYSICAL key bytes
+        # (hasher.getHashPrefix(originalKey),
+        # RowKeyDistributorByHashPrefix.java:113), so the salt must be
+        # computed on the same BE-encoded bytes that form the rowkey —
+        # salting the logical long instead would be engine-consistent
+        # but not byte-compatible with a Java reader of the same table.
         key_bin = (
             F.col(key_col)
             if dict(df.dtypes).get(key_col) == "binary"
             else codec.encode_long_be(F.col(key_col).cast("bigint"))
         )
-        rowkey = codec.concat_salted_key(distributor.prefix_expr(F.col(SALT_COL)), key_bin)
-        return sdf.withColumn("rowkey", rowkey).drop(SALT_COL)
+        out = df.withColumn("_rk_key_bin", key_bin)
+        salt = distributor.salt_expr(F.col("_rk_key_bin"))
+        rowkey = codec.concat_salted_key(
+            distributor.prefix_expr(salt), F.col("_rk_key_bin")
+        )
+        return out.withColumn("rowkey", rowkey).drop("_rk_key_bin")
 
-    def save(self, puts_df: DataFrame) -> None:
+    def save(self, puts_df: DataFrame, writer=None) -> None:
+        """Hand the puts relation to the connector.
+
+        ``writer`` is the connector adapter seam: any callable taking
+        the puts DataFrame (the real hbase-spark bulk put, an
+        HFile-bulk-load job, or a test double) — everything HBaseWD
+        owns (salting, rowkey bytes) already happened in
+        :meth:`to_puts`, so the adapter only moves bytes. With no
+        writer, the real connector is required on the classpath and
+        its absence fails loudly (never a silent no-op)."""
+        if writer is not None:
+            writer(puts_df)
+            return
         jvm_has_connector = False
         try:  # pragma: no cover - container has no connector jar
             spark = puts_df.sparkSession

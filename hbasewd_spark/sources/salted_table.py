@@ -433,11 +433,42 @@ class SaltedTable:
         return out.drop(SALT_COL)
 
     def scanner(self, start: Any = None, stop: Any = None) -> Iterator:
-        """ResultScanner-style incremental pull: ordered scan streamed
-        to the driver partition-at-a-time (the lazy per-bucket refill of
-        DistributedScanner.java:115-124 becomes Spark's incremental
-        partition fetch)."""
-        return self.scan(start, stop, ordered=True).toLocalIterator()
+        """ResultScanner-style incremental pull: a driver-side k-way
+        HEAP MERGE over per-salt sorted streams — the literal
+        DistributedScanner algorithm (DistributedScanner.java:106-139:
+        one scanner per bucket, next() pops the smallest head) with a
+        per-salt ``toLocalIterator`` as each bucket's scanner.
+
+        No cluster-side range-exchange sort happens: each per-salt
+        plan is a partition-pruned scan + local (within-partition)
+        sort of that bucket only — Exchange-free, plan-asserted in
+        tests — and the driver holds one fetched partition per bucket,
+        the reference's O(buckets) memory. Use :meth:`scan`
+        (``ordered=True``) when the consumer is a cluster job and a
+        distributed sort is the right tool; use ``scanner`` when the
+        consumer is the driver pulling incrementally."""
+        import heapq
+
+        first = self._bucket_scan_df(0, start, stop)
+        key_idx = first.columns.index(self.key_col)
+        its = [first.toLocalIterator()] + [
+            self._bucket_scan_df(s, start, stop).toLocalIterator()
+            for s in range(1, self.distributor.buckets)
+        ]
+        return heapq.merge(*its, key=lambda row: row[key_idx])
+
+    def _bucket_scan_df(self, salt: int, start: Any, stop: Any) -> DataFrame:
+        """One bucket's sorted stream for :meth:`scanner`: partition-
+        pruned scan + salt-local sort, no Exchange anywhere (the
+        coalesce merges the bucket's file splits shuffle-free)."""
+        base = self.df().where(range_predicate(self.key_col, start, stop))
+        cols = [c for c in base.columns if c != SALT_COL]
+        return (
+            base.where(F.col(SALT_COL) == salt)
+            .select(*cols)
+            .coalesce(1)
+            .sortWithinPartitions(self.key_col)
+        )
 
     def parallel_read(self, start: Any = None, stop: Any = None) -> DataFrame:
         """Unordered parallel batch read (§3.3, WdTableInputFormat

@@ -531,6 +531,32 @@ def test_key_index_restores_pruned_point_get_under_roundrobin(spark, tmp_path):
     assert t.point_get_indexed(KEY_PREFIX - 10**9).count() == 0
 
 
+def test_scanner_heap_merge_matches_ordered_scan(spark, tmp_path):
+    """scanner() must yield exactly the ordered-scan rows in key order
+    WITHOUT a cluster-side range sort: each bucket stream's plan is
+    Exchange-free (pruned scan + local sort), and the driver heap-merge
+    restores global order — DistributedScanner.java:106-139 semantics."""
+    from hbasewd_spark.plans.distributor import HashDistributor
+    from hbasewd_spark.sources.kv_fixture import KEY_PREFIX, kv_df
+    from hbasewd_spark.sources.salted_table import SaltedTable
+
+    t = SaltedTable.write(
+        kv_df(spark), str(tmp_path / "hm"), HashDistributor(8), "key_long"
+    )
+    lo, hi = KEY_PREFIX + 100, KEY_PREFIX + 900
+    want = [tuple(r) for r in t.scan(start=lo, stop=hi, ordered=True).collect()]
+    got = [tuple(r) for r in t.scanner(start=lo, stop=hi)]
+    assert got == want and len(got) == 400
+    plan = (
+        t._bucket_scan_df(3, lo, hi)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "PartitionFilters: [isnotnull(salt" in plan
+
+
 def test_indexed_point_get_detects_stale_index(spark, tmp_path):
     """An index built before an append must not silently drop the
     newer rows of an already-indexed key: under round-robin the
@@ -664,6 +690,37 @@ def test_ivf_index_prunes_partitions_and_matches_inmemory(spark, sf_dir, tmp_pat
     assert got == want and got
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
+
+
+def test_trained_ivf_index_recall_and_balance(spark, sf_dir, tmp_path):
+    """The production IVF path: k-means-trained centroids persisted
+    with the index (O11 metadata), probes run against the persisted
+    centroids, and recall@TOPK vs the exact brute-force baseline is
+    >= 0.9 at NPROBE=4 with cells balanced enough that no probe is a
+    table scan (max cell <= 3x the mean)."""
+    from hbasewd_spark.operators.similarity import (
+        TOPK,
+        build_ivf_index,
+        brute_topk,
+        ivf_probe_indexed,
+    )
+
+    path = str(tmp_path / "ivf_trained")
+    build_ivf_index(spark, sf_dir, path, train=True)
+    brute = {}
+    for r in brute_topk(spark, sf_dir).collect():
+        brute.setdefault(r.query_id, set()).add(r.vec_id)
+    ivf = {}
+    for r in ivf_probe_indexed(spark, sf_dir, path).collect():
+        ivf.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(ivf.get(q, set()) & s) / len(s) for q, s in brute.items()]
+    recall = sum(recalls) / len(recalls)
+    assert recall >= 0.9, recall
+    sizes = [
+        r["count"]
+        for r in spark.read.parquet(path).groupBy("cell").count().collect()
+    ]
+    assert max(sizes) <= 3 * (sum(sizes) / len(sizes)), sorted(sizes)
 
 
 def test_split_assign_column_matches_sql_and_partitions(spark, sf_dir):

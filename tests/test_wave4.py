@@ -76,6 +76,77 @@ def test_hbase_sink_seam(spark, sf_dir):
         sink.save(puts)
 
 
+def _jhash31(b: bytes) -> int:
+    """Python oracle of the reference's OneByteSimpleHash polynomial
+    (RowKeyDistributorByHashPrefix.java:99-108), Java int32 wraparound."""
+    h = 1
+    for x in b:
+        if x >= 128:
+            x -= 256
+        h = (h * 31 + x + 2**31) % 2**32 - 2**31
+    return h
+
+
+def test_hbase_sink_roundtrip_through_connector_mock(spark, sf_dir, tmp_path):
+    """End-to-end sink contract up to the connector boundary: to_puts
+    rowkey bytes equal the Java reference byte-for-byte (prefix =
+    hash31(BE key bytes) mod buckets, then prefix ‖ key —
+    RowKeyDistributorByHashPrefix.java:60-66), and save() routed
+    through a filesystem mock of the connector interface (region-
+    partitioned, rowkey-sorted files — the HFile bulk-load layout)
+    round-trips every original row."""
+    from hbasewd_spark.functions import codec
+    from hbasewd_spark.plans.distributor import Hash31Distributor
+
+    ev = load_table(spark, sf_dir, "events").limit(200).cache()
+    sink = FMT.HBaseSink("events_table")
+    # abs_bug=True == the reference's literal Math.abs % mod semantics
+    puts = sink.to_puts(ev, Hash31Distributor(15, abs_bug=True), "event_id")
+
+    # byte-compat: every rowkey matches the Java-semantics oracle
+    for r in puts.select("rowkey", "event_id").collect():
+        rk = bytes(r.rowkey)
+        key_be = r.event_id.to_bytes(8, "big", signed=True)
+        assert rk[1:] == key_be
+        assert rk[0] == abs(_jhash31(key_be)) % 15
+
+    # connector mock: write region-partitioned rowkey-sorted files
+    out_dir = str(tmp_path / "hbase_mock")
+
+    def fs_mock_connector(pdf):
+        (
+            pdf.withColumn(
+                "region",
+                F.conv(F.hex(F.substring("rowkey", 1, 1)), 16, 10).cast("int"),
+            )
+            .repartition(15, "region")
+            .sortWithinPartitions("rowkey")
+            .write.partitionBy("region")
+            .parquet(out_dir)
+        )
+
+    sink.save(puts, writer=fs_mock_connector)
+
+    back = spark.read.parquet(out_dir)
+    # de-salt + decode restores the original keys exactly
+    restored = back.select(
+        codec.decode_long_be(codec.strip_salt_prefix("rowkey", 1)).alias("k")
+    )
+    assert sorted(r.k for r in restored.collect()) == sorted(
+        r.event_id for r in ev.select("event_id").collect()
+    )
+    # HFile invariant: rowkeys sorted within each region file
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = _glob.glob(out_dir + "/region=*/*.parquet")
+    assert files
+    for f in files:
+        keys = [bytes(v) for v in _pq.read_table(f, columns=["rowkey"])["rowkey"].to_pylist()]
+        assert keys == sorted(keys), f
+
+
 def test_json_extract_matches_direct(spark, sf_dir):
     got = {r.event_type: r.sum_k for r in R.json_extract_stats(spark, sf_dir).collect()}
     ev = load_table(spark, sf_dir, "events")
