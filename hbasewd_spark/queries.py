@@ -1075,6 +1075,230 @@ def ext_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("tok", "n")
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (training-data quality filtering)
+# ---------------------------------------------------------------------------
+
+GOPHER_DUP_WORD_MAX = 0.6  # docs above these repetition levels fail
+GOPHER_TOP_BIGRAM_MAX = 0.2
+
+
+def _gopher_duck() -> str:
+    from hbasewd_spark.functions.text import sql_tokens
+
+    toks = sql_tokens("text", "duckdb")
+    bg = (
+        "list_transform(generate_series(1, len(w) - 1), "
+        "i -> w[i] || ' ' || w[i + 1])"
+    )
+    top = (
+        "list_reduce(list_prepend(0, list_transform(list_distinct(bg), "
+        "b -> len(list_filter(bg, x -> x = b)))), (a, x) -> greatest(a, x))"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
+    b AS (SELECT doc_id, w, {bg} AS bg FROM t WHERE len(w) >= 2),
+    sig AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dup_word_frac,
+             CAST({top} AS DOUBLE) / CAST(len(bg) AS DOUBLE) AS top_bigram_frac
+      FROM b
+    )
+    SELECT doc_id, n_words, dup_word_frac, top_bigram_frac,
+           CASE WHEN dup_word_frac <= {GOPHER_DUP_WORD_MAX}
+                 AND top_bigram_frac <= {GOPHER_TOP_BIGRAM_MAX}
+                THEN 1 ELSE 0 END AS keep
+    FROM sig
+    """
+
+
+@q(
+    "ext_text_gopher_repetition",
+    None,  # oracle assigned below (needs the builder above)
+    "Gopher-style repetition quality signals: duplicate-word fraction "
+    "and top-bigram fraction per document, plus the keep/drop verdict "
+    "at the published thresholds. Pure per-row Catalyst array "
+    "arithmetic — no shuffle at all, embarrassingly parallel at 100 TB",
+)
+def ext_text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.functions.text import tokens
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    t = docs.select("doc_id", tokens("text").alias("w")).where(F.size("w") >= 2)
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.concat(
+            F.element_at("w", i), F.lit(" "), F.element_at("w", i + 1)
+        ),
+    )
+    b = t.select("doc_id", "w", bg.alias("bg"))
+    top = F.aggregate(
+        F.array_distinct("bg"),
+        F.lit(0),
+        lambda acc, x: F.greatest(
+            acc, F.size(F.filter("bg", lambda y: y == x))
+        ),
+    )
+    sig = b.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("w")).cast("double")
+            / F.size("w").cast("double")
+        ).alias("dup_word_frac"),
+        (top.cast("double") / F.size("bg").cast("double")).alias("top_bigram_frac"),
+    )
+    keep = F.when(
+        (F.col("dup_word_frac") <= GOPHER_DUP_WORD_MAX)
+        & (F.col("top_bigram_frac") <= GOPHER_TOP_BIGRAM_MAX),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return sig.select(
+        "doc_id", "n_words", "dup_word_frac", "top_bigram_frac", keep.alias("keep")
+    )
+
+
+REGISTRY["ext_text_gopher_repetition"].oracle = _gopher_duck()
+
+
+# ---------------------------------------------------------------------------
+# Stratified per-source capped sampling (corpus mixing)
+# ---------------------------------------------------------------------------
+
+STRATUM_CAP = 20
+
+
+@q(
+    "ext_sample_stratified",
+    None,  # oracle assigned below
+    "stratified deterministic sample: at most STRATUM_CAP docs per "
+    "source, chosen by a seeded key hash (engine-independent, "
+    "reproducible). The window is PARTITIONED by the stratum — per-"
+    "stratum state only; at 100 TB a heavily skewed stratum would get "
+    "the same partial-top-k treatment as any grouped top-k",
+)
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hbasewd_spark.functions.codec import md5_long
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    h = md5_long(F.concat(F.lit("strat-"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("source", "doc_id", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= STRATUM_CAP)
+        .select("source", "rk", "doc_id")
+    )
+
+
+def _stratified_duck() -> str:
+    from hbasewd_spark.functions.codec import sql_md5_long
+
+    h = sql_md5_long("concat('strat-', CAST(doc_id AS VARCHAR))", "duckdb")
+    return f"""
+    SELECT source, rk, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {h} ASC, doc_id ASC) AS rk
+      FROM documents
+    ) t WHERE rk <= {STRATUM_CAP}
+    """
+
+
+REGISTRY["ext_sample_stratified"].oracle = _stratified_duck()
+
+
+# ---------------------------------------------------------------------------
+# OOV rate vs corpus vocabulary (tokenizer-coverage analysis)
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K = 100
+
+
+@q(
+    "ext_text_oov_rate",
+    None,  # oracle assigned below
+    "out-of-vocabulary analysis: the corpus' top-VOCAB_TOP_K tokens "
+    "form the vocabulary (deterministic tie-break); per-(lang, source) "
+    "mean OOV token fraction. Vocabulary is a broadcastable relation; "
+    "the token stream shuffles once for the frequency count and once "
+    "per doc aggregation — both map-side combinable",
+)
+def ext_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.functions.text import tokens
+    from hbasewd_spark.operators.topk import global_topk
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    tk = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    vocab = global_topk(
+        tk.groupBy("tok").agg(F.count("*").alias("n")),
+        [F.col("n").desc(), F.col("tok").asc()],
+        VOCAB_TOP_K,
+        rk_name=None,
+    ).select("tok")
+    per_doc = (
+        tk.join(F.broadcast(vocab.withColumn("in_v", F.lit(1))), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            (F.col("n_oov").cast("double") / F.col("n_tok").cast("double")).alias(
+                "oov_frac"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(per_doc, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("oov_frac").cast("decimal(18,12)"))
+            .cast("double")
+            .alias("sum_oov_frac"),
+        )
+    )
+
+
+def _oov_duck() -> str:
+    from hbasewd_spark.functions.text import sql_tokens
+
+    toks = sql_tokens("text", "duckdb")
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({toks}) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rk
+        FROM tk GROUP BY tok
+      ) t WHERE rk <= {VOCAB_TOP_K}
+    ),
+    per_doc AS (
+      SELECT tk.doc_id,
+             CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS oov_frac
+      FROM tk LEFT JOIN vocab v ON tk.tok = v.tok
+      GROUP BY tk.doc_id
+    )
+    SELECT d.lang, d.source, count(*) AS n_docs,
+           CAST(sum(CAST(oov_frac AS DECIMAL(18,12))) AS DOUBLE) AS sum_oov_frac
+    FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+    GROUP BY d.lang, d.source
+    """
+
+
+REGISTRY["ext_text_oov_rate"].oracle = _oov_duck()
+
+
 def _zorder_sql(dialect: str) -> str:
     from hbasewd_spark.functions.codec import sql_zvalue16
 
@@ -1376,6 +1600,10 @@ _R3_PRIORITY = [
     "ext_multimodal_frames",
     "ext_dedup_clusters",
     "rel_ts_gapfill_locf",
+    # round-3 additions (no driver row yet)
+    "ext_text_gopher_repetition",
+    "ext_sample_stratified",
+    "ext_text_oov_rate",
 ]
 
 
