@@ -861,6 +861,42 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.run_stream_to_memory(spark, agg, "stream_windowed_agg_out")
 
 
+_SESSION_WINDOW_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+@q(
+    "stream_session_window",
+    _SESSION_WINDOW_ORACLE,
+    "ACTUAL Structured Streaming session windows (session_window + "
+    "watermark, availableNow -> memory sink). win.end - gap == the "
+    "last event ts, so the result is hash-reconciled against the "
+    "batch lag+cumsum sessionization oracle",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.streaming import ingest as ST
+
+    stream = ST.stream_events(spark, sf_dir)
+    agg = ST.session_window_stream(stream)
+    return ST.run_stream_to_memory(spark, agg, "stream_session_window_out")
+
+
 # ===========================================================================
 # Round-2 operators: as-of join, hierarchical time rollup, deterministic
 # sampling, PII scrubbing, benchmark contamination, z-order clustering
@@ -1604,6 +1640,7 @@ _R3_PRIORITY = [
     "ext_text_gopher_repetition",
     "ext_sample_stratified",
     "ext_text_oov_rate",
+    "stream_session_window",
 ]
 
 

@@ -470,6 +470,25 @@ class SaltedTable:
             .sortWithinPartitions(self.key_col)
         )
 
+    def register_view(self, name: str, keep_salt: bool = False) -> None:
+        """Plain-SQL access to the salted table: register a desalted
+        temp view so users query the LOGICAL table (``SELECT ... FROM
+        name WHERE key ...``) with no knowledge of salting — the
+        usability the reference offers by hiding salt management behind
+        the HBase Scan API (AbstractRowKeyDistributor.java:71-81).
+
+        Pruning carries over without a Catalyst rule because of the
+        write layout: files are key-sorted WITHIN each salt partition,
+        so a key predicate pushed to the scan (plan-asserted in tests)
+        skips non-overlapping row groups in every bucket — the
+        per-bucket interval fan-out, done by parquet stats instead of
+        injected salt predicates. Full partition pruning (point gets
+        to one bucket) still needs the typed API
+        (:meth:`point_get`) or a spark.sql.extensions rule (out of
+        scope for v1, SURVEY §4)."""
+        df = self.df() if keep_salt else self.df().drop(SALT_COL)
+        df.createOrReplaceTempView(name)
+
     def parallel_read(self, start: Any = None, stop: Any = None) -> DataFrame:
         """Unordered parallel batch read (§3.3, WdTableInputFormat
         parity): same pruned scan, no order restoration — splits =

@@ -129,6 +129,30 @@ def windowed_agg_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def session_window_stream(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Event-time SESSION windows (gap-based, dynamic length) — the
+    native Structured Streaming twin of the batch gap-sessionization
+    (operators/relational.sessionize): a session's window is
+    [first_ts, last_ts + gap), so ``win.end - gap`` IS the last event
+    timestamp, which makes the result exactly reconcilable with the
+    batch lag+cumsum formulation (and its DuckDB oracle).
+
+    State is per (user, open session) and evicted once the watermark
+    passes a session's close — the only shape that survives an
+    unbounded stream."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            (F.col("win.end") - F.expr(f"INTERVAL {gap}")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def run_stream_to_memory(spark: SparkSession, agg: DataFrame, name: str) -> DataFrame:
     """Drain an availableNow streaming aggregation into a memory sink
     and return the result table (batch-queryable)."""

@@ -531,6 +531,33 @@ def test_key_index_restores_pruned_point_get_under_roundrobin(spark, tmp_path):
     assert t.point_get_indexed(KEY_PREFIX - 10**9).count() == 0
 
 
+def test_register_view_plain_sql_matches_scan(spark, tmp_path):
+    """Plain SQL over the registered view == the typed scan, with the
+    key predicate pushed into the parquet scan (row-group skipping in
+    every salt bucket — the SQL-transparent fan-out)."""
+    from hbasewd_spark.plans.distributor import HashDistributor
+    from hbasewd_spark.sources.kv_fixture import KEY_PREFIX, kv_df
+    from hbasewd_spark.sources.salted_table import SaltedTable
+
+    t = SaltedTable.write(
+        kv_df(spark), str(tmp_path / "v"), HashDistributor(8), "key_long"
+    )
+    t.register_view("kv_sql")
+    lo, hi = KEY_PREFIX + 100, KEY_PREFIX + 900
+    q = spark.sql(
+        f"SELECT key_long, val FROM kv_sql WHERE key_long >= {lo} AND key_long < {hi}"
+    )
+    got = sorted((r.key_long, r.val) for r in q.collect())
+    want = sorted(
+        (r.key_long, r.val)
+        for r in t.scan(start=lo, stop=hi, ordered=False, columns=["key_long", "val"]).collect()
+    )
+    assert got == want and len(got) == 400
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(key_long), GreaterThanOrEqual(key_long" in plan
+    assert "salt" not in q.columns
+
+
 def test_scanner_heap_merge_matches_ordered_scan(spark, tmp_path):
     """scanner() must yield exactly the ordered-scan rows in key order
     WITHOUT a cluster-side range sort: each bucket stream's plan is
