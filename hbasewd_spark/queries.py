@@ -536,6 +536,21 @@ _rel("rel_table_stats", R.table_stats, R.TABLE_STATS_ORACLE,
 _rel("rel_time_range_frame", R.time_range_frame, R.TIME_RANGE_FRAME_ORACLE,
      "sliding event-time RANGE frame (trailing-hour activity per event)")
 
+from hbasewd_spark.operators import tpch2 as T2  # noqa: E402
+
+_rel("rel_q8_market_share", T2.q8_market_share, T2.Q8_ORACLE,
+     "TPC-H Q8 shape: regional market share per year (2 fact shuffles, 4 broadcast dims)")
+_rel("rel_q13_order_distribution", T2.q13_order_distribution, T2.Q13_ORACLE,
+     "TPC-H Q13 shape: histogram of per-customer order counts (outer join + double agg)")
+_rel("rel_q16_supplier_variety", T2.q16_supplier_variety, T2.Q16_ORACLE,
+     "TPC-H Q16 shape: distinct-supplier variety per part sliver (bridge + anti-join)")
+_rel("rel_q17_small_qty_revenue", T2.q17_small_qty_revenue, T2.Q17_ORACLE,
+     "TPC-H Q17 shape: below-20%-of-part-average revenue (window threshold, no self-join)")
+_rel("rel_q21_waiting_suppliers", T2.q21_waiting_suppliers, T2.Q21_ORACLE,
+     "TPC-H Q21 shape: sole-late supplier (EXISTS/NOT EXISTS vs one-aggregate reformulation)")
+_rel("rel_q22_sales_opportunity", T2.q22_sales_opportunity, T2.Q22_ORACLE,
+     "TPC-H Q22 shape: dormant high-balance customers (scalar-subquery threshold + anti-join)")
+
 from hbasewd_spark.operators import chunking as CH  # noqa: E402
 
 _rel("ext_text_chunking", CH.chunk_documents, CH.chunking_oracle(),
@@ -1641,6 +1656,14 @@ _R3_PRIORITY = [
     "ext_sample_stratified",
     "ext_text_oov_rate",
     "stream_session_window",
+    # round-3 session-2 additions (beyond the 50-row gate: judge-checked
+    # via tools/check_oracles.py; ordered hardest-shape-first anyway)
+    "rel_q21_waiting_suppliers",
+    "rel_q8_market_share",
+    "rel_q17_small_qty_revenue",
+    "rel_q13_order_distribution",
+    "rel_q16_supplier_variety",
+    "rel_q22_sales_opportunity",
 ]
 
 
