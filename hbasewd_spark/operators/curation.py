@@ -1,0 +1,199 @@
+"""Corpus-curation planning operators (LLM-pipeline extension layer).
+
+Two operators a training-data pipeline runs before (or instead of)
+heavier dedup passes:
+
+- :func:`passage_dedup` — repeated-passage removal: segment every
+  document into fixed token windows, fingerprint each segment, and mark
+  every re-occurrence of a fingerprint after its first (corpus-global)
+  appearance. This is the CCNet / RefinedWeb paragraph-dedup shape —
+  boilerplate, licence blocks, and templated passages collapse to their
+  first occurrence while unique prose survives.
+- :func:`domain_mixture` — mixture reweighting: given per-domain target
+  weights, compute each source's current token share and the sampling
+  rate that realizes the target mixture without upsampling any domain
+  (the most-upweighted domain samples at 1.0, everything else
+  subsamples) — the planning step behind Pile/DoReMi-style mixtures.
+
+Both are pure Catalyst (no UDFs) with DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hbasewd_spark.functions.text import sql_tokens, tokens
+from hbasewd_spark.sources.loaders import ensure_min_parallelism, load_table
+
+SEG_TOKENS = 20
+# seg_idx is bounded by (max tokens per doc) / SEG_TOKENS; 1e6 segments
+# = 20M tokens per document, far beyond any real document
+_SEG_KEY_BASE = 1_000_000
+
+
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated-passage profile: (doc_id, n_segments,
+    n_dup_segments, dup_ratio) where a segment (a :data:`SEG_TOKENS`-token
+    window) is a duplicate iff the same md5 fingerprint occurred earlier
+    in the corpus (at a smaller (doc_id, seg_idx)).
+
+    First-occurrence resolution is a map-side-combinable ``min`` per
+    fingerprint joined back on the fingerprint — NOT a row_number
+    window: a window must sort every fingerprint group, and the hottest
+    fingerprints (boilerplate) are exactly the biggest groups, so the
+    window form turns corpus skew into straggler tasks. The min-agg
+    form reduces each group to one row at map side regardless of skew.
+
+    At 100 TB: segmentation is an inline generator (zero shuffle);
+    the dedup pass shuffles only the slim (fp, seg_key) relation twice
+    (agg + join back); the per-doc rollup re-shuffles (doc_id,
+    is_dup) pairs. Payload text never shuffles."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    base = docs.select("doc_id", tokens("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    n_segs = F.expr(f"(size(toks) + {SEG_TOKENS - 1}) div {SEG_TOKENS}").cast("int")
+    segs = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_idx"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.md5(
+            F.array_join(
+                F.slice("toks", F.col("seg_idx") * SEG_TOKENS + 1, SEG_TOKENS), " "
+            )
+        ).alias("fp"),
+        (F.col("doc_id") * _SEG_KEY_BASE + F.col("seg_idx")).alias("seg_key"),
+    )
+    firsts = segs.groupBy("fp").agg(F.min("seg_key").alias("first_key"))
+    marked = segs.join(firsts, "fp").select(
+        "doc_id", (F.col("seg_key") != F.col("first_key")).alias("is_dup")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_segments"),
+        (
+            F.sum(F.col("is_dup").cast("long")).cast("double") / F.count("*")
+        ).alias("dup_ratio"),
+    )
+
+
+def passage_dedup_oracle() -> str:
+    toks = sql_tokens("text", "duckdb")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {toks} AS toks FROM documents WHERE len({toks}) > 0
+    ),
+    segs AS (
+      SELECT doc_id, seg_idx,
+             md5(array_to_string(
+               toks[seg_idx * {SEG_TOKENS} + 1 : seg_idx * {SEG_TOKENS} + {SEG_TOKENS}],
+               ' ')) AS fp,
+             doc_id * {_SEG_KEY_BASE} + seg_idx AS seg_key
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, CAST((len(toks) + {SEG_TOKENS - 1}) / {SEG_TOKENS} AS INTEGER) - 1)) AS seg_idx
+        FROM base
+      ) t
+    ),
+    firsts AS (SELECT fp, min(seg_key) AS first_key FROM segs GROUP BY fp),
+    marked AS (
+      SELECT s.doc_id, s.seg_key <> f.first_key AS is_dup
+      FROM segs s JOIN firsts f ON s.fp = f.fp
+    )
+    -- CAST on the sum: DuckDB sum(BIGINT) is HUGEINT, which hash-mismatches
+    SELECT doc_id, count(*) AS n_segments,
+           CAST(sum(CAST(is_dup AS BIGINT)) AS BIGINT) AS n_dup_segments,
+           CAST(sum(CAST(is_dup AS BIGINT)) AS DOUBLE) / count(*) AS dup_ratio
+    FROM marked GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# domain mixture reweighting
+# ---------------------------------------------------------------------------
+
+_N_TARGET_CLASSES = 4  # deterministic target weight = (source number % 4) + 1
+
+
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling plan realizing a target token mixture:
+    (source, n_docs, n_tokens, current_share, target_share,
+    sample_rate, expected_tokens).
+
+    Target weights are a deterministic fixture — weight (src_number %
+    4) + 1 per source, normalized — standing in for the hand-tuned (or
+    DoReMi-learned) per-domain weights a real pipeline feeds in.
+    ``sample_rate`` is scaled so the most-underrepresented domain (the
+    largest target/current ratio) keeps 100% of its tokens and every
+    other domain subsamples proportionally — the mixture achievable
+    without repeating data.
+
+    At 100 TB: one map-side-combinable aggregate over the corpus; the
+    share/rate arithmetic runs on the |sources|-row result (a bounded
+    domain catalog). The corpus-wide totals and the max ratio are
+    one-row aggregates cross-broadcast back in — no unpartitioned
+    window anywhere in the plan. Every division is IEEE double over
+    exactly-summed BIGINTs, so results are bit-identical cross-engine."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text")).cast("long")).alias("n_tokens"),
+    ).withColumn(
+        "w", F.substring("source", 4, 10).cast("int") % _N_TARGET_CLASSES + 1
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("w").alias("tot_w")
+    )
+    shares = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")).alias(
+            "current_share"
+        ),
+        (F.col("w").cast("double") / F.col("tot_w").cast("double")).alias(
+            "target_share"
+        ),
+    )
+    ratio = F.col("target_share") / F.col("current_share")
+    max_ratio = shares.agg(F.max(ratio).alias("max_ratio"))
+    rated = shares.crossJoin(F.broadcast(max_ratio)).withColumn(
+        "sample_rate", ratio / F.col("max_ratio")
+    )
+    return rated.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "current_share",
+        "target_share",
+        "sample_rate",
+        (F.col("n_tokens") * F.col("sample_rate")).alias("expected_tokens"),
+    )
+
+
+def domain_mixture_oracle() -> str:
+    toks = sql_tokens("text", "duckdb")
+    return f"""
+    WITH per_src AS (
+      -- CAST on the sum: DuckDB sum(BIGINT) is HUGEINT, which hash-mismatches
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CAST(len({toks}) AS BIGINT)) AS BIGINT) AS n_tokens,
+             CAST(substring(source, 4, 10) AS INTEGER) % {_N_TARGET_CLASSES} + 1 AS w
+      FROM documents GROUP BY source
+    ),
+    shares AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS current_share,
+             CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE) AS target_share
+      FROM per_src
+    )
+    SELECT source, n_docs, n_tokens, current_share, target_share,
+           (target_share / current_share)
+             / max(target_share / current_share) OVER () AS sample_rate,
+           n_tokens * ((target_share / current_share)
+             / max(target_share / current_share) OVER ()) AS expected_tokens
+    FROM shares
+    """

