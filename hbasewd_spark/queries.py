@@ -897,6 +897,28 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.run_stream_to_memory(spark, agg, "stream_windowed_agg_out")
 
 
+@q(
+    "stream_sliding_window",
+    """
+    SELECT time_bucket(INTERVAL '15' MINUTE, CAST(ts AS TIMESTAMP))
+             - k.k * INTERVAL '15' MINUTE AS window_start,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    GROUP BY 1, 2
+    """,
+    "ACTUAL Structured Streaming execution of SLIDING event-time "
+    "windows (1h length, 15m slide - each event covers 4 windows); "
+    "oracle expands the covering windows explicitly in batch SQL",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.streaming import ingest as ST
+
+    stream = ST.stream_events(spark, sf_dir)
+    agg = ST.sliding_window_stream(stream)
+    return ST.run_stream_to_memory(spark, agg, "stream_sliding_window_out")
+
+
 _SESSION_WINDOW_ORACLE = """
 WITH flagged AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -990,8 +1012,20 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _register_rollup() -> None:
-    from hbasewd_spark.operators.rollup import TIME_ROLLUP_ORACLE, time_rollup
+    from hbasewd_spark.operators.rollup import (
+        INCREMENTAL_MV_ORACLE,
+        TIME_ROLLUP_ORACLE,
+        incremental_mv_merge,
+        time_rollup,
+    )
 
+    REGISTRY["rel_incremental_mv"] = QuerySpec(
+        incremental_mv_merge,
+        INCREMENTAL_MV_ORACLE,
+        "incremental materialized-view maintenance: base + delta "
+        "partial aggregates merged by re-aggregation, hash-checked "
+        "against full recompute (merge algebra == recompute)",
+    )
     REGISTRY["rel_time_rollup"] = QuerySpec(
         time_rollup,
         TIME_ROLLUP_ORACLE,
@@ -1688,6 +1722,8 @@ _R3_PRIORITY = [
     "ext_semdedup",
     "ext_passage_dedup",
     "ext_domain_mixture",
+    "stream_sliding_window",
+    "rel_incremental_mv",
 ]
 
 

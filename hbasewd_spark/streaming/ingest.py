@@ -457,3 +457,28 @@ def dedup_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sliding_window_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Event-time SLIDING windows (1-hour length, 15-minute slide):
+    each event contributes to 4 overlapping windows. Completes the
+    window-type coverage next to the tumbling
+    (:func:`windowed_agg_stream`) and session
+    (:func:`session_window_stream`) variants.
+
+    At scale the state store holds (window x key) partial aggregates —
+    4x the tumbling cardinality for this slide ratio, still bounded by
+    the watermark horizon; Spark expands each event to its covering
+    windows BEFORE the shuffle, so partial aggregation stays map-side
+    combinable."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
