@@ -125,6 +125,12 @@ def main() -> None:
     timed("bm25", lambda: Q.REGISTRY["ext_text_bm25"].fn(spark, SF_DIR).count())
     timed("audio_segments", lambda: Q.REGISTRY["ext_multimodal_audio_segments"].fn(spark, SF_DIR).count())
 
+    # 25-27. round-3 session-2: hardest new TPC-H shape, passage-level
+    # dedup, semantic dedup in k-means cells
+    timed("tpch_q21", lambda: Q.REGISTRY["rel_q21_waiting_suppliers"].fn(spark, SF_DIR).count())
+    timed("passage_dedup", lambda: Q.REGISTRY["ext_passage_dedup"].fn(spark, SF_DIR).count())
+    timed("semdedup", lambda: Q.REGISTRY["ext_semdedup"].fn(spark, SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     _report_vs_history(total, timings)
     print(
