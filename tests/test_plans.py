@@ -260,3 +260,63 @@ def test_no_unbounded_global_window_anywhere(spark, sf_dir):
         if wins:
             offenders[name] = wins[0][:200]
     assert not offenders, f"unpartitioned windows in: {offenders}"
+
+
+def test_q21_collapses_correlated_scans(spark, sf_dir):
+    """The textbook Q21 scans lineitem three times (base + EXISTS +
+    NOT EXISTS); the reformulation must scan it at most twice (the
+    per-order aggregate and the late-row slice recompute one join) and
+    finish with a heap top-k, never a global window."""
+    from hbasewd_spark.operators.tpch2 import q21_waiting_suppliers
+
+    plan = _plan(q21_waiting_suppliers(spark, sf_dir))
+    assert plan.count("lineitem.parquet") <= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # nation-filtered supplier dim
+
+
+def test_q17_threshold_is_window_not_self_join(spark, sf_dir):
+    """Q17's per-part average must ride a window over the join key —
+    exactly one broadcast semi join (the part filter) and no
+    shuffle join anywhere (a join-back would re-shuffle)."""
+    from hbasewd_spark.operators.tpch2 import q17_small_qty_revenue
+
+    plan = _plan(q17_small_qty_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_passage_dedup_min_agg_not_window(spark, sf_dir):
+    """First-occurrence resolution must be the skew-immune map-side
+    min aggregate, not a per-fingerprint window sort; segmentation
+    must be an inline generator."""
+    from hbasewd_spark.operators.curation import passage_dedup
+
+    plan = _plan(passage_dedup(spark, sf_dir))
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine per fingerprint
+    assert "Generate explode" in plan  # inline segmentation, no shuffle
+
+
+def test_semdedup_assignment_broadcasts_centroids(spark, sf_dir):
+    """Cluster assignment must broadcast the centroid set (corpus
+    never shuffles for assignment); the only shuffles are the pair
+    join on the cell id and the rollups."""
+    from hbasewd_spark.operators.similarity import semdedup_summary
+
+    plan = _plan(semdedup_summary(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # argmin cross vs broadcast cents
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_mv_merge_is_partial_aggregated(spark, sf_dir):
+    """Both the base/delta partials and the merge must be map-side
+    combinable (partial_sum present), and orders is scanned exactly
+    twice (base slice + delta slice) with the cutoff pushed down."""
+    from hbasewd_spark.operators.rollup import incremental_mv_merge
+
+    plan = _plan(incremental_mv_merge(spark, sf_dir))
+    assert "partial_sum" in plan
+    assert plan.count("orders.parquet") == 2
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
