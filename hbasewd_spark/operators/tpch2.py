@@ -2,20 +2,27 @@
 
 The reference (sematext/HBaseWD) delegates relational work to HBase
 scans; a user migrating to this engine gets the full decision-support
-shape library. This module adds the six remaining TPC-H archetypes that
-map onto the TESTDATA schema (no ``partsupp`` table and no
-``l_shipmode/commitdate/receiptdate`` columns exist, so Q2/Q9/Q11/Q12
-keep no faithful mapping; Q8/Q13/Q16/Q17/Q21/Q22 below are the standard
-shapes adapted to the columns that do):
+shape library. This module adds the remaining TPC-H archetypes mapped
+onto the TESTDATA schema (no ``partsupp`` table and no
+``l_shipmode/commitdate/receiptdate`` columns exist — where the
+textbook query needs them, the observed lineitem (part, supplier)
+pairs stand in for the supply relation and shipdate-vs-orderdate lag
+stands in for receipt lateness; Q9/Q12 keep no faithful mapping):
 
+- Q2  — min-cost supplier per part: window argmin; oracle keeps the
+        textbook correlated ``= (SELECT min ...)`` subquery.
 - Q8  — market share: two big-fact joins + four broadcast dims, a
         conditional-share aggregate per year.
+- Q11 — important parts: grouped HAVING against a global scalar,
+        computed from the grouped output, never a second fact pass.
 - Q13 — customer order-count distribution: outer join + double
         aggregation (the "histogram of group sizes" shape).
 - Q16 — supplier variety per part attribute: distinct bridge +
         anti-join + count-distinct aggregate.
 - Q17 — small-quantity revenue: per-key average threshold applied back
         to the same rows (window, not a second scan).
+- Q20 — dominant suppliers: nested semi-join chain; oracle keeps the
+        textbook IN + correlated-HAVING text.
 - Q21 — suppliers who alone were late: the exists/not-exists archetype,
         implemented as ONE per-order aggregate + joins (no correlated
         self-scans); the oracle keeps the textbook EXISTS/NOT EXISTS
@@ -402,4 +409,227 @@ WHERE c_acctbal > (
 AND NOT EXISTS (SELECT 1 FROM orders
                 WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 GROUP BY cntrycode
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 — min-cost supplier per part (argmin-per-group archetype)
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to the schema: with no partsupp table,
+    each supplier's observed average sale price per part (from
+    lineitem) stands in for the supply cost. For every STANDARD
+    size-15 part, find the cheapest EUROPE supplier (ties broken by
+    lowest suppkey).
+
+    The argmin is ONE ranked window over the (part, supplier) supply
+    aggregate — the oracle keeps the textbook correlated
+    ``cost = (SELECT min(cost) ... same part)`` subquery, so the gate
+    proves window-argmin == correlated-min on real data.
+
+    Plan at scale: the supply aggregate is one map-side-combinable
+    shuffle of lineitem on (partkey, suppkey); the EUROPE supplier set
+    and the part filter broadcast; the argmin window re-uses the
+    partkey shuffle. No per-part correlated scan anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left_semi"
+    )
+    eu_supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(eu_nations), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") == 15)
+    )
+    supply = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(F.broadcast(eu_supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(dec("l_extendedprice")).cast("double") / F.count("*")
+            ).alias("cost")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.col("cost").asc(), F.col("l_suppkey").asc())
+    best = (
+        supply.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("cost").alias("min_cost"),
+            F.col("l_suppkey").alias("best_suppkey"),
+        )
+    )
+    names = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return best.join(
+        F.broadcast(names), best.best_suppkey == names.s_suppkey
+    ).select("p_partkey", "min_cost", "best_suppkey", "s_name")
+
+
+Q2_ORACLE = """
+WITH eu_supp AS (
+  SELECT s_suppkey, s_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+supply AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS cost
+  FROM lineitem
+  WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey
+                AND p_type = 'STANDARD' AND p_size = 15)
+    AND EXISTS (SELECT 1 FROM eu_supp WHERE s_suppkey = l_suppkey)
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s.l_partkey AS p_partkey, s.cost AS min_cost,
+       min(s.l_suppkey) AS best_suppkey,
+       (SELECT s_name FROM eu_supp e WHERE e.s_suppkey = min(s.l_suppkey)) AS s_name
+FROM supply s
+WHERE s.cost = (SELECT min(s2.cost) FROM supply s2 WHERE s2.l_partkey = s.l_partkey)
+GROUP BY s.l_partkey, s.cost
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important parts (HAVING against a global scalar)
+# ---------------------------------------------------------------------------
+
+_Q11_FRACTION = 0.001
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose EUROPE-supplied revenue exceeds a
+    fraction of the total — a grouped aggregate HAVING-compared against
+    a global scalar aggregate.
+
+    The global total is a one-row aggregate of the SAME grouped result
+    (not a second scan), cross-broadcast into the filter. Values stay
+    DECIMAL until the final emit; the threshold comparison happens on
+    identically derived doubles on both engines.
+
+    Plan at scale: one lineitem shuffle on partkey; the total rides on
+    the grouped output (|parts| rows); no second pass over the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left_semi"
+    )
+    eu_supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(eu_nations), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    vals = (
+        li.join(F.broadcast(eu_supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev()).cast("decimal(25,4)").alias("value_dec"))
+    )
+    total = vals.agg(F.sum("value_dec").cast("decimal(38,4)").alias("total_dec"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(
+            F.col("value_dec").cast("double")
+            > F.lit(_Q11_FRACTION) * F.col("total_dec").cast("double")
+        )
+        .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
+    )
+
+
+Q11_ORACLE = f"""
+WITH eu_supp AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+vals AS (
+  SELECT l_partkey, CAST(sum({_REV_SQL}) AS DECIMAL(25,4)) AS value_dec
+  FROM lineitem
+  WHERE EXISTS (SELECT 1 FROM eu_supp WHERE s_suppkey = l_suppkey)
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+FROM vals
+WHERE CAST(value_dec AS DOUBLE) > {_Q11_FRACTION} * (
+  SELECT CAST(CAST(sum(value_dec) AS DECIMAL(38,4)) AS DOUBLE) FROM vals
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — dominant suppliers (nested semi-join chain)
+# ---------------------------------------------------------------------------
+
+# 0.08 calibrated against TESTDATA: uniform supplier draws over ~7 ship
+# years put the 99th-pct single-supplier-year share near 0.09 (max
+# ~0.16), so this keeps the dominance predicate selective but non-empty
+# at every SF
+_Q20_SHARE = 0.08
+_Q20_YEAR = 1996
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted to the schema: suppliers in NATION_2 who
+    shipped more than 8% of some PROMO part's all-time quantity within
+    one year (1996) — the textbook nested-semi-join chain (supplier IN
+    (... HAVING sum > fraction * correlated total)).
+
+    Both per-(part, supplier) year quantities and per-part totals are
+    grouped aggregates of the SAME promo-filtered lineitem slice; the
+    dominance test is an equi-join between them on partkey — the
+    correlated HAVING subquery never executes per group. The oracle
+    keeps the textbook IN + correlated-HAVING text.
+
+    Plan at scale: two map-side-combinable aggregates over one
+    broadcast-filtered lineitem scan each, one slim partkey equi-join,
+    one semi join into the supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    promo = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    li_promo = li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+    per_ps = (
+        li_promo.where(F.year("l_shipdate") == _Q20_YEAR)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("qty_year"))
+    )
+    per_p = li_promo.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("qty_all")
+    )
+    dominant = (
+        per_ps.join(per_p, "l_partkey")
+        .where(F.col("qty_year") > F.lit(_Q20_SHARE) * F.col("qty_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    return supp.join(
+        dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+Q20_ORACLE = f"""
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+    SELECT l1.l_suppkey
+    FROM lineitem l1
+    WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = l1.l_partkey AND p_type = 'PROMO')
+      AND year(l1.l_shipdate) = {_Q20_YEAR}
+    GROUP BY l1.l_partkey, l1.l_suppkey
+    HAVING CAST(sum(CAST(l1.l_quantity AS DECIMAL(18,4))) AS DOUBLE) > {_Q20_SHARE} * (
+      SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      FROM lineitem l2
+      WHERE l2.l_partkey = l1.l_partkey
+        AND EXISTS (SELECT 1 FROM part WHERE p_partkey = l2.l_partkey AND p_type = 'PROMO')
+    )
+  )
 """

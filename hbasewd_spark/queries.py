@@ -550,6 +550,12 @@ _rel("rel_q21_waiting_suppliers", T2.q21_waiting_suppliers, T2.Q21_ORACLE,
      "TPC-H Q21 shape: sole-late supplier (EXISTS/NOT EXISTS vs one-aggregate reformulation)")
 _rel("rel_q22_sales_opportunity", T2.q22_sales_opportunity, T2.Q22_ORACLE,
      "TPC-H Q22 shape: dormant high-balance customers (scalar-subquery threshold + anti-join)")
+_rel("rel_q2_min_cost_supplier", T2.q2_min_cost_supplier, T2.Q2_ORACLE,
+     "TPC-H Q2 shape: argmin-per-group window vs textbook correlated-min oracle")
+_rel("rel_q11_important_parts", T2.q11_important_parts, T2.Q11_ORACLE,
+     "TPC-H Q11 shape: grouped HAVING against a global scalar (one fact pass)")
+_rel("rel_q20_dominant_suppliers", T2.q20_dominant_suppliers, T2.Q20_ORACLE,
+     "TPC-H Q20 shape: nested semi-join chain vs correlated-HAVING oracle")
 
 from hbasewd_spark.operators import chunking as CH  # noqa: E402
 
@@ -1724,6 +1730,9 @@ _R3_PRIORITY = [
     "ext_domain_mixture",
     "stream_sliding_window",
     "rel_incremental_mv",
+    "rel_q2_min_cost_supplier",
+    "rel_q11_important_parts",
+    "rel_q20_dominant_suppliers",
 ]
 
 
