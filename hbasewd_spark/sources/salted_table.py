@@ -477,16 +477,37 @@ class SaltedTable:
         usability the reference offers by hiding salt management behind
         the HBase Scan API (AbstractRowKeyDistributor.java:71-81).
 
-        Pruning carries over without a Catalyst rule because of the
+        For deterministic distributors the view carries the salt
+        INVARIANT ``salt = salt_expr(key)`` (true for every stored
+        row). A plain-SQL point predicate ``WHERE key = X`` then prunes
+        to ONE bucket with no Catalyst extension rule: CombineFilters
+        merges the user predicate with the invariant, and
+        ConstantPropagation + ConstantFolding rewrite
+        ``salt = f(key) ∧ key = X`` into the literal ``salt = f(X)``,
+        which the scan turns into ``PartitionFilters: [salt = k]``
+        (plan-asserted in tests) — the same single-bucket read
+        :meth:`point_get` does through the typed API. Range predicates
+        keep the row-group path below; the residual invariant filter
+        (one hash per row) is the cost of transparency and is dropped
+        on request via ``keep_salt`` + direct scans.
+
+        Range pruning carries over without any rule because of the
         write layout: files are key-sorted WITHIN each salt partition,
         so a key predicate pushed to the scan (plan-asserted in tests)
         skips non-overlapping row groups in every bucket — the
         per-bucket interval fan-out, done by parquet stats instead of
-        injected salt predicates. Full partition pruning (point gets
-        to one bucket) still needs the typed API
-        (:meth:`point_get`) or a spark.sql.extensions rule (out of
-        scope for v1, SURVEY §4)."""
-        df = self.df() if keep_salt else self.df().drop(SALT_COL)
+        injected salt predicates.
+
+        Under round-robin salting the salt is not a key function, so
+        the invariant does not exist and point gets keep the fan-out
+        semantics (O4) the reference also pays."""
+        df = self.df()
+        if self.distributor.deterministic:
+            df = df.where(
+                F.col(SALT_COL) == self.distributor.salt_expr(F.col(self.key_col))
+            )
+        if not keep_salt:
+            df = df.drop(SALT_COL)
         df.createOrReplaceTempView(name)
 
     def parallel_read(self, start: Any = None, stop: Any = None) -> DataFrame:
