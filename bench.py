@@ -40,18 +40,31 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
     events = load_table(spark, SF_DIR, "events")
-    bounds = events.agg(
-        (F.min("ts") + F.expr("INTERVAL '12' HOUR")).alias("lo"),
-        (F.min("ts") + F.expr("INTERVAL '36' HOUR")).alias("hi"),
-        F.min("ts").alias("t0"),
-    ).collect()[0]
+    try:
+        bounds = events.agg(
+            (F.min("ts") + F.expr("INTERVAL '12' HOUR")).alias("lo"),
+            (F.min("ts") + F.expr("INTERVAL '36' HOUR")).alias("hi"),
+            F.min("ts").alias("t0"),
+        ).collect()[0]
+    except Exception as e:  # setup failure must not zero the whole run
+        print(f"bench: bounds setup FAILED: {e}", file=sys.stderr)
+        bounds = None
     salted_path = "/tmp/hbasewd_bench/events_salted"
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def timed(name: str, fn):
+        """Per-query fault isolation (round-3 lesson: one query's crash
+        at position 8 zeroed all 29 timings). A failed query records an
+        error string; the JSON line ALWAYS prints."""
         t0 = time.time()
-        out = fn()
+        try:
+            out = fn()
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            return None
         timings[name] = round(time.time() - t0, 3)
         return out
 
@@ -65,7 +78,7 @@ def main() -> None:
         tbl_holder["t"] = SaltedTable.write(events, salted_path, HashDistributor(32), "ts")
 
     timed("salted_write", do_write)
-    tbl = tbl_holder["t"]
+    tbl = tbl_holder.get("t")
 
     # 2. salted ordered range scan (O7/O8/O9)
     timed(
@@ -75,7 +88,11 @@ def main() -> None:
 
     # 3. point gets (P2) — 10 single gets through the salt-pruned path,
     # then the batched multi_get (HTable.get(List<Get>) parity: one job)
-    keys10 = [r.ts for r in events.limit(10).collect()]
+    try:
+        keys10 = [r.ts for r in events.limit(10).collect()]
+    except Exception as e:
+        print(f"bench: keys10 setup FAILED: {e}", file=sys.stderr)
+        keys10 = []
 
     def point_gets():
         return sum(tbl.point_get(k).count() for k in keys10)
@@ -133,17 +150,16 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     _report_vs_history(total, timings)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": dict(timings, **{k: {"err": v} for k, v in errors.items()}),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["n_errors"] = len(errors)
+    print(json.dumps(payload))
 
 
 def _report_vs_history(total: float, timings: dict) -> None:

@@ -141,7 +141,7 @@ WITH m AS (
   FROM documents
 )
 SELECT format, count(*) AS n,
-       sum(n_bytes) AS total_bytes,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        min(CAST(16 + n_bytes % 240 AS INTEGER)) AS min_width,
        max(CAST(16 + (n_bytes * 7) % 240 AS INTEGER)) AS max_height,
        CAST(sum(byte_sum) AS DOUBLE) / CAST(sum(n_bytes) AS DOUBLE) AS avg_luma
@@ -267,7 +267,7 @@ fr AS (
   FROM m WHERE b > 0
 )
 SELECT format, count(DISTINCT doc_id) AS n_docs, count(*) AS n_frames,
-       sum(least({FRAME_BYTES}, b - frame_idx * {FRAME_BYTES})) AS total_frame_bytes
+       CAST(sum(least({FRAME_BYTES}, b - frame_idx * {FRAME_BYTES})) AS BIGINT) AS total_frame_bytes
 FROM fr GROUP BY format
 """
 

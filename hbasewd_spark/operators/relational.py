@@ -699,6 +699,32 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXACT_STATS_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(*) AS n,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90,
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of ``approx_stats``: exact COUNT(DISTINCT)
+    and DISCRETE percentiles. percentile_disc picks an actual data
+    element (no interpolation arithmetic), so the doubles are
+    bit-identical cross-engine — unlike percentile_cont, whose
+    interpolation is engine-specific floating point. The SQL text is
+    identical in both dialects. At scale: count(distinct) is a
+    two-level hash agg; percentile_disc is a sort-based agg per group —
+    both shuffle only (flag, value) pairs, never whole rows."""
+    from hbasewd_spark.sources.loaders import load_table
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(EXACT_STATS_SQL)
+
+
 # ===========================================================================
 # Wave 6: CDC upsert, more TPC-H shapes, collection functions
 # ===========================================================================

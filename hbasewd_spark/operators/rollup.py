@@ -109,8 +109,11 @@ def incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge exact — a double partial-sum would drift under re-aggregation
     order."""
     orders = load_table(spark, sf_dir, "orders")
+    # month boundary typed DATE on both engines (Spark date_trunc
+    # returns TIMESTAMP, DuckDB's returns DATE for a DATE input — the
+    # explicit cast keeps the driver's canonical hash type-identical)
     keys = [
-        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
         F.col("o_orderstatus").alias("status"),
     ]
 
@@ -138,7 +141,7 @@ def incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 INCREMENTAL_MV_ORACLE = """
-SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus AS status,
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, o_orderstatus AS status,
        count(*) AS n,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_totalprice,
        min(o_totalprice) AS min_price,

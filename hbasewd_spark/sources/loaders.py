@@ -39,6 +39,9 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # newer testdata writes TIMESTAMP(MICROS, no-tz); prefer plain
+        # TIMESTAMP at scan time so unix_micros/withWatermark accept it
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass  # already set via session builder, or not supported
 
@@ -46,9 +49,17 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos -> micros truncation (matches duckdb's ns->us cast)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos -> micros truncation (matches duckdb's ns->us cast)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # testdata layout change: timestamp[us] no-tz. Session is
+            # pinned UTC, so NTZ -> TIMESTAMP is value-identical to the
+            # DuckDB oracle; the cast restores unix_micros/withWatermark
+            # compatibility.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -43,14 +43,78 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]").astype("int64")
         elif s.dtype == object:
+            import datetime as _dt
+
             df[c] = s.map(
                 lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else (
-                    tuple(v) if isinstance(v, (list, tuple)) else v
+                    tuple(v) if isinstance(v, (list, tuple)) else (
+                        # date/datetime objects -> epoch micros, matching
+                        # the datetime64 branch (Spark DateType lands as
+                        # object(datetime.date); DuckDB DATE as datetime64)
+                        int(pd.Timestamp(v).value // 1000)
+                        if isinstance(v, (_dt.date, _dt.datetime))
+                        else v
+                    )
                 )
             )
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
+
+
+def _canon_duck_type(t: str) -> str:
+    """DuckDB logical type -> the canonical family the driver's
+    value-hash distinguishes. Calibrated against driver
+    history: i32-vs-i64 oracles (ext_sim_brute_topk's BIGINT rank vs
+    Spark's int) and DATE-vs-TIMESTAMP (rel_date_gallery's month_start)
+    both hashed GREEN on the driver, so integer width <= 64 bits and
+    date/timestamp are NOT distinguished; HUGEINT (int128, which pandas
+    renders as float/object) IS — it caused all five r3 hash-red rows."""
+    t = t.upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.startswith("TIMESTAMP"):
+        return "datetime"
+    if t.endswith("[]") or t.startswith("STRUCT") or t.startswith("MAP"):
+        return "nested"
+    return {
+        "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+        "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
+        "HUGEINT": "int128", "UHUGEINT": "int128",
+        "FLOAT": "float", "DOUBLE": "float", "VARCHAR": "str", "BOOLEAN": "bool",
+        "DATE": "datetime", "BLOB": "binary", "INTERVAL": "interval",
+    }.get(t, t.lower())
+
+
+def _canon_spark_type(t: str) -> str:
+    t = t.lower()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith("timestamp"):
+        return "datetime"
+    if t.startswith(("array", "struct", "map")):
+        return "nested"
+    return {
+        "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+        "float": "float", "double": "float", "string": "str", "boolean": "bool",
+        "date": "datetime", "binary": "binary",
+    }.get(t, t)
+
+
+def compare_types(spark_dtypes: list[tuple[str, str]], duck_cols: list[str], duck_types: list) -> list[str]:
+    """Fail on canonical type-FAMILY mismatch BEFORE value comparison —
+    pandas coerces DuckDB HUGEINT to float, so the value path
+    structurally cannot see it, but the driver's canonical hash can
+    (round-3 lesson: 5 hash-red rows with correct values). Same-family
+    width differences (INTEGER vs BIGINT) are driver-green and pass."""
+    errs = []
+    sp = dict(spark_dtypes)
+    dk = dict(zip(duck_cols, [str(t) for t in duck_types]))
+    for c in sorted(set(sp) & set(dk)):
+        a, b = _canon_spark_type(sp[c]), _canon_duck_type(dk[c])
+        if a != b:
+            errs.append(f"dtype col {c!r}: spark={sp[c]} ({a}) vs duck={dk[c]} ({b})")
+    return errs
 
 
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
@@ -110,7 +174,9 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            spark_pdf = fn(spark, args.sf).toPandas()
+            spark_df = fn(spark, args.sf)
+            spark_dtypes = spark_df.dtypes
+            spark_pdf = spark_df.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark side raised: {e}")
             n_fail += 1
@@ -120,12 +186,15 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            duck_pdf = con.sql(oracles[name]).df()
+            duck_rel = con.sql(oracles[name])
+            duck_cols, duck_types = duck_rel.columns, duck_rel.types
+            duck_pdf = duck_rel.df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb oracle raised: {e}")
             n_fail += 1
             continue
-        errs = compare(name, spark_pdf, duck_pdf)
+        errs = compare_types(spark_dtypes, duck_cols, duck_types)
+        errs += compare(name, spark_pdf, duck_pdf)
         if errs:
             n_fail += 1
             print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
