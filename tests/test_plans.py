@@ -320,3 +320,30 @@ def test_incremental_mv_merge_is_partial_aggregated(spark, sf_dir):
     assert "partial_sum" in plan
     assert plan.count("orders.parquet") == 2
     assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_embed_outliers_broadcasts_centroids_and_slims_window(spark, sf_dir):
+    """The centroid join must be broadcast (|labels| x DIM rows — the
+    corpus never shuffles to meet it) and the top-k window input must
+    be the slim (label, vec_id, dist2) projection, not the vectors."""
+    from hbasewd_spark.operators.similarity import embed_outliers
+
+    plan = _plan(embed_outliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan  # centroid integer sums map-side combine
+    # the window sorts rows that no longer carry the embedding array
+    window_part = plan[plan.index("Window") :]
+    assert "embedding" not in window_part.split("Exchange")[0]
+
+
+def test_temperature_mixture_single_corpus_agg_and_broadcast_rates(spark, sf_dir):
+    """Rates are a |langs|-row broadcast back onto the scan; the only
+    corpus-wide shuffles are the two per-lang counts (plan + realized
+    draw) — no window, no join shuffle of document rows."""
+    from hbasewd_spark.operators.curation import temperature_mixture
+
+    plan = _plan(temperature_mixture(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # per-lang counts map-side combine
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
