@@ -921,6 +921,37 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_static_enrich",
+    """
+    WITH feats AS (SELECT user_id, count(*) AS u_events FROM events GROUP BY 1),
+    avg_e AS (SELECT CAST(sum(u_events) AS DOUBLE) / count(*) AS a FROM feats),
+    tiers AS (
+      SELECT user_id,
+             CASE WHEN u_events >= 1.1 * a THEN 'heavy'
+                  WHEN u_events <= 0.9 * a THEN 'light'
+                  ELSE 'mid' END AS tier
+      FROM feats, avg_e
+    )
+    SELECT e.event_type, t.tier, count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events e JOIN tiers t USING (user_id)
+    GROUP BY 1, 2
+    """,
+    "ACTUAL Structured Streaming stream-static broadcast join: events "
+    "stream enriched with a per-user feature tier (online feature-store "
+    "lookup shape), rolled up per (event_type, tier); oracle is the "
+    "batch SQL equivalent over the full table",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.streaming import ingest as ST
+
+    stream = ST.stream_events(spark, sf_dir)
+    feats = ST.user_features(spark, sf_dir)
+    agg = ST.stream_static_enrich(stream, feats)
+    return ST.run_stream_to_memory(spark, agg, "stream_static_enrich_out")
+
+
+@q(
     "stream_sliding_window",
     """
     SELECT time_bucket(INTERVAL '15' MINUTE, CAST(ts AS TIMESTAMP))
@@ -1692,6 +1723,7 @@ _R4_PRIORITY = [
     # new in round 4 — never checked anywhere yet, so they lead
     "ext_temperature_mixture",
     "ext_embed_outliers",
+    "stream_static_enrich",
     # never driver-checked (registered behind the 50-row window in r3)
     "ext_semdedup",
     "ext_passage_dedup",
@@ -1743,10 +1775,10 @@ _R4_PRIORITY = [
     "rel_cube",
     "rel_set_ops",
     "rel_scalar_gallery",
-    "rel_date_gallery",
     # ---- position 50 boundary: everything below was green in r3 or is
-    # rows-only by design (rel_approx_stats); rel_pivot/rel_range_join
-    # (green r2, unchanged) ceded their slots to the two round-4 queries ----
+    # rows-only by design (rel_approx_stats); rel_date_gallery/rel_pivot/
+    # rel_range_join (green r2, unchanged) ceded slots to round-4 queries ----
+    "rel_date_gallery",
     "rel_pivot",
     "rel_range_join",
     "rel_approx_stats",

@@ -158,6 +158,49 @@ def session_window_stream(stream: DataFrame, gap: str = "30 minutes") -> DataFra
     )
 
 
+def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static feature side for :func:`stream_static_enrich`: per-user
+    event count tiered against the global mean (heavy >= 1.1x avg,
+    light <= 0.9x avg, else mid). Data-relative thresholds keep the
+    tiers meaningful at every scale factor; every step is exact
+    integer counts plus one deterministic double divide/multiply."""
+    from hbasewd_spark.sources.loaders import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    feats = ev.groupBy("user_id").agg(F.count("*").alias("u_events"))
+    avg_e = feats.agg(
+        (F.sum("u_events").cast("double") / F.count("*")).alias("a")
+    )
+    return feats.crossJoin(F.broadcast(avg_e)).select(
+        "user_id",
+        F.when(F.col("u_events") >= F.lit(1.1) * F.col("a"), "heavy")
+        .when(F.col("u_events") <= F.lit(0.9) * F.col("a"), "light")
+        .otherwise("mid")
+        .alias("tier"),
+    )
+
+
+def stream_static_enrich(stream: DataFrame, features: DataFrame) -> DataFrame:
+    """Stream-static broadcast join — the online feature-enrichment
+    shape: each incoming event is joined to its user's precomputed
+    profile (a feature store), then rolled up per (event_type, tier).
+
+    The static side is planned as a broadcast: no state store is
+    involved (unlike a stream-stream join), and Spark re-resolves the
+    static relation each micro-batch, so a refreshed feature table is
+    picked up without restarting the query. At 100 TB: broadcast is
+    right while the feature table is a bounded catalog (|users| here);
+    when it outgrows the broadcast threshold the same plan degrades
+    gracefully to a shuffled stream-static join, or — when per-key
+    lookup latency matters more than throughput — the engine's salted
+    point-get path (SaltedTable.multi_get) replaces the join."""
+    enriched = stream.join(F.broadcast(features), "user_id")
+    return enriched.groupBy("event_type", "tier").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
 def run_stream_to_memory(spark: SparkSession, agg: DataFrame, name: str) -> DataFrame:
     """Drain an availableNow streaming aggregation into a memory sink
     and return the result table (batch-queryable)."""

@@ -250,3 +250,35 @@ def test_dedup_corpus_ingest_cross_batch_and_replay(spark, tmp_path_factory):
     q3.awaitTermination()
     got2 = {r.doc_id: r.text for r in spark.read.parquet(dest).collect()}
     assert got2 == got
+
+
+def test_stream_static_enrich_matches_batch_and_broadcasts(spark, sf_dir):
+    """The stream-static join must produce exactly the batch join's
+    rollup once the availableNow stream drains, and the static feature
+    side must enter the plan as a broadcast (no state store for the
+    join itself — only the downstream aggregation keeps state)."""
+    from pyspark.sql import functions as F
+
+    from hbasewd_spark.sources.loaders import load_table
+    from hbasewd_spark.streaming import ingest as ST
+
+    feats = ST.user_features(spark, sf_dir)
+    stream = ST.stream_events(spark, sf_dir)
+    agg = ST.stream_static_enrich(stream, feats)
+    streamed = ST.run_stream_to_memory(spark, agg, "t_ss_enrich")
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.join(feats, "user_id")
+        .groupBy("event_type", "tier")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
