@@ -49,17 +49,19 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # nanos -> micros truncation (matches duckdb's ns->us cast)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            # testdata layout change: timestamp[us] no-tz. Session is
-            # pinned UTC, so NTZ -> TIMESTAMP is value-identical to the
-            # DuckDB oracle; the cast restores unix_micros/withWatermark
-            # compatibility.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos -> micros truncation (matches duckdb's ns->us cast)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Normalize EVERY no-timezone timestamp column, every table: the
+    # round-3 testdata regeneration flipped events.ts to timestamp[us]
+    # no-tz (Spark TIMESTAMP_NTZ), which unix_micros/withWatermark
+    # reject — and the same flip could hit o_orderdate/l_shipdate next.
+    # Session is pinned UTC, so the cast is value-identical to the
+    # DuckDB oracle. (inferTimestampNTZ=false above usually prevents
+    # NTZ from ever surfacing; this is the per-column backstop.)
+    for col_name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     return df
 
 

@@ -43,13 +43,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
+    if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # session is pinned UTC: NTZ cast is value-identical and keeps
-        # withWatermark happy (it rejects TIMESTAMP_NTZ event time)
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # session is pinned UTC: NTZ cast is value-identical and keeps
+    # withWatermark happy (it rejects TIMESTAMP_NTZ event time);
+    # applied to every column as in loaders.load_table
+    for col_name, dtype in stream.dtypes:
+        if dtype == "timestamp_ntz":
+            stream = stream.withColumn(col_name, F.col(col_name).cast("timestamp"))
     return stream
 
 
