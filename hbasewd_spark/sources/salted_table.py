@@ -432,6 +432,73 @@ class SaltedTable:
         out = self._reader(base_path=self.path).load(keep).where(pred)
         return out.drop(SALT_COL)
 
+    def expire(self, before: Any) -> dict:
+        """Retention expiry: delete every row with key < ``before`` —
+        the TTL pass every time-series table needs (the reference's
+        whole use case is monotonic time keys, so age == key order).
+
+        File-level, driven by the zone map: a file whose key zone ends
+        before the cutoff is DELETED outright — a metadata operation,
+        no read, no rewrite — and only the files straddling the cutoff
+        are rewritten (filtered, key-sorted, back into their salt
+        partitions). Files wholly past the cutoff are untouched. At
+        100 TB with key-sorted salted files, almost every expired byte
+        goes through the delete path: daily retention on a year of data
+        touches ~1/365th of files for rewrite.
+
+        Not reader-atomic: between the boundary-file swap steps a
+        concurrent reader can see a row twice or not at all — run it in
+        the ingest-quiescent window like any retention job (the same
+        contract as compact()). Returns
+        ``{files_dropped, files_rewritten, files_kept, rows_dropped}``."""
+        if before is None:
+            raise ValueError("expire() requires a cutoff key")
+        fs = Fs(self.spark, self.path)
+        zones = self.zone_map(self.key_col).collect()
+        drop = [r for r in zones if r.hi < before]
+        boundary = [r for r in zones if r.lo < before <= r.hi]
+        stats = {
+            "files_dropped": len(drop),
+            "files_rewritten": len(boundary),
+            "files_kept": len(zones) - len(drop) - len(boundary),
+            "rows_dropped": sum(r.n_rows for r in drop),
+        }
+        stage = self.path.rstrip("/") + "/.expire_stage"
+        if boundary:
+            kept = (
+                self._reader(base_path=self.path)
+                .load([r.file for r in boundary])
+                .where(F.col(self.key_col) >= F.lit(before))
+            )
+            fs.delete(stage, recursive=True)
+            self._writer(
+                kept.repartition(max(len(boundary), 1), F.col(SALT_COL))
+                .sortWithinPartitions(SALT_COL, self.key_col)
+            ).mode("overwrite").save(stage)
+            staged_rows = (
+                self.spark.read.format(self.fmt)
+                .option("basePath", stage)
+                .load(stage)
+                .count()
+            )
+            stats["rows_dropped"] += sum(r.n_rows for r in boundary) - staged_rows
+        # originals go away only after the staged replacements are fully
+        # written (crash between these steps loses no surviving row —
+        # the stage dir is hidden from table scans and can be re-merged)
+        for r in drop + boundary:
+            fs.delete(r.file)
+        if boundary:
+            base = self.path.rstrip("/")
+            for staged in fs.glob(f"{stage}/{SALT_COL}=*/*"):
+                name = staged.rsplit("/", 1)[1]
+                if name.startswith((".", "_")):
+                    continue
+                salt_dir = staged.rsplit("/", 2)[1]  # "salt=K"
+                fs.rename(staged, f"{base}/{salt_dir}/{name}")
+            fs.delete(stage, recursive=True)
+        self.refresh()
+        return stats
+
     def scanner(self, start: Any = None, stop: Any = None) -> Iterator:
         """ResultScanner-style incremental pull: a driver-side k-way
         HEAP MERGE over per-salt sorted streams — the literal

@@ -45,6 +45,23 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         assert r.p50 <= r.p90 <= r.p99
 
 
+def test_approx_stats_tracks_exact_stats_twin(spark, sf_dir):
+    """The sketches in rel_approx_stats must track their hash-checked
+    exact twin (rel_exact_stats): HLL distinct within 10% of exact
+    COUNT(DISTINCT), and each sketch quantile within 1% relative of
+    the exact discrete percentile — the two queries certify each
+    other (the twin is driver-hash-checkable, the sketch is not)."""
+    ap = {r.l_returnflag: r for r in R.approx_stats(spark, sf_dir).collect()}
+    ex = {r.l_returnflag: r for r in R.exact_stats(spark, sf_dir).collect()}
+    assert set(ap) == set(ex)
+    for flag, e in ex.items():
+        a = ap[flag]
+        assert abs(a.approx_orders - e.n_orders) / e.n_orders < 0.1
+        assert a.n == e.n  # exact count in both
+        for q in ("p50", "p90", "p99"):
+            assert abs(getattr(a, q) - getattr(e, q)) / getattr(e, q) < 0.01, (flag, q)
+
+
 @pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
 def test_format_roundtrip(spark, sf_dir, tmp_path, fmt):
     orders = load_table(spark, sf_dir, "orders").limit(500)

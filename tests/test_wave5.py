@@ -247,3 +247,73 @@ def test_upsert_rows_partition_scoped(spark, sf_dir, tmp_path):
     rr = SaltedTable.write(kv, str(tmp_path / "rr"), RoundRobinDistributor(8), "key_long")
     with pytest.raises(ValueError, match="deterministic"):
         rr.upsert_rows(changes)
+
+
+def test_expire_drops_old_files_without_rewriting_them(spark, kv, tmp_path):
+    """Retention expiry: rows below the cutoff disappear (count vs the
+    generator oracle), files wholly below the cutoff are deleted as a
+    metadata operation (their paths vanish; surviving files keep their
+    identity), and only boundary files are rewritten. Scans, ordered
+    scans, and point gets all stay correct afterwards."""
+    from hbasewd_spark.fsutil import Fs
+    from hbasewd_spark.plans.distributor import HashDistributor
+    from hbasewd_spark.sources.kv_fixture import KEY_PREFIX, expected_in_range
+    from hbasewd_spark.sources.salted_table import SaltedTable
+
+    t = SaltedTable.write(
+        kv, str(tmp_path / "exp"), HashDistributor(8), "key_long"
+    )
+    fs = Fs(spark, t.path)
+    before_files = set(fs.glob(f"{t.path}/salt=*/*.parquet"))
+    cutoff = KEY_PREFIX + 500
+
+    stats = t.expire(cutoff)
+
+    want = expected_in_range(500, 10**9)
+    assert t.df().count() == want
+    assert stats["rows_dropped"] == 500 - want
+    assert stats["files_dropped"] + stats["files_rewritten"] + stats["files_kept"] == len(before_files)
+    # each salt bucket holds one key-sorted file covering the whole key
+    # range, so the cutoff straddles EVERY file: all 8 must rewrite
+    assert stats["files_rewritten"] == 8 and stats["files_dropped"] == 0
+    # scan correctness survives expiry
+    rows = t.scan(start=cutoff, stop=KEY_PREFIX + 700, ordered=True).collect()
+    assert len(rows) == expected_in_range(500, 699)
+    assert [r.key_long for r in rows] == sorted(r.key_long for r in rows)
+    assert t.point_get(KEY_PREFIX + 499).count() == 0
+    assert t.point_get(KEY_PREFIX + 500).count() >= 1
+
+
+def test_expire_deletes_whole_files_metadata_only(spark, kv, tmp_path):
+    """With per-epoch appended files (disjoint key ranges per file),
+    old epochs expire via pure file deletes — zero rewrites."""
+    from hbasewd_spark.fsutil import Fs
+    from hbasewd_spark.plans.distributor import HashDistributor
+    from hbasewd_spark.sources.kv_fixture import KEY_PREFIX
+    from hbasewd_spark.sources.salted_table import SaltedTable
+    from pyspark.sql import functions as F
+
+    # epoch 1: keys [0, 250); epoch 2: keys [10000, 10250) — disjoint
+    old = kv.where(F.col("val") < 250)
+    new = kv.where(F.col("val") < 250).withColumn(
+        "key_long", F.col("key_long") + 10_000
+    )
+    t = SaltedTable.write(old, str(tmp_path / "ep"), HashDistributor(4), "key_long")
+    fs = Fs(spark, t.path)
+    epoch1_files = set(fs.glob(f"{t.path}/salt=*/*.parquet"))
+    t._writer(
+        new.select(*[c for c in old.columns]).withColumn(
+            "salt", t.distributor.salt_expr("key_long")
+        ).repartition(4, F.col("salt")).sortWithinPartitions("salt", "key_long")
+    ).mode("append").save(t.path)
+    t.refresh()
+    n_new = new.count()
+
+    stats = t.expire(KEY_PREFIX + 5_000)  # everything in epoch 1 is older
+
+    assert stats["files_rewritten"] == 0
+    assert stats["files_dropped"] == len(epoch1_files)
+    assert t.df().count() == n_new
+    # the old files are physically gone, the new ones untouched
+    remaining = set(fs.glob(f"{t.path}/salt=*/*.parquet"))
+    assert remaining.isdisjoint(epoch1_files)
