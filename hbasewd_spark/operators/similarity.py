@@ -549,13 +549,18 @@ def sql_dist2(a: str, b: str) -> str:
 def kmeans_one_iter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE closed-form Lloyd iteration, hash-checkable cross-engine:
     assign to the fixed seeds (lowest vec_ids), recompute centroids as
-    per-dimension means (decimal-summed — order-independent — then one
-    double division), reassign, and emit per-cluster (n_members,
-    inertia). Every arithmetic step is an identical-order IEEE fold on
-    both engines, so the driver's value hash matches exactly; the
-    multi-iteration variant (:func:`kmeans_clusters`) keeps the
-    descent property tests. Same plan shape at scale: broadcast-argmin
-    assignment + slim (cid, dim) aggregation, corpus never shuffled."""
+    per-dimension integer-quantized means, reassign, and emit
+    per-cluster (n_members, inertia). Sums use ``floor(v*1e9 + 0.5)``
+    integer quantization, NOT double->decimal casts: decimal casts
+    tie-break differently across engines (Spark HALF_UP vs DuckDB
+    half-even) and float-origin dyadics land exactly on decimal tie
+    boundaries often enough that the sf0.1 sweep caught a 1e-12
+    inertia drift (1 row in 8000 hit a boundary; sf0.01 got lucky).
+    floor is IEEE-exact and identical everywhere; every remaining step
+    is the same IEEE op on identical operands. The multi-iteration
+    variant (:func:`kmeans_clusters`) keeps the descent property
+    tests. Same plan shape at scale: broadcast-argmin assignment +
+    slim (cid, dim) aggregation, corpus never shuffled."""
     from pyspark.sql import Window
 
     emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
@@ -578,12 +583,12 @@ def kmeans_one_iter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a1 = assign(cents0)
     dims = a1.select("cid", F.posexplode("v").alias("dim", "x"))
+    xq = F.floor(F.col("x") * OUTLIER_QUANT + F.lit(0.5)).cast("long")
     means = (
         dims.groupBy("cid", "dim")
         .agg(
             (
-                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                / F.count("*")
+                F.sum(xq).cast("double") / F.count("*") / F.lit(float(OUTLIER_QUANT))
             ).alias("m")
         )
         .groupBy("cid")
@@ -591,9 +596,10 @@ def kmeans_one_iter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", F.transform("dm", lambda s: s["m"]).alias("cv"))
     )
     a2 = assign(means)
+    dq = F.floor(F.col("dist2") * OUTLIER_QUANT + F.lit(0.5)).cast("long")
     return a2.groupBy("cid").agg(
         F.count("*").alias("n_members"),
-        F.sum(F.col("dist2").cast("decimal(38,12)")).cast("double").alias("inertia"),
+        (F.sum(dq).cast("double") / F.lit(float(OUTLIER_QUANT))).alias("inertia"),
     )
 
 
@@ -620,8 +626,13 @@ def kmeans_one_iter_oracle() -> str:
       CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) gs
     ),
     means AS (
+      -- integer-quantized mean (floor(x*1e9 + 0.5)): double->decimal
+      -- casts tie-break differently across engines; floor does not.
+      -- CAST on the sum: DuckDB sum(BIGINT) is HUGEINT otherwise.
       SELECT cid, dim,
-             CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+             CAST(CAST(sum(CAST(floor(x * {OUTLIER_QUANT}.0 + 0.5) AS BIGINT))
+                       AS BIGINT) AS DOUBLE) / count(*)
+               / {OUTLIER_QUANT}.0 AS m
       FROM dims GROUP BY cid, dim
     ),
     cents AS (
@@ -636,7 +647,8 @@ def kmeans_one_iter_oracle() -> str:
       ) t WHERE rk = 1
     )
     SELECT cid, count(*) AS n_members,
-           CAST(sum(CAST(dist2 AS DECIMAL(38,12))) AS DOUBLE) AS inertia
+           CAST(CAST(sum(CAST(floor(dist2 * {OUTLIER_QUANT}.0 + 0.5) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / {OUTLIER_QUANT}.0 AS inertia
     FROM a2 GROUP BY cid
     """
 
