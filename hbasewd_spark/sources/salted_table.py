@@ -432,6 +432,61 @@ class SaltedTable:
         out = self._reader(base_path=self.path).load(keep).where(pred)
         return out.drop(SALT_COL)
 
+    def describe(self) -> DataFrame:
+        """Operational diagnostics, one row per salt bucket: row count,
+        key span, file count, bytes — the skew report an operator reads
+        before deciding to compact, re-salt, or widen buckets. One
+        column-pruned scan plus one driver-side file listing; output is
+        |buckets| rows however big the table is."""
+        per_salt = (
+            self.df()
+            .groupBy(SALT_COL)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min(self.key_col).alias("key_lo"),
+                F.max(self.key_col).alias("key_hi"),
+            )
+        )
+        fs = Fs(self.spark, self.path)
+        files = [
+            (int(p.rsplit(f"{SALT_COL}=", 1)[1].split("/", 1)[0]), length)
+            for p, length, _ in fs.glob_stats(
+                f"{self.path.rstrip('/')}/{SALT_COL}=*/*"
+            )
+            if not p.rsplit("/", 1)[1].startswith((".", "_"))
+        ]
+        agg: dict[int, list[int]] = {}
+        for salt, length in files:
+            n, b = agg.setdefault(salt, [0, 0])
+            agg[salt] = [n + 1, b + length]
+        file_df = self.spark.createDataFrame(
+            [(s, n, b) for s, (n, b) in sorted(agg.items())],
+            f"{SALT_COL} int, n_files long, n_bytes long",
+        )
+        return per_salt.join(F.broadcast(file_df), SALT_COL, "left")
+
+    def validate(self) -> DataFrame:
+        """Integrity check for deterministic strategies: rows whose
+        stored salt disagrees with the distributor's salt of their key
+        (corruption, a manual rewrite, or a distributor-config mismatch
+        would all surface here — the engine twin of the reference's
+        getDistributedKey round-trip invariant). Returns the offending
+        (salt, expected_salt, n) groups; empty == healthy. One full
+        scan of (salt, key) only — no shuffle before the tiny rollup."""
+        if not self.distributor.deterministic:
+            raise ValueError(
+                "validate() needs a deterministic distributor; "
+                "round-robin salts are not a function of the key"
+            )
+        expected = self.distributor.salt_expr(F.col(self.key_col))
+        return (
+            self.df()
+            .select(F.col(SALT_COL), expected.alias("expected_salt"))
+            .where(F.col(SALT_COL) != F.col("expected_salt"))
+            .groupBy(SALT_COL, "expected_salt")
+            .agg(F.count("*").alias("n"))
+        )
+
     def expire(self, before: Any) -> dict:
         """Retention expiry: delete every row with key < ``before`` —
         the TTL pass every time-series table needs (the reference's

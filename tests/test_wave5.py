@@ -317,3 +317,69 @@ def test_expire_deletes_whole_files_metadata_only(spark, kv, tmp_path):
     # the old files are physically gone, the new ones untouched
     remaining = set(fs.glob(f"{t.path}/salt=*/*.parquet"))
     assert remaining.isdisjoint(epoch1_files)
+
+
+def test_expire_is_idempotent_and_matches_oracle_at_any_cutoff(spark, kv, tmp_path):
+    """For several cutoffs: post-expiry count equals the generator
+    oracle, re-running the same expiry is a no-op (idempotent), and a
+    later cutoff composes (expire(a) then expire(b>a) == expire(b))."""
+    from hbasewd_spark.plans.distributor import Hash31Distributor
+    from hbasewd_spark.sources.kv_fixture import KEY_PREFIX, expected_in_range
+    from hbasewd_spark.sources.salted_table import SaltedTable
+
+    t = SaltedTable.write(
+        kv, str(tmp_path / "exp_prop"), Hash31Distributor(5), "key_long"
+    )
+    for i, cut in enumerate((200, 200, 500, 998)):  # repeat 200 -> no-op
+        stats = t.expire(KEY_PREFIX + cut)
+        want = expected_in_range(cut, 10**9)
+        assert t.df().count() == want, (cut, stats)
+        if i == 1:
+            assert stats["rows_dropped"] == 0
+            assert stats["files_dropped"] == 0
+    assert t.df().count() == expected_in_range(998, 10**9)
+
+
+def test_describe_reports_per_salt_layout(spark, kv, tmp_path):
+    from hbasewd_spark.plans.distributor import HashDistributor
+    from hbasewd_spark.sources.salted_table import SaltedTable
+
+    t = SaltedTable.write(kv, str(tmp_path / "desc"), HashDistributor(8), "key_long")
+    rows = t.describe().collect()
+    assert sum(r.n_rows for r in rows) == 500
+    assert all(r.n_files >= 1 and r.n_bytes > 0 for r in rows)
+    assert all(r.key_lo <= r.key_hi for r in rows)
+    assert len(rows) == len({r.salt for r in rows})
+
+
+def test_validate_flags_missalted_rows(spark, kv, tmp_path):
+    """A healthy table validates empty; physically moving rows to a
+    wrong salt partition (simulated corruption) is detected with the
+    exact offending (stored, expected) salt pair."""
+    from pyspark.sql import functions as F
+
+    from hbasewd_spark.plans.distributor import HashDistributor, RoundRobinDistributor
+    from hbasewd_spark.sources.salted_table import SaltedTable
+
+    t = SaltedTable.write(kv, str(tmp_path / "val"), HashDistributor(8), "key_long")
+    assert t.validate().count() == 0
+
+    # corrupt: rewrite a handful of rows into salt partition 0 with a
+    # salt value that disagrees with hash(key)
+    bad = (
+        t.df().where(F.col("salt") == 3).limit(5)
+        .withColumn("salt", F.lit(0))
+    )
+    bad.drop("salt").write.mode("append").parquet(t.path + "/salt=0")
+    t.refresh()
+    offending = t.validate().collect()
+    assert sum(r.n for r in offending) == 5
+    assert all(r.salt == 0 and r.expected_salt == 3 for r in offending)
+
+    rr = SaltedTable.write(
+        kv, str(tmp_path / "valrr"), RoundRobinDistributor(4), "key_long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rr.validate()
