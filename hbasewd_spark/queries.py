@@ -1235,6 +1235,70 @@ def ext_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("tok", "n")
 
 
+def _keywords_duck() -> str:
+    toks = TX.sql_tokens("text", "duckdb")
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({toks}) AS tok FROM documents
+    ),
+    tk4 AS (SELECT doc_id, tok FROM tk WHERE length(tok) >= 4),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk4 GROUP BY 1, 2),
+    df AS (SELECT tok, count(*) AS df_t FROM tf GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tk4)
+    SELECT doc_id, rk, tok, score FROM (
+      SELECT tf.doc_id, tf.tok,
+             CAST(tf.tf * nd.n_docs AS DOUBLE) / df.df_t AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf * nd.n_docs AS DOUBLE) / df.df_t DESC,
+                        tf.tok ASC) AS rk
+      FROM tf JOIN df USING (tok), nd
+    ) t WHERE rk <= 3
+    """
+
+
+@q(
+    "ext_text_keywords",
+    None,
+    "TF-IDF keyword extraction with RATIONAL scoring (tf * N / df — "
+    "one integer product + one IEEE divide, no log, so doubles are "
+    "bit-exact cross-engine): top-3 terms >= 4 chars per document. At "
+    "scale: tf shuffles (doc, tok) pairs with map-side combine, df is "
+    "a slim tok-keyed join, N is a one-row broadcast, and the per-doc "
+    "top-3 window runs on slim scored rows",
+)
+def ext_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    tk = docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok")).where(
+        F.length("tok") >= 4
+    )
+    tf = tk.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.count("*").alias("df_t"))
+    n_docs = tk.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df_t")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "rk", "tok", "score")
+    )
+
+
+REGISTRY["ext_text_keywords"].oracle = _keywords_duck()
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style repetition signals (training-data quality filtering)
 # ---------------------------------------------------------------------------
@@ -1724,6 +1788,7 @@ _R4_PRIORITY = [
     "ext_temperature_mixture",
     "ext_embed_outliers",
     "stream_static_enrich",
+    "ext_text_keywords",
     # never driver-checked (registered behind the 50-row window in r3)
     "ext_semdedup",
     "ext_passage_dedup",
@@ -1774,10 +1839,11 @@ _R4_PRIORITY = [
     "rel_rollup",
     "rel_cube",
     "rel_set_ops",
-    "rel_scalar_gallery",
     # ---- position 50 boundary: everything below was green in r3 or is
-    # rows-only by design (rel_approx_stats); rel_date_gallery/rel_pivot/
-    # rel_range_join (green r2, unchanged) ceded slots to round-4 queries ----
+    # rows-only by design (rel_approx_stats); rel_scalar_gallery/
+    # rel_date_gallery/rel_pivot/rel_range_join (green r2, unchanged)
+    # ceded slots to round-4 queries ----
+    "rel_scalar_gallery",
     "rel_date_gallery",
     "rel_pivot",
     "rel_range_join",

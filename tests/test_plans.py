@@ -347,3 +347,24 @@ def test_temperature_mixture_single_corpus_agg_and_broadcast_rates(spark, sf_dir
     assert "partial_count" in plan  # per-lang counts map-side combine
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_driver_window_has_no_wasted_slots():
+    """The driver checks the FIRST 50 registry entries. Guard the
+    mechanism itself: every priority name resolves to a real query,
+    the first 50 all carry a value-hash oracle (a rows-only query in
+    the window wastes a gate slot — round-3 lesson), no duplicates,
+    and the ordering function is total over the registry."""
+    from hbasewd_spark.queries import REGISTRY, _R4_PRIORITY, oracle_sql, queries
+
+    missing = [n for n in _R4_PRIORITY if n not in REGISTRY]
+    assert not missing, f"priority names not in registry: {missing}"
+    assert len(_R4_PRIORITY) == len(set(_R4_PRIORITY))
+
+    names = list(queries())
+    assert sorted(names) == sorted(REGISTRY)  # total, no drops
+
+    oracles = oracle_sql()
+    window = names[:50]
+    no_oracle = [n for n in window if n not in oracles]
+    assert not no_oracle, f"rows-only queries inside the 50-slot window: {no_oracle}"
