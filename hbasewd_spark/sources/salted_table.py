@@ -683,3 +683,33 @@ def compact(table: SaltedTable, target_files_per_salt: int = 1) -> SaltedTable:
             json.dumps({"data_sig": table._data_signature(fs)}),
         )
     return table
+
+
+def rebucket(table: SaltedTable, new_distributor: KeyDistributor) -> SaltedTable:
+    """Bucket-count (or strategy) migration — the scaling knob the
+    reference's README centers on (bucket count trades write
+    parallelism against scan fan-out, README:37-40; changing it there
+    means rewriting every HBase row key). Engine version: one read,
+    one re-salt, one salted write to a staging dir, one swap. Salt is
+    a derived column, so no key bytes change — only placement.
+
+    At 100 TB this is a full-table rewrite by necessity (every row's
+    bucket assignment changes under a new modulus — the same cost the
+    reference would pay) but it is ONE shuffle: re-salt is a stateless
+    projection and the write repartitions straight to the new bucket
+    count. The key->salt index is dropped (its mapping is invalidated
+    by construction); rebuild after if round-robin point gets matter.
+    Not reader-atomic during the final swap — same contract as
+    compact()."""
+    fs = Fs(table.spark, table.path)
+    base = table.path.rstrip("/")
+    tmp = base + ".rebucket_tmp"
+    fs.delete(tmp, recursive=True)
+    data = table.df().drop(SALT_COL)
+    staged = SaltedTable.write(
+        data, tmp, new_distributor, table.key_col, fmt=table.fmt
+    )
+    del staged  # metadata already written into tmp by write()
+    fs.delete(base, recursive=True)
+    fs.rename(tmp, base)
+    return SaltedTable.load(table.spark, base)

@@ -383,3 +383,33 @@ def test_validate_flags_missalted_rows(spark, kv, tmp_path):
 
     with _pytest.raises(ValueError):
         rr.validate()
+
+
+def test_rebucket_migrates_strategy_and_preserves_data(spark, kv, tmp_path):
+    """8-bucket hash -> 16-bucket hash -> 5-bucket hash31: every
+    migration preserves the full row multiset, point gets and ordered
+    scans stay correct, validate() confirms the new salt invariant,
+    and the physical layout really has the new bucket count."""
+    from hbasewd_spark.fsutil import Fs
+    from hbasewd_spark.plans.distributor import Hash31Distributor, HashDistributor
+    from hbasewd_spark.sources.kv_fixture import KEY_PREFIX, expected_in_range
+    from hbasewd_spark.sources.salted_table import SaltedTable, rebucket
+
+    t = SaltedTable.write(kv, str(tmp_path / "rb"), HashDistributor(8), "key_long")
+    want = sorted((r.key_long, r.val) for r in t.df().collect())
+
+    for dist in (HashDistributor(16), Hash31Distributor(5)):
+        t = rebucket(t, dist)
+        assert t.distributor.buckets == dist.buckets
+        assert sorted((r.key_long, r.val) for r in t.df().collect()) == want
+        assert t.validate().count() == 0
+        fs = Fs(spark, t.path)
+        salts = {p.rsplit("salt=", 1)[1] for p in fs.glob(f"{t.path}/salt=*")}
+        assert len(salts) <= dist.buckets
+        n = t.scan(start=KEY_PREFIX + 100, stop=KEY_PREFIX + 900).count()
+        assert n == expected_in_range(100, 899)
+        assert t.point_get(KEY_PREFIX + 500).count() >= 1
+
+    # a reload from disk sees the migrated distributor (O11 round-trip)
+    t2 = SaltedTable.load(spark, t.path)
+    assert t2.distributor.buckets == 5 and t2.distributor.name == "hash31"
