@@ -1276,7 +1276,10 @@ def ext_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tk.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df_t = tf.groupBy("tok").agg(F.count("*").alias("df_t"))
-    n_docs = tk.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # N from tf, not tk: the tf aggregation's exchange then appears in
+    # all three branches and ReuseExchange computes tokenize+tf ONCE
+    # (deriving N from tk re-tokenizes the whole corpus a second time)
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(df_t, "tok")
         .crossJoin(F.broadcast(n_docs))
