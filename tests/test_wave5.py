@@ -413,3 +413,79 @@ def test_rebucket_migrates_strategy_and_preserves_data(spark, kv, tmp_path):
     # a reload from disk sees the migrated distributor (O11 round-trip)
     t2 = SaltedTable.load(spark, t.path)
     assert t2.distributor.buckets == 5 and t2.distributor.name == "hash31"
+
+
+def test_ensure_min_parallelism_noops_on_wide_input(spark, sf_dir):
+    """The repartition exists ONLY because driver testdata is one row
+    group (single-task scans); the 100 TB claim is that a wide scan
+    skips it entirely. Lock that: an input already at >= min(target,32)
+    partitions must come back IDENTICAL (same plan, no exchange)."""
+    from hbasewd_spark.sources.loaders import ensure_min_parallelism, load_table
+
+    docs = load_table(spark, sf_dir, "documents").repartition(32)
+    out = ensure_min_parallelism(docs, spark)
+    assert out is docs  # literally untouched, not just equal
+
+    narrow = load_table(spark, sf_dir, "documents")  # 1 file -> few partitions
+    widened = ensure_min_parallelism(narrow, spark)
+    assert widened.rdd.getNumPartitions() >= min(spark.sparkContext.defaultParallelism, 32)
+
+
+def test_floor_quantization_is_cross_engine_exact():
+    """The exactness contract behind centroid/inertia quantization:
+    floor(x*1e9 + 0.5) computed by DuckDB equals Python's (both IEEE
+    double ops) for adversarial float32-origin values, including exact
+    decimal-tie dyadics where double->decimal casts disagree."""
+    import math
+    import struct
+
+    import duckdb
+
+    # adversarial set: dyadics on decimal tie boundaries, tiny/huge
+    # magnitudes, negative zero, float32 round-trips of randoms
+    vals = [0.0, -0.0, 1.0, -1.0, 0.5, -0.5, 3.0 / 8192, -5.0 / 1024,
+            0.2490234375, 1e-12, -1e-12, 0.999999999, -0.999999999]
+    import random
+
+    rng = random.Random(42)
+    for _ in range(500):
+        f32 = struct.unpack("f", struct.pack("f", rng.uniform(-1, 1)))[0]
+        vals.append(f32)
+    con = duckdb.connect()
+    for v in vals:
+        duck = con.execute(
+            "SELECT CAST(floor(CAST(? AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)",
+            [v],
+        ).fetchone()[0]
+        py = math.floor(v * 1_000_000_000.0 + 0.5)
+        assert duck == py, (v, duck, py)
+
+
+def test_curation_composes_with_salted_substrate(spark, sf_dir, tmp_path):
+    """SURVEY M5's claim: the extension layer runs over the salted-table
+    substrate, not just raw parquet. Text quality scoring over a
+    documents table round-tripped through SaltedTable.write/scan must
+    equal the direct-path result exactly."""
+    from pyspark.sql import functions as F
+
+    from hbasewd_spark.functions import text as TX
+    from hbasewd_spark.plans.distributor import HashDistributor
+    from hbasewd_spark.sources.loaders import load_table
+    from hbasewd_spark.sources.salted_table import SaltedTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = SaltedTable.write(docs, str(tmp_path / "salted_docs"), HashDistributor(8), "doc_id")
+
+    def quality_rollup(df):
+        return (
+            df.select("doc_id", "source", TX.quality_score("text").alias("q"))
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("q").cast("decimal(18,12)")).cast("double").alias("sum_q"),
+            )
+        )
+
+    direct = {r.source: (r.n, r.sum_q) for r in quality_rollup(docs).collect()}
+    via_salted = {r.source: (r.n, r.sum_q) for r in quality_rollup(t.scan()).collect()}
+    assert direct == via_salted and len(direct) > 0
