@@ -1235,6 +1235,62 @@ def ext_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("tok", "n")
 
 
+_MANIFEST_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _manifest_duck() -> str:
+    from hbasewd_spark.functions.codec import sql_md5_long
+
+    selects = []
+    for t, k in sorted(_MANIFEST_KEYS.items()):
+        h = sql_md5_long(f"CAST({k} AS VARCHAR)", "duckdb")
+        selects.append(
+            f"SELECT '{t}' AS table_name, count(*) AS n_rows, "
+            f"CAST(sum({h}) AS BIGINT) AS key_checksum FROM {t}"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+@q(
+    "ext_dataset_manifest",
+    None,
+    "dataset manifest for drift detection: per-table row count + "
+    "order-free key checksum (sum of md5-longs — partitioning- and "
+    "engine-independent). The round-3 incident in one query: a silent "
+    "testdata regeneration between pipeline runs changes this manifest "
+    "before it breaks anything downstream. At scale: 10 independent "
+    "single-pass map-side-combinable aggregations, one row per table",
+)
+def ext_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from hbasewd_spark.functions.codec import md5_long
+
+    parts = []
+    for t, k in sorted(_MANIFEST_KEYS.items()):
+        df = load_table(spark, sf_dir, t)
+        parts.append(
+            df.select(md5_long(k).alias("h"))
+            .agg(F.count("*").alias("n_rows"), F.sum("h").alias("key_checksum"))
+            .select(F.lit(t).alias("table_name"), "n_rows", "key_checksum")
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+REGISTRY["ext_dataset_manifest"].oracle = _manifest_duck()
+
+
 def _keywords_duck() -> str:
     toks = TX.sql_tokens("text", "duckdb")
     return f"""
@@ -1792,6 +1848,7 @@ _R4_PRIORITY = [
     "ext_embed_outliers",
     "stream_static_enrich",
     "ext_text_keywords",
+    "ext_dataset_manifest",
     # never driver-checked (registered behind the 50-row window in r3)
     "ext_semdedup",
     "ext_passage_dedup",
@@ -1843,9 +1900,9 @@ _R4_PRIORITY = [
     "rel_cube",
     "rel_set_ops",
     # ---- position 50 boundary: everything below was green in r3 or is
-    # rows-only by design (rel_approx_stats); rel_scalar_gallery/
-    # rel_date_gallery/rel_pivot/rel_range_join (green r2, unchanged)
-    # ceded slots to round-4 queries ----
+    # rows-only by design (rel_approx_stats); rel_set_ops/
+    # rel_scalar_gallery/rel_date_gallery/rel_pivot/rel_range_join
+    # (green r2, unchanged) ceded slots to round-4 queries ----
     "rel_scalar_gallery",
     "rel_date_gallery",
     "rel_pivot",
