@@ -39,16 +39,21 @@ def main() -> None:
     spark = get_spark(app_name="hbasewd_bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    events = load_table(spark, SF_DIR, "events")
+    # ALL setup (incl. the events load + warm-up scan — the step most
+    # exposed to a driver testdata-encoding change, the round-3 killer)
+    # is guarded: a setup failure degrades to per-query errors, never
+    # to a run with no JSON line.
     try:
+        events = load_table(spark, SF_DIR, "events")
+        events.count()  # warm the JVM + parquet footers (untimed)
         bounds = events.agg(
             (F.min("ts") + F.expr("INTERVAL '12' HOUR")).alias("lo"),
             (F.min("ts") + F.expr("INTERVAL '36' HOUR")).alias("hi"),
             F.min("ts").alias("t0"),
         ).collect()[0]
     except Exception as e:  # setup failure must not zero the whole run
-        print(f"bench: bounds setup FAILED: {e}", file=sys.stderr)
-        bounds = None
+        print(f"bench: events setup FAILED: {e}", file=sys.stderr)
+        events = bounds = None
     salted_path = "/tmp/hbasewd_bench/events_salted"
 
     timings: dict[str, float] = {}
@@ -67,9 +72,6 @@ def main() -> None:
             return None
         timings[name] = round(time.time() - t0, 3)
         return out
-
-    # warm the JVM + parquet footers once (excluded from timings)
-    events.count()
 
     # 1. salted bulk write (the anti-hot-spot ingest path, O1/O2/P3)
     tbl_holder = {}
@@ -153,7 +155,10 @@ def main() -> None:
     timed("embed_outliers", lambda: Q.REGISTRY["ext_embed_outliers"].fn(spark, SF_DIR).count())
 
     total = round(sum(timings.values()), 3)
-    _report_vs_history(total, timings)
+    try:
+        _report_vs_history(total, timings)
+    except Exception as e:  # stderr reporting must never block the JSON line
+        print(f"bench: history report FAILED: {e}", file=sys.stderr)
     payload = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -188,7 +193,9 @@ def _report_vs_history(total: float, timings: dict) -> None:
         file=sys.stderr,
     )
     for name, sec in timings.items():
-        if name in prev and prev[name] > 0:
+        # history lines may carry {"err": ...} dict entries for failed
+        # queries — only numeric priors are comparable
+        if name in prev and isinstance(prev[name], (int, float)) and prev[name] > 0:
             ratio = sec / prev[name]
             flag = "  <-- regression" if ratio > 1.3 else ("  <-- win" if ratio < 0.7 else "")
             print(f"{name:>20}: {prev[name]:7.3f}s -> {sec:7.3f}s ({ratio:4.2f}x){flag}", file=sys.stderr)

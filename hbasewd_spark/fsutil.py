@@ -47,8 +47,11 @@ class Fs:
     def mkdirs(self, p: str) -> None:
         self.fs.mkdirs(self.path(p))
 
-    def rename(self, src: str, dst: str) -> None:
-        self.fs.rename(self.path(src), self.path(dst))
+    def rename(self, src: str, dst: str) -> bool:
+        """Hadoop rename returns False instead of raising (dst exists,
+        object-store quirks) — callers doing swap protocols MUST check
+        it; a discarded False can silently strand or lose files."""
+        return bool(self.fs.rename(self.path(src), self.path(dst)))
 
     def exists(self, p: str) -> bool:
         return self.fs.exists(self.path(p))

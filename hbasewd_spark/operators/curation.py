@@ -204,6 +204,7 @@ def domain_mixture_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 TEMP_BUDGET = 250  # documents to draw across all languages
+_WQUANT = 1_000_000_000  # 1e-9 quantization for the sqrt-weight total
 
 
 def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,9 +217,12 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable across partitioning, retries, and engines.
 
     Cross-engine exact by construction: sqrt is IEEE-correctly-rounded
-    (identical on both engines, unlike ln), the weight total is a
-    decimal sum (order-independent), and every remaining step is a
-    single IEEE divide/multiply on identical operands.
+    (identical on both engines, unlike ln), the weight total sums
+    ``floor(w*1e9 + 0.5)`` integer-quantized weights (order-independent
+    AND tie-free — a double->decimal cast here would reintroduce the
+    HALF_UP-vs-half-even tie divergence this repo banned), and every
+    remaining step is a single IEEE divide/multiply on identical
+    operands.
 
     At 100 TB: one map-side-combinable count per language, rate
     arithmetic on the |langs|-row result, then one scan-resident
@@ -229,8 +233,9 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
     w = F.sqrt(F.col("n_docs").cast("double"))
+    wq = F.floor(w * _WQUANT + F.lit(0.5)).cast("long")
     total = counts.agg(
-        F.sum(w.cast("decimal(28,12)")).cast("double").alias("s_w")
+        (F.sum(wq).cast("double") / F.lit(float(_WQUANT))).alias("s_w")
     )
     p_temp = w / F.col("s_w")
     rates = counts.crossJoin(F.broadcast(total)).select(
@@ -265,8 +270,11 @@ def temperature_mixture_oracle() -> str:
     return f"""
     WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
     total AS (
-      SELECT CAST(sum(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(28,12)))
-                  AS DOUBLE) AS s_w
+      -- floor-quantized integer sum (tie-free), matching the Spark plan;
+      -- CAST on the sum: DuckDB sum(BIGINT) is HUGEINT otherwise
+      SELECT CAST(CAST(sum(CAST(floor(sqrt(CAST(n_docs AS DOUBLE))
+                                      * {_WQUANT}.0 + 0.5) AS BIGINT))
+                       AS BIGINT) AS DOUBLE) / {_WQUANT}.0 AS s_w
       FROM counts
     ),
     rates AS (

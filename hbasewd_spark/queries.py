@@ -1898,11 +1898,12 @@ _R4_PRIORITY = [
     "rel_topk_per_group",
     "rel_rollup",
     "rel_cube",
+    # ---- position 50 boundary (rel_cube is slot 50): everything below
+    # was green in r3 or is rows-only by design (rel_approx_stats);
+    # rel_set_ops/rel_scalar_gallery/rel_date_gallery/rel_pivot/
+    # rel_range_join (green r2, unchanged) ceded slots to the six
+    # round-4 queries ----
     "rel_set_ops",
-    # ---- position 50 boundary: everything below was green in r3 or is
-    # rows-only by design (rel_approx_stats); rel_set_ops/
-    # rel_scalar_gallery/rel_date_gallery/rel_pivot/rel_range_join
-    # (green r2, unchanged) ceded slots to round-4 queries ----
     "rel_scalar_gallery",
     "rel_date_gallery",
     "rel_pivot",

@@ -46,23 +46,33 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
         pass  # already set via session builder, or not supported
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    ensure_nanos_conf(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos -> micros truncation (matches duckdb's ns->us cast)
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Single source of truth for testdata timestamp normalization —
+    used by both the batch loader and the streaming reader, so the
+    next encoding flip is fixed in exactly one place.
+
+    - ``ts`` stored as bigint: the original TIMESTAMP(NANOS) layout
+      read under nanosAsLong — truncate to micros (matches DuckDB's
+      ns->us cast).
+    - ANY timestamp_ntz column, any table: the round-3 regeneration
+      flipped events.ts to timestamp[us] no-tz, which
+      unix_micros/withWatermark reject — and the same flip could hit
+      o_orderdate/l_shipdate next. Session is pinned UTC, so the cast
+      is value-identical to the DuckDB oracle.
+      (inferTimestampNTZ=false usually prevents NTZ from surfacing;
+      this is the per-column backstop.)"""
+    if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # Normalize EVERY no-timezone timestamp column, every table: the
-    # round-3 testdata regeneration flipped events.ts to timestamp[us]
-    # no-tz (Spark TIMESTAMP_NTZ), which unix_micros/withWatermark
-    # reject — and the same flip could hit o_orderdate/l_shipdate next.
-    # Session is pinned UTC, so the cast is value-identical to the
-    # DuckDB oracle. (inferTimestampNTZ=false above usually prevents
-    # NTZ from ever surfacing; this is the per-column backstop.)
     for col_name, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_nanos_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return normalize_timestamps(df)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:

@@ -530,12 +530,9 @@ class SaltedTable:
                 kept.repartition(max(len(boundary), 1), F.col(SALT_COL))
                 .sortWithinPartitions(SALT_COL, self.key_col)
             ).mode("overwrite").save(stage)
-            staged_rows = (
-                self.spark.read.format(self.fmt)
-                .option("basePath", stage)
-                .load(stage)
-                .count()
-            )
+            # _reader, not a bare format read: csv needs header=true +
+            # the persisted schema or header lines count as data rows
+            staged_rows = self._reader(base_path=stage).load(stage).count()
             stats["rows_dropped"] += sum(r.n_rows for r in boundary) - staged_rows
         # originals go away only after the staged replacements are fully
         # written (crash between these steps loses no surviving row —
@@ -544,12 +541,24 @@ class SaltedTable:
             fs.delete(r.file)
         if boundary:
             base = self.path.rstrip("/")
+            failed = []
             for staged in fs.glob(f"{stage}/{SALT_COL}=*/*"):
                 name = staged.rsplit("/", 1)[1]
                 if name.startswith((".", "_")):
                     continue
                 salt_dir = staged.rsplit("/", 2)[1]  # "salt=K"
-                fs.rename(staged, f"{base}/{salt_dir}/{name}")
+                dest = f"{base}/{salt_dir}/{name}"
+                if not fs.rename(staged, dest):
+                    failed.append((staged, dest))
+            if failed:
+                # surviving rows still live in the stage dir — leave it
+                # on disk for manual recovery rather than deleting it
+                self.refresh()
+                raise IOError(
+                    f"expire(): {len(failed)} staged replacement(s) failed to "
+                    f"rename (first: {failed[0][0]} -> {failed[0][1]}); the "
+                    f"stage dir {stage} is preserved with the surviving rows"
+                )
             fs.delete(stage, recursive=True)
         self.refresh()
         return stats
@@ -671,7 +680,11 @@ def compact(table: SaltedTable, target_files_per_salt: int = 1) -> SaltedTable:
     if fs.is_dir(idx_src):
         fs.copy(idx_src, tmp + "/" + SaltedTable.KEY_INDEX_DIR)
     fs.delete(base, recursive=True)
-    fs.rename(tmp, base)
+    if not fs.rename(tmp, base):
+        raise IOError(
+            f"compact(): swap rename {tmp} -> {base} failed; the compacted "
+            f"table is intact at {tmp} — recover it manually"
+        )
     table.refresh()
     # compaction rewrote the data files: restamp the index watermark
     # (the mapping itself is unchanged) so indexed gets stay on the
@@ -711,5 +724,9 @@ def rebucket(table: SaltedTable, new_distributor: KeyDistributor) -> SaltedTable
     )
     del staged  # metadata already written into tmp by write()
     fs.delete(base, recursive=True)
-    fs.rename(tmp, base)
+    if not fs.rename(tmp, base):
+        raise IOError(
+            f"rebucket(): swap rename {tmp} -> {base} failed; the migrated "
+            f"table is intact at {tmp} — recover it manually"
+        )
     return SaltedTable.load(table.spark, base)

@@ -43,15 +43,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # session is pinned UTC: NTZ cast is value-identical and keeps
-    # withWatermark happy (it rejects TIMESTAMP_NTZ event time);
-    # applied to every column as in loaders.load_table
-    for col_name, dtype in stream.dtypes:
-        if dtype == "timestamp_ntz":
-            stream = stream.withColumn(col_name, F.col(col_name).cast("timestamp"))
-    return stream
+    from hbasewd_spark.sources.loaders import normalize_timestamps
+
+    # shared normalization with the batch loader (nanos-as-bigint and
+    # TIMESTAMP_NTZ -> TIMESTAMP; withWatermark rejects NTZ event time)
+    return normalize_timestamps(stream)
 
 
 def idempotent_salted_batch_write(
@@ -91,7 +87,15 @@ def idempotent_salted_batch_write(
         target_dir = dest_path.rstrip("/") + "/" + salt_dir.rsplit("/", 1)[1]
         fs.mkdirs(target_dir)
         for seq, f in enumerate(fs.glob(f"{salt_dir}/*.parquet")):
-            fs.rename(f, f"{target_dir}/epoch-{epoch_id:010d}-{seq:05d}.parquet")
+            dest = f"{target_dir}/epoch-{epoch_id:010d}-{seq:05d}.parquet"
+            if not fs.rename(f, dest):
+                # leave the stage dir intact (this epoch's data lives
+                # there); foreachBatch will retry the epoch and the
+                # purge-then-rewrite protocol makes the retry safe
+                raise IOError(
+                    f"epoch {epoch_id}: rename {f} -> {dest} failed; "
+                    f"stage {stage} preserved for the retry"
+                )
     fs.delete(stage, recursive=True)
 
 
@@ -417,7 +421,11 @@ def _rollup_merge_fn(state_path: str):
         ).parquet(stage)
         final = f"{base}/epoch={epoch_id}"
         fs.delete(final, recursive=True)
-        fs.rename(stage, final)
+        if not fs.rename(stage, final):
+            raise IOError(
+                f"rollup epoch {epoch_id}: rename {stage} -> {final} failed; "
+                f"snapshot chain unchanged, epoch will be retried"
+            )
         # GC: keep this snapshot + its predecessor (the only one a
         # replay of a NEWER epoch could still need)
         for eid, p in prior[:-1]:
