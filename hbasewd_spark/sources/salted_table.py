@@ -156,9 +156,25 @@ class SaltedTable:
 
     def df(self) -> DataFrame:
         """Table handle (memoized — repeated point gets / scans reuse
-        one file listing; call :meth:`refresh` after external appends)."""
+        one file listing; call :meth:`refresh` after external appends).
+
+        A table with ZERO data files (expire() past every key, or a
+        just-created empty table) can't infer a schema from parquet —
+        fall back to the persisted data schema + salt so every
+        downstream operator sees a normal empty relation instead of
+        UNABLE_TO_INFER_SCHEMA."""
         if getattr(self, "_df", None) is None:
-            self._df = self._reader().load(self.path)
+            try:
+                self._df = self._reader().load(self.path)
+            except Exception:
+                if not self.data_schema_json:
+                    raise
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(
+                    json.loads(self.data_schema_json)
+                ).add(SALT_COL, "integer")
+                self._df = self.spark.createDataFrame([], schema)
         return self._df
 
     def refresh(self) -> None:

@@ -489,3 +489,28 @@ def test_curation_composes_with_salted_substrate(spark, sf_dir, tmp_path):
     direct = {r.source: (r.n, r.sum_q) for r in quality_rollup(docs).collect()}
     via_salted = {r.source: (r.n, r.sum_q) for r in quality_rollup(t.scan()).collect()}
     assert direct == via_salted and len(direct) > 0
+
+
+def test_expire_everything_leaves_a_readable_empty_table(spark, kv, tmp_path):
+    """Expiring past every key must leave a USABLE empty table (scan /
+    point_get / describe / another expire all work), not an
+    UNABLE_TO_INFER_SCHEMA wreck — df() falls back to the persisted
+    schema when zero data files remain."""
+    from hbasewd_spark.plans.distributor import HashDistributor
+    from hbasewd_spark.sources.kv_fixture import KEY_PREFIX
+    from hbasewd_spark.sources.salted_table import SaltedTable
+
+    t = SaltedTable.write(kv, str(tmp_path / "all"), HashDistributor(4), "key_long")
+    stats = t.expire(KEY_PREFIX + 10_000)
+    assert stats == {
+        "files_dropped": 4, "files_rewritten": 0, "files_kept": 0,
+        "rows_dropped": 500,
+    }
+    assert t.df().count() == 0
+    assert t.scan(start=KEY_PREFIX).count() == 0
+    assert t.point_get(KEY_PREFIX + 500).count() == 0
+    assert t.expire(KEY_PREFIX + 20_000)["rows_dropped"] == 0  # idempotent
+    assert set(t.df().columns) >= set(kv.columns)
+    # a fresh handle from disk metadata is equally usable
+    t2 = SaltedTable.load(spark, t.path)
+    assert t2.df().count() == 0
