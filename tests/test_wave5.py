@@ -514,3 +514,23 @@ def test_expire_everything_leaves_a_readable_empty_table(spark, kv, tmp_path):
     # a fresh handle from disk metadata is equally usable
     t2 = SaltedTable.load(spark, t.path)
     assert t2.df().count() == 0
+
+
+def test_lifecycle_edges_on_empty_and_inverted_inputs(spark, kv, tmp_path):
+    """Operational edges stay sane: compact and rebucket of a fully
+    expired (empty) table succeed and stay empty; an inverted scan
+    range returns nothing rather than raising; an empty change set
+    upserts as identity."""
+    from hbasewd_spark.plans.distributor import HashDistributor
+    from hbasewd_spark.sources.kv_fixture import KEY_PREFIX
+    from hbasewd_spark.sources.salted_table import SaltedTable, compact, rebucket
+
+    t = SaltedTable.write(kv, str(tmp_path / "edge"), HashDistributor(4), "key_long")
+    t.expire(KEY_PREFIX + 10_000)
+    assert compact(t).df().count() == 0
+    t = rebucket(t, HashDistributor(8))
+    assert t.df().count() == 0 and t.distributor.buckets == 8
+
+    t2 = SaltedTable.write(kv, str(tmp_path / "edge2"), HashDistributor(4), "key_long")
+    assert t2.scan(start=KEY_PREFIX + 900, stop=KEY_PREFIX + 100).count() == 0
+    assert t2.upsert_rows(kv.limit(0)).df().count() == 500
