@@ -1257,7 +1257,7 @@ def _manifest_duck() -> str:
         h = sql_md5_long(f"CAST({k} AS VARCHAR)", "duckdb")
         selects.append(
             f"SELECT '{t}' AS table_name, count(*) AS n_rows, "
-            f"CAST(sum({h}) AS BIGINT) AS key_checksum FROM {t}"
+            f"CAST(sum({h}) % 4294967296 AS BIGINT) AS key_checksum FROM {t}"
         )
     return "\nUNION ALL\n".join(selects)
 
@@ -1266,8 +1266,13 @@ def _manifest_duck() -> str:
     "ext_dataset_manifest",
     None,
     "dataset manifest for drift detection: per-table row count + "
-    "order-free key checksum (sum of md5-longs — partitioning- and "
-    "engine-independent). The round-3 incident in one query: a silent "
+    "order-free key checksum (sum of md5-longs taken mod 2^32 — "
+    "partitioning- and engine-independent, and overflow-CLOSED: "
+    "Spark's non-ANSI sum(long) wraps mod 2^64 and 2^32 | 2^64, so "
+    "pmod(sum, 2^32) equals the true modular sum at ANY row count, "
+    "while DuckDB sums in HUGEINT then takes % 2^32 — identical "
+    "values with no wrap-vs-raise divergence near ~4B rows). The "
+    "round-3 incident in one query: a silent "
     "testdata regeneration between pipeline runs changes this manifest "
     "before it breaks anything downstream. At scale: 10 independent "
     "single-pass map-side-combinable aggregations, one row per table",
@@ -1282,7 +1287,10 @@ def ext_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load_table(spark, sf_dir, t)
         parts.append(
             df.select(md5_long(k).alias("h"))
-            .agg(F.count("*").alias("n_rows"), F.sum("h").alias("key_checksum"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.pmod(F.sum("h"), F.lit(2**32)).alias("key_checksum"),
+            )
             .select(F.lit(t).alias("table_name"), "n_rows", "key_checksum")
         )
     return reduce(lambda a, b: a.unionByName(b), parts)

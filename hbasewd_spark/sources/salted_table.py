@@ -162,12 +162,18 @@ class SaltedTable:
         just-created empty table) can't infer a schema from parquet —
         fall back to the persisted data schema + salt so every
         downstream operator sees a normal empty relation instead of
-        UNABLE_TO_INFER_SCHEMA."""
+        UNABLE_TO_INFER_SCHEMA. The fallback is gated on an actual
+        file listing: ONLY a genuinely file-less table substitutes the
+        empty relation. Any other load failure (transient store error,
+        corrupt footer, permissions) re-raises — compact()/rebucket()
+        read through here before deleting the base dir, so masking a
+        transient read error as "empty table" would be a data-loss
+        path, not just a wrong answer."""
         if getattr(self, "_df", None) is None:
             try:
                 self._df = self._reader().load(self.path)
             except Exception:
-                if not self.data_schema_json:
+                if not self.data_schema_json or self._has_data_files():
                     raise
                 from pyspark.sql.types import StructType
 
@@ -176,6 +182,16 @@ class SaltedTable:
                 ).add(SALT_COL, "integer")
                 self._df = self.spark.createDataFrame([], schema)
         return self._df
+
+    def _has_data_files(self) -> bool:
+        """True iff at least one non-hidden data file exists under a
+        salt partition dir — the ground truth for whether an empty-
+        relation fallback is legitimate in :meth:`df`."""
+        fs = Fs(self.spark, self.path)
+        return any(
+            not p.rsplit("/", 1)[1].startswith((".", "_"))
+            for p in fs.glob(f"{self.path.rstrip('/')}/{SALT_COL}=*/*")
+        )
 
     def refresh(self) -> None:
         self._df = None
@@ -526,8 +542,14 @@ class SaltedTable:
             raise ValueError("expire() requires a cutoff key")
         fs = Fs(self.spark, self.path)
         zones = self.zone_map(self.key_col).collect()
-        drop = [r for r in zones if r.hi < before]
-        boundary = [r for r in zones if r.lo < before <= r.hi]
+        # zone lo/hi are min/max over non-null keys: a file whose keys
+        # are ALL null has (None, None) bounds — a null key has no age,
+        # so such files are always kept (and null-keyed rows in
+        # boundary files are preserved by the isNull disjunct below)
+        drop = [r for r in zones if r.hi is not None and r.hi < before]
+        boundary = [
+            r for r in zones if r.lo is not None and r.lo < before <= r.hi
+        ]
         stats = {
             "files_dropped": len(drop),
             "files_rewritten": len(boundary),
@@ -539,7 +561,10 @@ class SaltedTable:
             kept = (
                 self._reader(base_path=self.path)
                 .load([r.file for r in boundary])
-                .where(F.col(self.key_col) >= F.lit(before))
+                .where(
+                    (F.col(self.key_col) >= F.lit(before))
+                    | F.col(self.key_col).isNull()
+                )
             )
             fs.delete(stage, recursive=True)
             self._writer(
@@ -695,12 +720,7 @@ def compact(table: SaltedTable, target_files_per_salt: int = 1) -> SaltedTable:
     idx_src = base + "/" + SaltedTable.KEY_INDEX_DIR
     if fs.is_dir(idx_src):
         fs.copy(idx_src, tmp + "/" + SaltedTable.KEY_INDEX_DIR)
-    fs.delete(base, recursive=True)
-    if not fs.rename(tmp, base):
-        raise IOError(
-            f"compact(): swap rename {tmp} -> {base} failed; the compacted "
-            f"table is intact at {tmp} — recover it manually"
-        )
+    _swap_table_dirs(fs, tmp, base, "compact")
     table.refresh()
     # compaction rewrote the data files: restamp the index watermark
     # (the mapping itself is unchanged) so indexed gets stay on the
@@ -739,10 +759,32 @@ def rebucket(table: SaltedTable, new_distributor: KeyDistributor) -> SaltedTable
         data, tmp, new_distributor, table.key_col, fmt=table.fmt
     )
     del staged  # metadata already written into tmp by write()
-    fs.delete(base, recursive=True)
-    if not fs.rename(tmp, base):
-        raise IOError(
-            f"rebucket(): swap rename {tmp} -> {base} failed; the migrated "
-            f"table is intact at {tmp} — recover it manually"
-        )
+    _swap_table_dirs(fs, tmp, base, "rebucket")
     return SaltedTable.load(table.spark, base)
+
+
+def _swap_table_dirs(fs: Fs, tmp: str, base: str, op: str) -> None:
+    """Crash-safe directory swap for the lifecycle rewrites: rename the
+    live table ASIDE (``base -> base.old``) before renaming the staged
+    replacement into place, and delete the aside copy only after the
+    swap lands. Every failure mode leaves a complete, loadable table at
+    a known path (``base`` or ``base.old`` or ``tmp``) — the previous
+    delete-then-rename protocol had a window where a crash left NO
+    table at ``base`` and the only copy in a ``*_tmp`` sibling."""
+    old = base + ".old"
+    fs.delete(old, recursive=True)  # leftover from a prior crashed swap
+    if fs.exists(base) and not fs.rename(base, old):
+        raise IOError(
+            f"{op}(): could not move the live table aside "
+            f"({base} -> {old}); nothing was changed — the live table is "
+            f"intact at {base} and the rewrite is intact at {tmp}"
+        )
+    if not fs.rename(tmp, base):
+        # roll the original back so `base` stays loadable
+        restored = fs.rename(old, base)
+        raise IOError(
+            f"{op}(): swap rename {tmp} -> {base} failed; the rewrite is "
+            f"intact at {tmp} and the original table is "
+            + (f"restored at {base}" if restored else f"preserved at {old}")
+        )
+    fs.delete(old, recursive=True)

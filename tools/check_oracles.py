@@ -168,10 +168,11 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
 
-    n_fail = n_rows_only = 0
+    n_fail = n_rows_only = n_ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_ran += 1
         t0 = time.time()
         try:
             spark_df = fn(spark, args.sf)
@@ -202,7 +203,12 @@ def main() -> int:
                 print(f"      {e}")
         else:
             print(f"ok    {name}: {len(spark_pdf)} rows [{time.time()-t0:.1f}s]")
-    print(f"\n{len(qs)} queries, {n_fail} failed, {n_rows_only} rows-only")
+    # ran-count, NOT the registry size: a --only run must not read as
+    # a full-gate attestation
+    print(
+        f"\n{n_ran} ran (of {len(qs)} registered), "
+        f"{n_fail} failed, {n_rows_only} rows-only"
+    )
     return 1 if n_fail else 0
 
 
