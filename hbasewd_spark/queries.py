@@ -1838,92 +1838,35 @@ def rel_ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# dict order. Round-4 window policy (VERDICT r3 item 4): head = the 13
-# queries that have never had a driver row (round-3 additions that were
-# registered behind the window) + the 11 red rows from r3 (now fixed:
-# 5 NTZ, 5 HUGEINT, 1 replaced by a hashable companion), then the
-# longest-unchecked round-2 queries — the reference-surface o*/p* core
-# first (it must never go two rounds unattested), then the wave-1
-# relational queries last green in r2. Everything checked green in r3
-# sits behind position 50. rel_approx_stats (rows-only by design) is
-# rotated out of the window; its new exact twin rel_exact_stats takes
-# slot 1 with a full value-hash oracle.
-_R4_PRIORITY = [
-    # slot 1: the hashable companion replacing the by-design rows-only row
-    "rel_exact_stats",
-    # new in round 4 — never checked anywhere yet, so they lead
-    "ext_temperature_mixture",
-    "ext_embed_outliers",
-    "stream_static_enrich",
-    "ext_text_keywords",
-    "ext_dataset_manifest",
-    # never driver-checked (registered behind the 50-row window in r3)
-    "ext_semdedup",
-    "ext_passage_dedup",
-    "ext_domain_mixture",
-    "stream_sliding_window",
-    "rel_incremental_mv",
-    "rel_q2_min_cost_supplier",
-    "rel_q8_market_share",
-    "rel_q11_important_parts",
-    "rel_q13_order_distribution",
-    "rel_q16_supplier_variety",
-    "rel_q17_small_qty_revenue",
-    "rel_q20_dominant_suppliers",
-    "rel_q22_sales_opportunity",
-    # red in CORRECTNESS_r03 — NTZ loader crash, fixed in loaders.py
-    "rel_sessionization",
-    "rel_regression_agg",
-    "stream_windowed_agg",
-    "stream_stream_join",
-    "stream_session_window",
-    # red in CORRECTNESS_r03 — HUGEINT oracle typing, CAST AS BIGINT fixed
-    "ext_multimodal_stats",
-    "ext_multimodal_frames",
-    "ext_text_pii_scrub",
-    "ext_train_val_test_split",
-    "ext_pipeline_corpus_curation",
-    # reference-surface core, last attested in r2 (never skip 2 rounds)
-    "o1_roundrobin_salt_balance",
-    "o2_hash31_salt_distribution",
-    "o3_desalt_roundtrip",
-    "o4_point_get_roundrobin_fanout",
-    "o6_prefix_domain_counts",
-    "o7_interval_fanout_counts",
-    "o9_ordered_range_scan",
-    "p2_point_get_hash_pruned",
-    "p5_filter_projection_passthrough",
-    "p6_count_range",
-    "p7_limit_dump",
-    "p8_key_codec_hex",
-    "p8_bytecompat_salted_keys",
-    # wave-1 relational, last attested in r2
-    "rel_q1_pricing_summary",
-    "rel_join_broadcast",
-    "rel_join_multiway",
-    "rel_join_semi_anti",
-    "rel_window_running",
-    "rel_topk_per_group",
-    "rel_rollup",
-    "rel_cube",
-    # ---- position 50 boundary (rel_cube is slot 50): everything below
-    # was green in r3 or is rows-only by design (rel_approx_stats);
-    # rel_set_ops/rel_scalar_gallery/rel_date_gallery/rel_pivot/
-    # rel_range_join (green r2, unchanged) ceded slots to the six
-    # round-4 queries ----
-    "rel_set_ops",
-    "rel_scalar_gallery",
-    "rel_date_gallery",
-    "rel_pivot",
-    "rel_range_join",
-    "rel_approx_stats",
-]
-
-
+# dict order, so registry order IS the attestation rotation policy.
+# Rounds 2-4 hand-curated a priority list each round; round 5 makes the
+# rotation STRUCTURAL (VERDICT r4 item 1): order the registry
+# oldest-attested-first from the generated attestation history
+# (hbasewd_spark/attestation.py, derived from CORRECTNESS_r*.json by
+# tools/gen_priority.py — regenerate after every round). Sort key:
+#
+#   1. latest driver-attested round (never attested -> 0, leads);
+#   2. oracle-less (rows-only by design) queries sort BEHIND
+#      oracle-backed ones within the same staleness cohort — a
+#      rows-only query must never displace a value-hash attestation
+#      from the 50-slot window (the round-3 wasted-slot lesson);
+#   3. registry insertion order (stable, deterministic).
+#
+# With this, "the window is exactly the stalest 50 hash-attestable
+# queries" holds by construction every round, no curation needed.
 def _ordered_names() -> list[str]:
-    head = [n for n in _R4_PRIORITY if n in REGISTRY]
-    tail = [n for n in REGISTRY if n not in set(head)]
-    return head + tail
+    from hbasewd_spark.attestation import LAST_ATTESTED
+
+    names = list(REGISTRY)
+    idx = {n: i for i, n in enumerate(names)}
+    return sorted(
+        names,
+        key=lambda n: (
+            LAST_ATTESTED.get(n, 0),
+            0 if REGISTRY[n].oracle else 1,
+            idx[n],
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -351,20 +351,57 @@ def test_temperature_mixture_single_corpus_agg_and_broadcast_rates(spark, sf_dir
 
 def test_driver_window_has_no_wasted_slots():
     """The driver checks the FIRST 50 registry entries. Guard the
-    mechanism itself: every priority name resolves to a real query,
-    the first 50 all carry a value-hash oracle (a rows-only query in
-    the window wastes a gate slot — round-3 lesson), no duplicates,
-    and the ordering function is total over the registry."""
-    from hbasewd_spark.queries import REGISTRY, _R4_PRIORITY, oracle_sql, queries
-
-    missing = [n for n in _R4_PRIORITY if n not in REGISTRY]
-    assert not missing, f"priority names not in registry: {missing}"
-    assert len(_R4_PRIORITY) == len(set(_R4_PRIORITY))
+    mechanism itself: the ordering is total over the registry, has no
+    duplicates, and the first 50 all carry a value-hash oracle (a
+    rows-only query in the window wastes a gate slot — round-3
+    lesson)."""
+    from hbasewd_spark.queries import REGISTRY, oracle_sql, queries
 
     names = list(queries())
     assert sorted(names) == sorted(REGISTRY)  # total, no drops
+    assert len(names) == len(set(names))
 
     oracles = oracle_sql()
     window = names[:50]
     no_oracle = [n for n in window if n not in oracles]
     assert not no_oracle, f"rows-only queries inside the 50-slot window: {no_oracle}"
+
+
+def test_driver_window_is_exactly_the_stalest_50():
+    """Round-5 policy (VERDICT r4 item 1): the 50-slot window is
+    DERIVED from attestation history, not hand-curated. Recompute the
+    history straight from the CORRECTNESS_r*.json files and assert
+    (a) the committed generated module matches them (regeneration
+    can't be forgotten), and (b) the window is exactly the 50
+    oldest-attested oracle-backed queries — every r2-only query leads,
+    nothing attested in the latest round sits inside the window while
+    a staler query waits outside."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import gen_priority
+
+    from hbasewd_spark.attestation import LAST_ATTESTED
+    from hbasewd_spark.queries import REGISTRY, queries
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recomputed, _files = gen_priority.compute_last_attested(repo_root)
+    assert recomputed == LAST_ATTESTED, (
+        "hbasewd_spark/attestation.py is stale — run python tools/gen_priority.py"
+    )
+
+    names = list(queries())
+    window, behind = names[:50], names[50:]
+    max_in_window = max(LAST_ATTESTED.get(n, 0) for n in window)
+    min_behind = min(LAST_ATTESTED.get(n, 0) for n in behind)
+    # staleness is monotone across the boundary (rows-only queries may
+    # sort behind within their cohort — they can't waste a hash slot)
+    oracle_behind = [n for n in behind if REGISTRY[n].oracle]
+    if oracle_behind:
+        min_oracle_behind = min(LAST_ATTESTED.get(n, 0) for n in oracle_behind)
+        assert max_in_window <= min_oracle_behind, (
+            f"window holds a query attested r{max_in_window} while an "
+            f"oracle-backed query attested r{min_oracle_behind} waits behind"
+        )
+    assert min_behind >= 0  # totality
