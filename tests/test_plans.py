@@ -233,13 +233,13 @@ def _unpartitioned_windows(plan: str) -> list[str]:
 
 
 # Documented parity fixtures that inherently need a whole-input global
-# window (the reference's single-writer round-robin counter / the
-# ordered-scan rn verification stamp over a bounded key range).
+# window (the reference's single-writer round-robin counter — a
+# sequential assignment by definition). o9's rn stamp left this list
+# in round 5: global_rank stamps it with partition-offset arithmetic.
 _GLOBAL_WINDOW_FIXTURES = {
     "o1_roundrobin_salt_balance",
     "o3_desalt_roundtrip",
     "o4_point_get_roundrobin_fanout",
-    "o9_ordered_range_scan",
 }
 
 
