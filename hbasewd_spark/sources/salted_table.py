@@ -74,6 +74,7 @@ class SaltedTable:
         key_col: str,
         mode: str = "overwrite",
         fmt: str = "parquet",
+        zone_map_cols: list[str] | None = None,
     ) -> "SaltedTable":
         """Bulk salted ingest (P3 at DataFrame granularity).
 
@@ -114,7 +115,13 @@ class SaltedTable:
         Fs(df.sparkSession, path).write_text(
             path.rstrip("/") + "/" + META_FILE, json.dumps(meta)
         )
-        return cls(df.sparkSession, path, distributor, key_col, fmt, data_schema_json)
+        t = cls(df.sparkSession, path, distributor, key_col, fmt, data_schema_json)
+        # write-time zone maps: pay one column-pruned scan per listed
+        # column now so later pruned_scan/expire planning reads the
+        # tiny sidecar instead of re-scanning the table
+        for c in zone_map_cols or []:
+            t.build_zone_map(c)
+        return t
 
     # -------------------------------------------------------------- read
     @classmethod
@@ -420,6 +427,73 @@ class SaltedTable:
         return self
 
     # ------------------------------------------------------- zone map index
+    ZONE_MAP_DIR = "_zone_maps"
+    ZONE_META_FILE = "_zone_meta.json"
+    # above this many files, the driver-side zone-map collect is the
+    # same cost class as the reference's client-side scan planning but
+    # deserves a metastore — warn so the operator knows (SCALE.md §
+    # driver-side metadata)
+    ZONE_MAP_DRIVER_WARN_FILES = 100_000
+
+    def build_zone_map(self, col: str) -> None:
+        """Persist the per-file zone map for ``col`` into the table
+        sidecar (``_zone_maps/<col>/``, underscore-prefixed so scans
+        never list it), watermarked with the data-file signature like
+        the key index. A fresh persisted map turns every later
+        :meth:`pruned_scan` / :meth:`expire` planning step into one
+        tiny parquet read instead of a full column scan of the table —
+        at 100 TB that is the difference between O(index) and O(data)
+        planning. Stale maps (any append/compact/expire since the
+        build) are detected via the watermark and silently bypassed."""
+        zm_dir = self._zone_dir(col)
+        self.zone_map(col).write.mode("overwrite").parquet(zm_dir)
+        fs = Fs(self.spark, self.path)
+        fs.write_text(
+            zm_dir + "/" + self.ZONE_META_FILE,
+            json.dumps({"data_sig": self._data_signature(fs)}),
+        )
+        if isinstance(getattr(self, "_zone_maps", None), dict):
+            self._zone_maps.pop(col, None)
+
+    def _zone_dir(self, col: str) -> str:
+        return f"{self.path.rstrip('/')}/{self.ZONE_MAP_DIR}/{col}"
+
+    def _zone_rows(self, col: str) -> list:
+        """Collected zone rows for ``col`` — from the persisted sidecar
+        when present and fresh, else computed live; memoized per table
+        handle (refresh() clears). O(#files) driver rows by design;
+        warns past ZONE_MAP_DRIVER_WARN_FILES."""
+        import warnings
+
+        zm_cache = getattr(self, "_zone_maps", None)
+        if zm_cache is None:
+            zm_cache = self._zone_maps = {}
+        if col not in zm_cache:
+            zm_dir = self._zone_dir(col)
+            fs = Fs(self.spark, self.path)
+            rows = None
+            if fs.is_dir(zm_dir):
+                try:
+                    meta = json.loads(
+                        fs.read_text(zm_dir + "/" + self.ZONE_META_FILE)
+                    )
+                    if meta.get("data_sig") == self._data_signature(fs):
+                        rows = self.spark.read.parquet(zm_dir).collect()
+                except Exception:
+                    rows = None  # unreadable/stale sidecar: recompute
+            if rows is None:
+                rows = self.zone_map(col).collect()
+            if len(rows) > self.ZONE_MAP_DRIVER_WARN_FILES:
+                warnings.warn(
+                    f"zone map for {col!r} holds {len(rows)} file entries "
+                    f"on the driver; above ~{self.ZONE_MAP_DRIVER_WARN_FILES} "
+                    f"files move this planning step to a metastore/manifest "
+                    f"(see SCALE.md, driver-side metadata)",
+                    stacklevel=3,
+                )
+            zm_cache[col] = rows
+        return zm_cache[col]
+
     def zone_map(self, col: str) -> DataFrame:
         """Secondary zone-map index: per-file (lo, hi, n_rows) stats for
         ``col`` — a coarse secondary index in the spirit of the
@@ -448,15 +522,12 @@ class SaltedTable:
         because Spark still has to open every footer. The residual
         predicate is re-applied, so results are exact regardless of how
         loose the zones are."""
-        zm_cache = getattr(self, "_zone_maps", None)
-        if zm_cache is None:
-            zm_cache = self._zone_maps = {}
-        if col not in zm_cache:
-            zm_cache[col] = self.zone_map(col).collect()
         keep = [
             r.file
-            for r in zm_cache[col]
-            if (hi is None or r.lo < hi) and (lo is None or r.hi >= lo)
+            for r in self._zone_rows(col)
+            if r.lo is not None  # all-NULL-col files can't match a range
+            and (hi is None or r.lo < hi)
+            and (lo is None or r.hi >= lo)
         ]
         pred = range_predicate(col, lo, hi)
         if not keep:
@@ -541,7 +612,7 @@ class SaltedTable:
         if before is None:
             raise ValueError("expire() requires a cutoff key")
         fs = Fs(self.spark, self.path)
-        zones = self.zone_map(self.key_col).collect()
+        zones = self._zone_rows(self.key_col)
         # zone lo/hi are min/max over non-null keys: a file whose keys
         # are ALL null has (None, None) bounds — a null key has no age,
         # so such files are always kept (and null-keyed rows in
