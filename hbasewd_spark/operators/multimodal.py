@@ -4,11 +4,13 @@ Images/audio/video ride through the engine as opaque ``BinaryType``
 payload columns plus a typed metadata struct — the same "schema on the
 edge, bytes in the middle" stance as the byte-compat key codec. The
 Spark-side plumbing here is real (schemas, Arrow batch shapes,
-``mapInPandas`` decode operators, partition sizing); the actual codec
-call is stubbed (``NotImplementedError``) or replaced by a
-deterministic fake, because no image/audio libraries ship in this
-container. Swapping ``_fake_decode_batch`` for PIL/ffmpeg is a
-one-function change — the distributed plumbing does not move.
+``mapInPandas`` decode operators, partition sizing). The WAV codec is
+REAL — canonical PCM WAV is a struct-described container, parsed here
+with stdlib ``struct`` alone (:func:`parse_wav`). Image codecs remain
+a deterministic fake behind a loud ``NotImplementedError`` seam,
+because no image library ships in this container; swapping the image
+branch of ``_decode_batch`` for PIL/ffmpeg is a one-function change —
+the distributed plumbing does not move.
 
 At 100 TB: payloads dominate bytes, so the rules are (a) never shuffle
 payload columns (project them away before joins/aggs — Spark's column
@@ -72,43 +74,116 @@ def media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parse_wav(b: bytes) -> dict | None:
+    """REAL (stdlib-only) RIFF/WAVE parse: header validation + chunk
+    walk + PCM 'fmt '/'data' extraction, pure ``struct`` — no codec
+    library needed because canonical PCM WAV is a struct-described
+    container. Returns ``{channels, sample_rate, bits_per_sample,
+    block_align, data_offset, data_bytes, n_frames, duration_s}`` or
+    ``None`` when ``b`` is not a well-formed PCM WAV (truncated,
+    missing chunks, zero block align) — callers treat None as "not
+    audio" and fall back, never crash."""
+    import struct as _struct
+
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data = None  # (offset, size)
+    off = 12
+    while off + 8 <= len(b):
+        cid = b[off : off + 4]
+        (size,) = _struct.unpack_from("<I", b, off + 4)
+        body = off + 8
+        if cid == b"fmt " and size >= 16 and body + 16 <= len(b):
+            audio_fmt, ch, rate, _byte_rate, block, bits = _struct.unpack_from(
+                "<HHIIHH", b, body
+            )
+            fmt = (audio_fmt, ch, rate, block, bits)
+        elif cid == b"data":
+            data = (body, min(size, len(b) - body))
+        off = body + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, ch, rate, block, bits = fmt
+    if audio_fmt != 1 or block == 0 or ch == 0 or rate == 0:  # PCM only
+        return None
+    data_off, data_len = data
+    n_frames = data_len // block
+    return {
+        "channels": ch,
+        "sample_rate": rate,
+        "bits_per_sample": bits,
+        "block_align": block,
+        "data_offset": data_off,
+        "data_bytes": data_len,
+        "n_frames": n_frames,
+        "duration_s": n_frames / rate,
+    }
+
+
 def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     """Decode/feature-extract payloads via ``mapInPandas`` — one Arrow
-    batch in, one feature frame out. ``fake=False`` is the seam where a
-    real decoder (PIL/torchaudio/ffmpeg) plugs in."""
+    batch in, one feature frame out.
+
+    The ``wav`` branch is REAL: payloads that parse as PCM WAV
+    (:func:`parse_wav`, stdlib struct — no codec library) emit
+    ``width=channels``, ``height=bits_per_sample`` and PCM-data-chunk
+    byte stats. Image formats (and non-WAV bytes labeled ``wav``) use
+    the deterministic fake, because no image library ships in this
+    container; ``fake=False`` makes that image seam loud instead of
+    silently fake."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if fake:
-                yield _fake_decode_batch(pdf)
+                yield _decode_batch(pdf)
             else:
                 raise NotImplementedError(
-                    "real media decoding requires PIL/ffmpeg — not available "
-                    "in this container; use fake=True for the deterministic stub"
+                    "real image decoding requires PIL/ffmpeg — not available "
+                    "in this container; use fake=True (WAV payloads are "
+                    "still really parsed on that path)"
                 )
 
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
-def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic stand-in for a decoder: derives 'image' properties
-    from payload bytes alone, so tests and oracles can verify the
-    distributed plumbing end-to-end."""
-    n_bytes = pdf["payload"].map(len).astype("int64")
-    width = (16 + n_bytes % 240).astype("int32")
-    height = (16 + (n_bytes * 7) % 240).astype("int32")
-    # integer byte sum (exact, aggregation-safe) + mean as its ratio
-    byte_sum = pdf["payload"].map(lambda b: sum(b)).astype("int64")
-    mean_luma = byte_sum.astype("float64") / n_bytes.where(n_bytes > 0, 1)
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One Arrow batch of decodes. Genuine PCM WAV payloads take the
+    REAL parse (feature columns reinterpreted for audio:
+    width=channels, height=bits_per_sample, byte stats over the data
+    chunk only); everything else takes the deterministic image stand-in
+    that derives 'image' properties from payload bytes alone, so tests
+    and oracles can verify the distributed plumbing end-to-end."""
+    doc_id, fmt_o, n_bytes, width, height, byte_sum, mean = [], [], [], [], [], [], []
+    for did, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+        b = payload or b""
+        f = meta["format"]
+        wav = parse_wav(b) if f == "wav" else None
+        doc_id.append(did)
+        fmt_o.append(f)
+        n_bytes.append(len(b))
+        if wav is not None:
+            data = b[wav["data_offset"] : wav["data_offset"] + wav["data_bytes"]]
+            s = sum(data)
+            width.append(wav["channels"])
+            height.append(wav["bits_per_sample"])
+            byte_sum.append(s)
+            mean.append(s / max(len(data), 1))
+        else:
+            s = sum(b)
+            width.append(16 + len(b) % 240)
+            height.append(16 + (len(b) * 7) % 240)
+            byte_sum.append(s)
+            mean.append(s / max(len(b), 1))
     return pd.DataFrame(
         {
-            "doc_id": pdf["doc_id"],
-            "format": pdf["meta"].map(lambda m: m["format"]),
-            "n_bytes": n_bytes,
-            "width": width,
-            "height": height,
-            "byte_sum": byte_sum,
-            "mean_luma": mean_luma,
+            "doc_id": pd.Series(doc_id, dtype="int64"),
+            "format": pd.Series(fmt_o, dtype="object"),
+            "n_bytes": pd.Series(n_bytes, dtype="int64"),
+            "width": pd.Series(width, dtype="int32"),
+            "height": pd.Series(height, dtype="int32"),
+            "byte_sum": pd.Series(byte_sum, dtype="int64"),
+            "mean_luma": pd.Series(mean, dtype="float64"),
         }
     )
 
