@@ -38,6 +38,28 @@ META_FILE = "_wd_distributor.json"
 SALT_COL = "salt"
 
 
+def sql_literal(v: Any) -> str:
+    """Render a Python value as an ANSI-SQL literal for the plain-SQL
+    scan path (:meth:`SaltedTable.salted_where`). Covers every key
+    type the engine salts on: ints, floats, strings, dates,
+    timestamps, binary."""
+    import datetime
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (bytes, bytearray)):
+        return f"X'{bytes(v).hex()}'"
+    raise TypeError(f"no SQL literal rendering for {type(v).__name__}")
+
+
 def salted(df: DataFrame, distributor: KeyDistributor, key_col: str) -> DataFrame:
     """getDistributedKey as a bulk transform: add the salt column
     (RowKeyDistributorByOneBytePrefix.java:47-53 / ByHashPrefix:111-114,
@@ -752,6 +774,30 @@ class SaltedTable:
         if not keep_salt:
             df = df.drop(SALT_COL)
         df.createOrReplaceTempView(name)
+
+    def salted_where(self, start: Any = None, stop: Any = None) -> str:
+        """SQL WHERE fragment for a ``[start, stop)`` key-range scan
+        over the :meth:`register_view` view — the plain-SQL twin of
+        :meth:`scan`'s predicate, so SQL users never hand-write salt
+        logic (the Scan-API transparency of
+        AbstractRowKeyDistributor.java:71-81).
+
+        Under hash salting a key RANGE touches every bucket by design
+        (the reference's ``getDistributedIntervals`` fans out to all N
+        prefixes, AbstractRowKeyDistributor.java:47-69), so there is no
+        salt predicate to inject for ranges — pruning happens via the
+        key predicate pushed to every bucket's row groups, identically
+        to the facade path (plan-asserted in
+        tests/test_sql_transparency.py). Point predicates (``key = X``)
+        additionally prune to ONE bucket through the view's salt
+        invariant — use plain equality SQL for those; no helper needed.
+        """
+        parts = []
+        if start is not None:
+            parts.append(f"{self.key_col} >= {sql_literal(start)}")
+        if stop is not None:
+            parts.append(f"{self.key_col} < {sql_literal(stop)}")
+        return " AND ".join(parts) if parts else "TRUE"
 
     def parallel_read(self, start: Any = None, stop: Any = None) -> DataFrame:
         """Unordered parallel batch read (§3.3, WdTableInputFormat
