@@ -571,19 +571,33 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (benchmarks are MBs) → Spark broadcasts it automatically and the
     check runs at scan speed with no full shuffle of the corpus."""
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    tk = docs.select("doc_id", tokens("text").alias("toks"))
+    # Hash each token ONCE (32-bit md5-long), then combine 8 token
+    # hashes per gram with shift+xor integer arithmetic. The naive
+    # form — concat_ws the 8 tokens, md5 the gram string — allocates
+    # ~8 strings per corpus position and runs k md5s per token; at sf1
+    # that allocation pressure put 500ms young-GC pauses on the
+    # critical path. The combine stays overflow-free (32-bit value
+    # shifted <= 21 bits < 2^53) so DuckDB's erroring BIGINT arithmetic
+    # and Spark's wrapping arithmetic agree at any scale.
+    tk = docs.select(
+        "doc_id",
+        F.transform(
+            tokens("text"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+        ).alias("ths"),
+    )
     k = CONTAM_NGRAM
-    n = F.size(F.col("toks"))
+    n = F.size(F.col("ths"))
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("toks"), (i + j).cast("int")) for j in range(k)]
-        ),
-    )
-    ghs = F.array_distinct(
-        F.transform(gram, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"))
-    )
+
+    def gram_hash(i):
+        out = None
+        for j in range(k):
+            term = F.shiftleft(F.element_at(F.col("ths"), (i + j).cast("int")), 3 * j)
+            out = term if out is None else out.bitwiseXOR(term)
+        return out
+
+    ghs = F.array_distinct(F.transform(idx, gram_hash))
     # Explode the gram expression INLINE. Materializing the array in a
     # projection and exploding it later lets InferFiltersFromGenerate add a
     # size(arr) > 0 filter that predicate pushdown rewrites with the whole
@@ -621,18 +635,22 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def contamination_oracle() -> str:
     toks = sql_tokens("text", "duckdb")
     k = CONTAM_NGRAM
-    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    th = sql_md5_long("t", "duckdb")
+    # shift+xor gram combine over per-token 32-bit hashes — must stay
+    # the exact integer twin of contamination_check's gram_hash
+    gram = f"(ths[i + 0] << 0)"
+    for j in range(1, k):
+        gram = f"xor({gram}, ths[i + {j}] << {3 * j})"
     grams = (
-        f"list_transform(generate_series(1, greatest(len(toks) - {k-1}, 0)),"
-        f" i -> {parts})"
+        f"list_transform(generate_series(1, greatest(len(ths) - {k-1}, 0)),"
+        f" i -> {gram})"
     )
-    gh = sql_md5_long("g", "duckdb")
     return f"""
-    WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+    WITH tk AS (
+      SELECT doc_id, list_transform({toks}, t -> {th}) AS ths FROM documents
+    ),
     gh AS (
-      SELECT doc_id,
-             list_distinct(list_transform({grams}, g -> {gh})) AS ghs
-      FROM tk
+      SELECT doc_id, list_distinct({grams}) AS ghs FROM tk
     ),
     exploded AS (SELECT doc_id, unnest(ghs) AS gh FROM gh),
     eval_grams AS (

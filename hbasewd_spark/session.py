@@ -33,6 +33,15 @@ def get_spark(app_name: str = "hbasewd_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Throughput collector for batch analytics: the default G1 on a
+        # large single-JVM heap showed frequent ~500ms young-gen pauses
+        # under allocation-heavy explode/HOF stages (measured at sf1:
+        # same plans ran 3-7x slower purely from GC). On a real cluster
+        # this maps to executor JVM opts; override via $SPARK_GC_OPTS.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GC_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # the driver-generated events table stores ts as parquet
