@@ -293,3 +293,70 @@ def temperature_mixture_oracle() -> str:
     FROM rates r
     LEFT JOIN (SELECT lang, count(*) AS n FROM kept GROUP BY lang) k USING (lang)
     """
+
+
+# ---------------------------------------------------------------------------
+# quality-threshold calibration (per-group percentile cutoffs)
+# ---------------------------------------------------------------------------
+
+KEEP_RATE = 0.8  # target keep fraction per language
+
+
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality cutoffs hitting a target keep rate: the
+    calibration step before a quality filter — a single global
+    threshold over-filters whichever language scores systematically
+    lower, so production pipelines pick cutoffs per group.
+
+    cutoff = percentile_disc(1 - KEEP_RATE) of the quality score
+    within each language (DISCRETE percentile: picks an actual data
+    element, so the double is bit-identical cross-engine — the
+    rel_exact_stats rationale), then counts the docs that survive.
+
+    At 100 TB: one pass computes the slim (lang, quality) relation —
+    the text column never shuffles; percentile_disc is a per-group
+    sort-based agg over doubles; the cutoffs relation is O(#languages)
+    and broadcasts back for the keep count. Two passes over the text
+    (score is recomputed for the count join) trade a full
+    materialization for pure scan CPU — at scale you'd persist the
+    score column instead; both shapes shuffle only (lang, double)."""
+    from hbasewd_spark.functions.text import quality_score
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    qd = docs.select("lang", quality_score("text").alias("quality"))
+    qd.createOrReplaceTempView("qcal_qd")
+    cuts = spark.sql(
+        f"""
+        SELECT lang, count(*) AS n_docs,
+               percentile_disc({1 - KEEP_RATE:.2f}) WITHIN GROUP (ORDER BY quality)
+                 AS cutoff
+        FROM qcal_qd GROUP BY lang
+        """
+    )
+    return (
+        qd.join(F.broadcast(cuts), "lang")
+        .where(F.col("quality") >= F.col("cutoff"))
+        .groupBy("lang", "n_docs", "cutoff")
+        .agg(F.count("*").alias("n_keep"))
+        .select("lang", "n_docs", "cutoff", "n_keep")
+    )
+
+
+def quality_calibration_oracle() -> str:
+    from hbasewd_spark.functions.text import sql_quality_score
+
+    qs = sql_quality_score("text", "duckdb")
+    return f"""
+    WITH qd AS (SELECT lang, {qs} AS quality FROM documents),
+    cuts AS (
+      SELECT lang, count(*) AS n_docs,
+             percentile_disc({1 - KEEP_RATE:.2f}) WITHIN GROUP (ORDER BY quality)
+               AS cutoff
+      FROM qd GROUP BY lang
+    )
+    SELECT q.lang AS lang, c.n_docs AS n_docs, c.cutoff AS cutoff,
+           count(*) AS n_keep
+    FROM qd q JOIN cuts c ON q.lang = c.lang
+    WHERE q.quality >= c.cutoff
+    GROUP BY q.lang, c.n_docs, c.cutoff
+    """

@@ -105,6 +105,13 @@ def minhash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, which matters at 100 TB where the verify join would
     otherwise shuffle the full shingle text twice."""
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    return features_of_docs(docs)
+
+
+def features_of_docs(docs: DataFrame) -> DataFrame:
+    """The :func:`minhash_features` pipeline over any (doc_id, text)
+    frame — the seam the incremental index probe reuses for new
+    batches that are not a table on disk."""
     tk = docs.select("doc_id", tokens("text").alias("toks"))
     sh = tk.select("doc_id", _shingles_expr(F.col("toks")).alias("sh"))
     hs = sh.select(

@@ -736,6 +736,23 @@ REGISTRY["ext_temperature_mixture"] = QuerySpec(
     "temperature-scaled (alpha=0.5) language resampling with "
     "deterministic hash-bucket draws (sqrt is IEEE-exact cross-engine)",
 )
+from hbasewd_spark.operators import minhash_index as MHI
+
+REGISTRY["ext_dedup_incremental"] = QuerySpec(
+    MHI.incremental_dedup,
+    MHI.incremental_dedup_oracle(),
+    "incremental near-dup detection against a PERSISTED MinHash/LSH "
+    "band index: corpus indexed once, new batch probed via "
+    "batch-broadcast map-side joins — no corpus recompute or shuffle "
+    "(the 100-TB daily-ingest shape)",
+)
+REGISTRY["ext_quality_calibration"] = QuerySpec(
+    CU.quality_calibration,
+    CU.quality_calibration_oracle(),
+    "per-language percentile_disc quality cutoffs hitting a target "
+    "keep rate + surviving-doc counts (threshold calibration before "
+    "a quality filter)",
+)
 REGISTRY["ext_embed_outliers"] = QuerySpec(
     SIM.embed_outliers,
     SIM.embed_outliers_oracle(),
@@ -1305,6 +1322,67 @@ def ext_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["ext_dataset_manifest"].oracle = _manifest_duck()
+
+
+@q(
+    "ext_url_host_stats",
+    f"""
+    WITH u AS (
+      SELECT doc_id, lang,
+             concat('https://', source, '.example.org/', lang, '/',
+                    CAST(doc_id % 50 AS VARCHAR)) AS url,
+             {TX.sql_token_count('text', 'duckdb')} AS n_tok
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, lang, n_tok,
+             regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+             regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path
+      FROM u
+    )
+    SELECT host, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           count(DISTINCT lang) AS n_langs,
+           max(length(path) - length(replace(path, '/', ''))) AS max_depth
+    FROM p GROUP BY host
+    """,
+    "host-level crawl rollup: URLs synthesized from (source, lang, "
+    "doc_id), host/path split via Spark's parse_url (JVM built-in; "
+    "oracle uses the equivalent regexp), per-host doc/token/lang "
+    "counts and path depth — the aggregation a domain-filtering pass "
+    "ranks hosts with. At scale: one scan, map-side partial aggs on "
+    "a low-cardinality host key",
+)
+def ext_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    u = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/"),
+            F.col("lang"),
+            F.lit("/"),
+            (F.col("doc_id") % 50).cast("string"),
+        ).alias("url"),
+        TX.token_count("text").alias("n_tok"),
+    )
+    p = u.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+    )
+    return p.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.max(
+            F.length("path") - F.length(F.replace("path", F.lit("/"), F.lit("")))
+        ).alias("max_depth"),
+    )
 
 
 def _keywords_duck() -> str:
