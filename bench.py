@@ -154,6 +154,13 @@ def main() -> None:
     timed("temperature_mixture", lambda: Q.REGISTRY["ext_temperature_mixture"].fn(spark, SF_DIR).count())
     timed("embed_outliers", lambda: Q.REGISTRY["ext_embed_outliers"].fn(spark, SF_DIR).count())
 
+    # 30-32. round-5: incremental dedup against the persisted LSH index
+    # (timing includes the index build — that IS the operator's cost),
+    # per-language quality calibration, host-level crawl rollup
+    timed("incremental_dedup", lambda: Q.REGISTRY["ext_dedup_incremental"].fn(spark, SF_DIR).count())
+    timed("quality_calibration", lambda: Q.REGISTRY["ext_quality_calibration"].fn(spark, SF_DIR).count())
+    timed("url_host_stats", lambda: Q.REGISTRY["ext_url_host_stats"].fn(spark, SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     try:
         _report_vs_history(total, timings)

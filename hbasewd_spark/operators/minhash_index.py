@@ -93,19 +93,40 @@ def dedup_against_index(
     verification), so the index is map-side-joined in place — no
     corpus shuffle, no corpus recompute. Self-pairs (a new doc whose
     doc_id already exists in the corpus) are excluded."""
+    return probe_index(
+        spark,
+        new_docs,
+        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/hsets"),
+        jaccard_threshold,
+    )
+
+
+def probe_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    idx_bands: DataFrame,
+    idx_sets: DataFrame,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """:func:`dedup_against_index` over explicit index relations — the
+    seam for callers that assemble the index view themselves (e.g. the
+    streaming ingest reading only PRIOR epochs' index partitions).
+    Extra columns on the index relations (epoch, band partitions) ride
+    along harmlessly; only (doc_id, band, band_hash) / (doc_id, hset)
+    are consumed."""
     new_feats = features_of_docs(new_docs).persist()
     try:
         new_bands = _bands_of(new_feats).select(
             F.col("doc_id").alias("new_doc_id"), "band", "band_hash"
         )
-        idx_bands = spark.read.parquet(f"{path}/bands")
         cand = (
             idx_bands.join(F.broadcast(new_bands), ["band", "band_hash"])
             .where(F.col("doc_id") != F.col("new_doc_id"))
             .select("new_doc_id", F.col("doc_id").alias("corpus_doc_id"))
             .distinct()
         )
-        idx_sets = spark.read.parquet(f"{path}/hsets").select(
+        idx_sets = idx_sets.select(
             F.col("doc_id").alias("corpus_doc_id"), F.col("hset").alias("hs_c")
         )
         new_sets = new_feats.select(

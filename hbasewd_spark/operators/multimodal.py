@@ -4,13 +4,14 @@ Images/audio/video ride through the engine as opaque ``BinaryType``
 payload columns plus a typed metadata struct — the same "schema on the
 edge, bytes in the middle" stance as the byte-compat key codec. The
 Spark-side plumbing here is real (schemas, Arrow batch shapes,
-``mapInPandas`` decode operators, partition sizing). The WAV codec is
-REAL — canonical PCM WAV is a struct-described container, parsed here
-with stdlib ``struct`` alone (:func:`parse_wav`). Image codecs remain
-a deterministic fake behind a loud ``NotImplementedError`` seam,
-because no image library ships in this container; swapping the image
-branch of ``_decode_batch`` for PIL/ffmpeg is a one-function change —
-the distributed plumbing does not move.
+``mapInPandas`` decode operators, partition sizing). Two codecs are
+REAL with zero dependencies — canonical PCM WAV (:func:`parse_wav`)
+and uncompressed BMP (:func:`parse_bmp`) are struct-described
+containers, parsed with stdlib ``struct`` alone. Compressed image
+codecs (jpeg/png/webp) remain a deterministic fake behind a loud
+``NotImplementedError`` seam, because no image library ships in this
+container; swapping that branch of ``_decode_batch`` for PIL/ffmpeg
+is a one-function change — the distributed plumbing does not move.
 
 At 100 TB: payloads dominate bytes, so the rules are (a) never shuffle
 payload columns (project them away before joins/aggs — Spark's column
@@ -121,17 +122,70 @@ def parse_wav(b: bytes) -> dict | None:
     }
 
 
+def parse_bmp(b: bytes) -> dict | None:
+    """REAL (stdlib-only) BMP parse: file header + BITMAPINFOHEADER +
+    uncompressed 8/24/32-bpp pixel array geometry, pure ``struct`` —
+    uncompressed BMP, like PCM WAV, is a struct-described container
+    that needs no codec library. Returns ``{width, height, bpp,
+    row_stride, px_off, top_down}`` or ``None`` when ``b`` is not a
+    well-formed uncompressed BMP (truncated, RLE/bitfields
+    compression, palette geometry overlapping pixels) — callers treat
+    None as "not an image we decode" and fall back, never crash.
+
+    ``row_stride`` includes the 4-byte row padding; pixel STATS must
+    walk ``width * bpp / 8`` payload bytes per row and skip the
+    padding (pinned by tests: padding bytes never leak into sums)."""
+    import struct as _struct
+
+    if len(b) < 54 or b[0:2] != b"BM":
+        return None
+    (px_off,) = _struct.unpack_from("<I", b, 10)
+    (hdr_size,) = _struct.unpack_from("<I", b, 14)
+    if hdr_size < 40 or len(b) < 14 + hdr_size:
+        return None
+    w, h, planes, bpp, comp = _struct.unpack_from("<iiHHI", b, 18)
+    if comp != 0 or planes != 1 or bpp not in (8, 24, 32) or w <= 0 or h == 0:
+        return None
+    height = abs(h)
+    row_stride = ((w * bpp + 31) // 32) * 4
+    if px_off < 14 + hdr_size or len(b) < px_off + row_stride * height:
+        return None
+    return {
+        "width": w,
+        "height": height,
+        "bpp": bpp,
+        "row_stride": row_stride,
+        "px_off": px_off,
+        "top_down": h < 0,
+    }
+
+
+def _bmp_pixel_stats(b: bytes, bmp: dict) -> tuple[int, int]:
+    """(byte_sum, n_pixel_bytes) over the pixel payload only — row
+    padding excluded. Row order does not matter for the stats, so
+    bottom-up vs top-down needs no branch."""
+    row_bytes = bmp["width"] * bmp["bpp"] // 8
+    total = 0
+    off = bmp["px_off"]
+    for _ in range(bmp["height"]):
+        total += sum(b[off : off + row_bytes])
+        off += bmp["row_stride"]
+    return total, row_bytes * bmp["height"]
+
+
 def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     """Decode/feature-extract payloads via ``mapInPandas`` — one Arrow
     batch in, one feature frame out.
 
-    The ``wav`` branch is REAL: payloads that parse as PCM WAV
-    (:func:`parse_wav`, stdlib struct — no codec library) emit
-    ``width=channels``, ``height=bits_per_sample`` and PCM-data-chunk
-    byte stats. Image formats (and non-WAV bytes labeled ``wav``) use
-    the deterministic fake, because no image library ships in this
-    container; ``fake=False`` makes that image seam loud instead of
-    silently fake."""
+    The ``wav`` and ``bmp`` branches are REAL: payloads that parse as
+    PCM WAV (:func:`parse_wav`) or uncompressed BMP (:func:`parse_bmp`)
+    — both stdlib-struct containers needing no codec library — emit
+    genuine geometry (channels/bits for audio, pixel width/height for
+    images) and payload-only byte stats (BMP row padding excluded).
+    Compressed image formats (and malformed bytes under any label) use
+    the deterministic fake, because no jpeg/png library ships in this
+    container; ``fake=False`` makes that seam loud instead of silently
+    fake."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -139,9 +193,9 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
                 yield _decode_batch(pdf)
             else:
                 raise NotImplementedError(
-                    "real image decoding requires PIL/ffmpeg — not available "
-                    "in this container; use fake=True (WAV payloads are "
-                    "still really parsed on that path)"
+                    "real compressed-image decoding requires PIL/ffmpeg — not "
+                    "available in this container; use fake=True (WAV and BMP "
+                    "payloads are still really parsed on that path)"
                 )
 
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
@@ -159,6 +213,7 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         b = payload or b""
         f = meta["format"]
         wav = parse_wav(b) if f == "wav" else None
+        bmp = parse_bmp(b) if f == "bmp" else None
         doc_id.append(did)
         fmt_o.append(f)
         n_bytes.append(len(b))
@@ -169,6 +224,12 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             height.append(wav["bits_per_sample"])
             byte_sum.append(s)
             mean.append(s / max(len(data), 1))
+        elif bmp is not None:
+            s, n_px = _bmp_pixel_stats(b, bmp)
+            width.append(bmp["width"])
+            height.append(bmp["height"])
+            byte_sum.append(s)
+            mean.append(s / max(n_px, 1))
         else:
             s = sum(b)
             width.append(16 + len(b) % 240)

@@ -516,6 +516,99 @@ def dedup_corpus_ingest(
     )
 
 
+def neardup_corpus_ingest(
+    stream: DataFrame,
+    dest_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Incremental corpus building with cross-batch NEAR-dup admission
+    control: each micro-batch is probed against the persisted
+    MinHash/LSH band index (operators/minhash_index.py) built from all
+    PRIOR epochs; near-dups of already-admitted documents are held
+    back, survivors are appended to the corpus AND their signatures to
+    the index — :func:`dedup_corpus_ingest`'s exact-fingerprint gate
+    upgraded to Jaccard similarity.
+
+    Exactly-once under foreachBatch replay: the corpus epoch dir AND
+    the epoch's index partitions (``bands/epoch=<id>``,
+    ``hsets/epoch=<id>``) are written with overwrite, and the probe
+    reads only OTHER epochs' index partitions — a replayed epoch never
+    dedups against its own rows and never double-appends signatures.
+
+    Within-batch near-dups are NOT collapsed here (that is the batch
+    operators' job, e.g. dedup_clusters); this gate enforces admission
+    against the accumulated corpus, which is the part a growing corpus
+    cannot recompute per batch.
+
+    At 100 TB: per epoch the index side streams map-side (the batch is
+    the broadcast side of both probe joins); index growth is
+    file-append-only. Returns the started query."""
+    from hbasewd_spark.operators.dedup import _bands_of, features_of_docs
+    from hbasewd_spark.operators.minhash_index import probe_index
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        fs = _Fs(spark, index_path)
+        prior_bands = [
+            d
+            for d in fs.glob(f"{index_path.rstrip('/')}/bands/epoch=*")
+            if not d.endswith(f"epoch={epoch_id}")
+        ]
+        prior_sets = [
+            d
+            for d in fs.glob(f"{index_path.rstrip('/')}/hsets/epoch=*")
+            if not d.endswith(f"epoch={epoch_id}")
+        ]
+        if prior_bands and prior_sets:
+            idx_bands = spark.read.option(
+                "basePath", f"{index_path}/bands"
+            ).parquet(*prior_bands)
+            idx_sets = spark.read.option(
+                "basePath", f"{index_path}/hsets"
+            ).parquet(*prior_sets)
+            dupes = (
+                probe_index(spark, batch, idx_bands, idx_sets)
+                .select(F.col("new_doc_id").alias("doc_id"))
+                .distinct()
+            )
+            batch = batch.join(dupes, "doc_id", "left_anti")
+        feats = features_of_docs(batch).persist()
+        try:
+            (
+                batch.write.mode("overwrite").parquet(
+                    dest_path.rstrip("/") + f"/epoch={epoch_id}"
+                )
+            )
+            (
+                _bands_of(feats)
+                .repartition("band")
+                .sortWithinPartitions("band_hash")
+                .write.mode("overwrite")
+                .partitionBy("band")
+                .parquet(f"{index_path.rstrip('/')}/bands/epoch={epoch_id}")
+            )
+            (
+                feats.select("doc_id", F.array_distinct("hs").alias("hset"))
+                .write.mode("overwrite")
+                .parquet(f"{index_path.rstrip('/')}/hsets/epoch={epoch_id}")
+            )
+        finally:
+            feats.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sliding_window_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Event-time SLIDING windows (1-hour length, 15-minute slide):
     each event contributes to 4 overlapping windows. Completes the

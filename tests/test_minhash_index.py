@@ -119,3 +119,58 @@ def test_append_then_probe_sees_new_corpus(spark, sf_dir, tmp_path):
     probe = batch.limit(1).select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
     hits = dedup_against_index(spark, probe, idx).collect()
     assert any(r.jaccard == 1.0 for r in hits)
+
+
+def test_neardup_corpus_ingest_cross_batch_and_replay(spark, tmp_path_factory):
+    """Near-dup admission across micro-batches: a doc similar to ANY
+    earlier admitted doc is held back; checkpoint replay with no new
+    files changes nothing; a distinct doc is always admitted."""
+    from hbasewd_spark.streaming import ingest as ST
+
+    base = tmp_path_factory.mktemp("nd_ingest")
+    src = str(base / "src")
+    dest = str(base / "dst")
+    idx = str(base / "idx")
+    ckpt = str(base / "ckpt")
+    schema = "doc_id long, text string"
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again " * 5
+    # a high-Jaccard near-dup that deterministically shares an LSH band
+    # with t1 (single-band collision probability at J~0.8 is not 1.0,
+    # so the perturbation is pinned, not arbitrary)
+    t1_near = t1 + "tail marker"
+    t2 = "completely different content about spark shuffles and parquet row groups " * 5
+
+    def run():
+        q = ST.neardup_corpus_ingest(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+            dest,
+            idx,
+            ckpt,
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, t1)], schema).coalesce(1).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame([(2, t1_near), (3, t2)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(dest).collect())
+    assert got == [1, 3], got  # 2 is a near-dup of 1: held back
+
+    # restart over the same checkpoint with no new input: no change
+    run()
+    assert sorted(r.doc_id for r in spark.read.parquet(dest).collect()) == [1, 3]
+
+    # the index accumulated exactly the admitted docs' signatures
+    idx_ids = {r.doc_id for r in spark.read.parquet(f"{idx}/hsets").collect()}
+    assert idx_ids == {1, 3}
+
+    # a third batch near-dup of doc 3 (admitted in epoch 1) is held back
+    spark.createDataFrame(
+        [(4, t2 + "tail marker"), (5, "novel " * 40)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert sorted(r.doc_id for r in spark.read.parquet(dest).collect()) == [1, 3, 5]
