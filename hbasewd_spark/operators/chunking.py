@@ -140,3 +140,79 @@ def packing_oracle() -> str:
            before % {PACK_BUDGET} AS bin_offset
     FROM pre
     """
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batching prep
+# ---------------------------------------------------------------------------
+
+
+def length_buckets(spark, sf_dir):
+    """Quartile length-bucketing for inference/training batching: token
+    counts -> corpus quartile cutoffs (percentile_disc: exact,
+    interpolation-free, bit-identical cross-engine) -> bucket id =
+    number of cutoffs <= n_tokens (0..3) -> per-bucket profile
+    (doc count, token min/max/total). Grouping similar-length docs
+    before batching is what keeps padding waste bounded in serving and
+    packing pipelines.
+
+    At 100 TB: one slim (doc_id, n_tokens) pass; the cutoffs relation
+    is ONE row (broadcast); the rollup shuffles 4 groups."""
+    from pyspark.sql import functions as F
+
+    from hbasewd_spark.functions.text import token_count
+    from hbasewd_spark.sources.loaders import ensure_min_parallelism, load_table
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    nt = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    nt.createOrReplaceTempView("lb_nt")
+    cuts = spark.sql(
+        """
+        SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens) AS c1,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY n_tokens) AS c2,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tokens) AS c3
+        FROM lb_nt
+        """
+    )
+    bucket = (
+        F.when(F.col("n_tokens") >= F.col("c3"), 3)
+        .when(F.col("n_tokens") >= F.col("c2"), 2)
+        .when(F.col("n_tokens") >= F.col("c1"), 1)
+        .otherwise(0)
+    )
+    return (
+        nt.crossJoin(F.broadcast(cuts))
+        .select("doc_id", "n_tokens", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("tok_min"),
+            F.max("n_tokens").alias("tok_max"),
+            F.sum("n_tokens").alias("tok_total"),
+        )
+    )
+
+
+def length_buckets_oracle() -> str:
+    from hbasewd_spark.functions.text import sql_token_count
+
+    ntok = sql_token_count("text", "duckdb")
+    return f"""
+    WITH nt AS (SELECT doc_id, {ntok} AS n_tokens FROM documents),
+    cuts AS (
+      SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens) AS c1,
+             percentile_disc(0.50) WITHIN GROUP (ORDER BY n_tokens) AS c2,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tokens) AS c3
+      FROM nt
+    )
+    SELECT (CASE WHEN n_tokens >= c3 THEN 3
+                 WHEN n_tokens >= c2 THEN 2
+                 WHEN n_tokens >= c1 THEN 1
+                 ELSE 0 END) AS bucket,
+           count(*) AS n_docs,
+           min(n_tokens) AS tok_min,
+           max(n_tokens) AS tok_max,
+           CAST(sum(n_tokens) AS BIGINT) AS tok_total
+    FROM nt, cuts
+    GROUP BY 1
+    """

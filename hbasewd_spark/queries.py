@@ -576,6 +576,9 @@ _rel("ext_text_chunking", CH.chunk_documents, CH.chunking_oracle(),
      "context-window chunking: overlapping 64-token windows, stride 48")
 _rel("ext_pack_sequences", CH.pack_sequences, CH.packing_oracle(),
      "sequence packing: sharded prefix-sum assignment to token-budget bins")
+_rel("ext_length_buckets", CH.length_buckets, CH.length_buckets_oracle(),
+     "quartile length-bucketing for batching: exact percentile_disc "
+     "cutoffs (one broadcast row) -> per-bucket doc/token profile")
 
 from hbasewd_spark.operators import ranking as RK  # noqa: E402
 
@@ -692,6 +695,14 @@ REGISTRY["ext_sim_brute_topk"] = QuerySpec(
 )
 REGISTRY["ext_sim_ivf_topk"] = QuerySpec(
     SIM.ivf_topk, SIM.ivf_topk_oracle(), "IVF ANN: cell assignment + probe + re-rank"
+)
+REGISTRY["ext_sim_quantized_topk"] = QuerySpec(
+    SIM.quantized_topk,
+    SIM.quantized_topk_oracle(),
+    "int8-quantized cosine top-k: symmetric per-vector quantization "
+    "(scale cancels in cosine, so scoring is pure integer dots + one "
+    "sqrt — bit-exact cross-engine); 4x smaller vectors, the "
+    "memory-bound ANN path",
 )
 REGISTRY["ext_embed_lsh_neardup"] = QuerySpec(
     SIM.lsh_bucketed_neardup,

@@ -263,3 +263,25 @@ def test_embed_outliers_are_the_true_per_label_maxima(spark, sf_dir):
         d = [r.dist2 for r in rs]
         assert d == sorted(d, reverse=True)
         assert all(x >= 0 for x in d)
+
+
+def test_quantized_topk_recall_vs_float(spark, sf_dir):
+    """int8 quantization must preserve the neighborhood structure:
+    recall@TOPK vs the exact float path >= 0.8 on the fixture, and the
+    scored values stay within quantization error of the float cosines."""
+    from hbasewd_spark.operators import similarity as SIM
+
+    flt = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in SIM.brute_topk(spark, sf_dir).collect()
+    }
+    qnt = {
+        (r.query_id, r.vec_id): r.qcos_sim
+        for r in SIM.quantized_topk(spark, sf_dir).collect()
+    }
+    assert qnt, "quantized path returned nothing"
+    recall = len(set(flt) & set(qnt)) / len(flt)
+    assert recall >= 0.8, recall
+    # scores on the overlap agree to int8 quantization error
+    for k in set(flt) & set(qnt):
+        assert abs(flt[k] - qnt[k]) < 0.02, (k, flt[k], qnt[k])
