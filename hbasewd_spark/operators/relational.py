@@ -1395,3 +1395,110 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
+
+
+# ---------------------------------------------------------------------------
+# ordered event funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+FUNNEL_ORACLE = """
+WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+    AND e.ts <= s1.t1 + INTERVAL '24' HOUR
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+    AND e.ts <= s2.t2 + INTERVAL '24' HOUR
+  GROUP BY e.user_id
+),
+stages AS (
+  SELECT u.user_id,
+         (CASE WHEN s3.user_id IS NOT NULL THEN 3
+               WHEN s2.user_id IS NOT NULL THEN 2
+               WHEN s1.user_id IS NOT NULL THEN 1
+               ELSE 0 END) AS stage
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  LEFT JOIN s1 ON u.user_id = s1.user_id
+  LEFT JOIN s2 ON u.user_id = s2.user_id
+  LEFT JOIN s3 ON u.user_id = s3.user_id
+)
+SELECT stage, count(*) AS n_users FROM stages GROUP BY stage
+"""
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: per user, the
+    deepest prefix of view -> click -> purchase reached IN TIMESTAMP
+    ORDER with a 24-hour conversion window per hop (a click before any
+    view, or later than a day after it, does not count), then user
+    counts per stage. The sequential-min formulation (stage-k time = min ts of
+    the stage event at or after stage k-1's time) avoids any per-user
+    event sort: three min-aggregations over the slim (user, type, ts)
+    relation, each map-side combinable, joined on user_id — the
+    standard product-analytics funnel at data-warehouse scale.
+
+    Identical SQL runs on both engines (timestamp mins are exact)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(FUNNEL_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# rolling anomaly detection (trailing-window z-score)
+# ---------------------------------------------------------------------------
+
+# decimal-quantized rolling moments: frame sums are EXACT (decimal), so
+# mean/variance/threshold doubles derive deterministically on both
+# engines regardless of each engine's frame-aggregation fold order —
+# the float-window analogue of the dsum() decimal trick
+ANOMALY_SQL = """
+WITH w AS (
+  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(value AS DOUBLE) AS v,
+         count(*) OVER fr AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) OVER fr AS DOUBLE) AS s,
+         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+              OVER fr AS DOUBLE) AS ss
+  FROM events
+  WINDOW fr AS (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP)
+                RANGE BETWEEN INTERVAL 48 HOUR PRECEDING AND CURRENT ROW)
+),
+z AS (
+  SELECT event_type, n, v, s / n AS mu,
+         sqrt(CASE WHEN ss / n - (s / n) * (s / n) > 0.0
+                   THEN ss / n - (s / n) * (s / n) ELSE 0.0 END) AS sigma
+  FROM w
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(CASE WHEN n >= 30 AND abs(v - mu) > 3.0 * sigma THEN 1 END)
+         AS n_anomalies
+FROM z
+GROUP BY event_type
+"""
+
+
+def rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly counts per event type: each
+    event is scored against the mean/stddev of its type's previous 48
+    hours (RANGE-INTERVAL frame — a two-pointer pass over each sorted
+    partition, never a self-join), flagged when |v - mu| > 3 sigma with
+    a >=30-sample warm-up. The monitoring pass a streaming pipeline
+    runs batch-side for backfill.
+
+    Cross-engine exactness: frame SUMS are decimal (exact regardless
+    of either engine's sliding-window fold order); mean/variance/
+    threshold are then deterministic double arithmetic on exact
+    inputs. Identical SQL both engines."""
+    from hbasewd_spark.sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(ANOMALY_SQL)

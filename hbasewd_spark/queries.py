@@ -530,6 +530,12 @@ _rel("rel_q14_promo_revenue", R.q14_promo_revenue, R.Q14_ORACLE,
 _rel("rel_time_weighted_avg", R.time_weighted_avg, R.TWA_ORACLE,
      "time-weighted average over irregular series (lead window + "
      "exact integer-microsecond weights)")
+_rel("rel_event_funnel", R.event_funnel, R.FUNNEL_ORACLE,
+     "ordered view->click->purchase funnel via sequential conditional "
+     "mins (no per-user sort); identical SQL both engines")
+_rel("rel_rolling_anomaly", R.rolling_anomaly, R.ANOMALY_SQL,
+     "trailing-48h z-score anomaly counts per event type; decimal frame "
+     "sums make the rolling moments fold-order-independent")
 _rel("rel_q7_volume_shipping", R.q7_volume_shipping, R.Q7_ORACLE,
      "TPC-H Q7 shape: bilateral nation trade volume by ship year")
 _rel("rel_q10_returned_items", R.q10_returned_items, R.Q10_ORACLE,
