@@ -72,6 +72,20 @@ def exact_dedup_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 
+def _gram_positions(n, k: int):
+    """1-based start positions of the k-grams of a length-``n``
+    sequence — EMPTY when n < k. The naive ``sequence(1,
+    greatest(n-k+1, 0))`` is NOT empty for short inputs: Spark
+    generates the DESCENDING array [1, 0], and the downstream
+    ``element_at(..., 0)`` raises INVALID_INDEX_OF_ZERO under ANSI
+    (and the DuckDB oracles' ``generate_series(1, 0)`` IS empty, so
+    even non-crashing consumers would diverge cross-engine). Every
+    gram/shingle site must go through this guard."""
+    return F.when(
+        n >= k, F.sequence(F.lit(1), (n - (k - 1)).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def _shingles_expr(toks=None):
     """Word 3-shingles of the token stream, as a deduped array.
 
@@ -84,7 +98,7 @@ def _shingles_expr(toks=None):
         toks = tokens("text")
     k = SHINGLE_K
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    idx = _gram_positions(n, k)
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(
@@ -143,7 +157,9 @@ def sql_shingles_over_toks(dialect: str) -> str:
     if dialect == "spark":
         parts = ", ".join(f"element_at(toks, CAST(i + {j} AS INT))" for j in range(k))
         return (
-            f"array_distinct(transform(sequence(1, greatest(size(toks) - {k-1}, 0)),"
+            f"array_distinct(transform("
+            f"CASE WHEN size(toks) >= {k} THEN sequence(1, size(toks) - {k-1}) "
+            f"ELSE CAST(array() AS ARRAY<INT>) END,"
             f" i -> concat_ws(' ', {parts})))"
         )
     parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
@@ -439,7 +455,7 @@ def _gram_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.select("doc_id", "lang", norm.alias("nm"))
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length("nm") - 3, F.lit(0))),
+            _gram_positions(F.length("nm"), 4),
             lambda i: F.col("nm").substr(i, F.lit(4)),
         )
     )
@@ -595,7 +611,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = CONTAM_NGRAM
     n = F.size(F.col("ths"))
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    idx = _gram_positions(n, k)
 
     def gram_hash(i):
         out = None

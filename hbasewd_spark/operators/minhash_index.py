@@ -43,27 +43,38 @@ from hbasewd_spark.operators.dedup import (
 INDEX_META = "_minhash_index.json"
 
 
+def write_index_relations(
+    feats: DataFrame, bands_dir: str, hsets_dir: str, mode: str
+) -> None:
+    """THE on-disk index contract, in one place: bands repartitioned on
+    ``band`` (one write task per band here — at scale repartition on
+    (band, bucket(band_hash)) to keep files ~256 MB) and sorted by
+    band_hash so parquet row-group stats prune probes; hsets as the
+    deduped hash-array projection. Every writer (build, append,
+    streaming epoch partitions) goes through here so the layout cannot
+    fork."""
+    (
+        _bands_of(feats)
+        .repartition("band")
+        .sortWithinPartitions("band_hash")
+        .write.mode(mode)
+        .partitionBy("band")
+        .parquet(bands_dir)
+    )
+    (
+        feats.select("doc_id", F.array_distinct("hs").alias("hset"))
+        .write.mode(mode)
+        .parquet(hsets_dir)
+    )
+
+
 def build_minhash_index(spark: SparkSession, docs: DataFrame, path: str) -> None:
     """Materialize the LSH index for a (doc_id, text) corpus at
-    ``path``. One corpus pass computes features; bands repartition on
-    ``band`` (one write task per band here — at scale repartition on
-    (band, bucket(band_hash)) to keep files ~256 MB) and sort by
-    band_hash so parquet row-group stats prune probes."""
+    ``path``: one corpus pass computes features, written via
+    :func:`write_index_relations`."""
     feats = features_of_docs(docs).persist()
     try:
-        (
-            _bands_of(feats)
-            .repartition("band")
-            .sortWithinPartitions("band_hash")
-            .write.mode("overwrite")
-            .partitionBy("band")
-            .parquet(f"{path}/bands")
-        )
-        (
-            feats.select("doc_id", F.array_distinct("hs").alias("hset"))
-            .write.mode("overwrite")
-            .parquet(f"{path}/hsets")
-        )
+        write_index_relations(feats, f"{path}/bands", f"{path}/hsets", "overwrite")
         n_docs = feats.count()
     finally:
         feats.unpersist()
@@ -84,6 +95,7 @@ def dedup_against_index(
     new_docs: DataFrame,
     path: str,
     jaccard_threshold: float = JACCARD_THRESHOLD,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Near-dup pairs between a NEW (doc_id, text) batch and the
     indexed corpus: (new_doc_id, corpus_doc_id, jaccard), the decision
@@ -91,14 +103,18 @@ def dedup_against_index(
 
     The batch side is broadcast in both joins (candidates and
     verification), so the index is map-side-joined in place — no
-    corpus shuffle, no corpus recompute. Self-pairs (a new doc whose
-    doc_id already exists in the corpus) are excluded."""
+    corpus shuffle, no corpus recompute. ``exclude_self=True`` drops
+    same-id pairs — correct when batch and corpus id spaces are
+    disjoint by construction; an ADMISSION gate must pass False, or an
+    at-least-once redelivery of an already-admitted (id, text) would
+    mask its own jaccard=1.0 collision and re-enter the corpus."""
     return probe_index(
         spark,
         new_docs,
         spark.read.parquet(f"{path}/bands"),
         spark.read.parquet(f"{path}/hsets"),
         jaccard_threshold,
+        exclude_self=exclude_self,
     )
 
 
@@ -108,24 +124,33 @@ def probe_index(
     idx_bands: DataFrame,
     idx_sets: DataFrame,
     jaccard_threshold: float = JACCARD_THRESHOLD,
+    exclude_self: bool = True,
+    new_feats: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`dedup_against_index` over explicit index relations — the
     seam for callers that assemble the index view themselves (e.g. the
     streaming ingest reading only PRIOR epochs' index partitions).
     Extra columns on the index relations (epoch, band partitions) ride
     along harmlessly; only (doc_id, band, band_hash) / (doc_id, hset)
-    are consumed."""
-    new_feats = features_of_docs(new_docs).persist()
+    are consumed. Pass ``new_feats`` (a persisted
+    :func:`features_of_docs` frame for ``new_docs``) to reuse features
+    the caller also needs elsewhere — the signature pipeline is the
+    dominant batch-side cost and must not run twice per epoch; a
+    caller-provided frame is left persisted (caller owns its
+    lifecycle)."""
+    owned = new_feats is None
+    if owned:
+        new_feats = features_of_docs(new_docs).persist()
     try:
         new_bands = _bands_of(new_feats).select(
             F.col("doc_id").alias("new_doc_id"), "band", "band_hash"
         )
-        cand = (
-            idx_bands.join(F.broadcast(new_bands), ["band", "band_hash"])
-            .where(F.col("doc_id") != F.col("new_doc_id"))
-            .select("new_doc_id", F.col("doc_id").alias("corpus_doc_id"))
-            .distinct()
-        )
+        cand = idx_bands.join(F.broadcast(new_bands), ["band", "band_hash"])
+        if exclude_self:
+            cand = cand.where(F.col("doc_id") != F.col("new_doc_id"))
+        cand = cand.select(
+            "new_doc_id", F.col("doc_id").alias("corpus_doc_id")
+        ).distinct()
         idx_sets = idx_sets.select(
             F.col("doc_id").alias("corpus_doc_id"), F.col("hset").alias("hs_c")
         )
@@ -154,7 +179,8 @@ def probe_index(
         # materialize before unpersisting the batch features the plan reads
         verified = verified.localCheckpoint(eager=True)
     finally:
-        new_feats.unpersist()
+        if owned:
+            new_feats.unpersist()
     return verified
 
 
@@ -165,19 +191,7 @@ def append_to_index(spark: SparkSession, new_docs: DataFrame, path: str) -> None
     contract)."""
     feats = features_of_docs(new_docs).persist()
     try:
-        (
-            _bands_of(feats)
-            .repartition("band")
-            .sortWithinPartitions("band_hash")
-            .write.mode("append")
-            .partitionBy("band")
-            .parquet(f"{path}/bands")
-        )
-        (
-            feats.select("doc_id", F.array_distinct("hs").alias("hset"))
-            .write.mode("append")
-            .parquet(f"{path}/hsets")
-        )
+        write_index_relations(feats, f"{path}/bands", f"{path}/hsets", "append")
         n_new = feats.count()
     finally:
         feats.unpersist()

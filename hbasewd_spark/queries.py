@@ -1310,10 +1310,9 @@ def _manifest_duck() -> str:
     "dataset manifest for drift detection: per-table row count + "
     "order-free key checksum (sum of md5-longs taken mod 2^32 — "
     "partitioning- and engine-independent, and overflow-CLOSED: "
-    "Spark's non-ANSI sum(long) wraps mod 2^64 and 2^32 | 2^64, so "
-    "pmod(sum, 2^32) equals the true modular sum at ANY row count, "
-    "while DuckDB sums in HUGEINT then takes % 2^32 — identical "
-    "values with no wrap-vs-raise divergence near ~4B rows). The "
+    "Spark sums in DECIMAL(38,0) — exact to ~10^28 rows, no ANSI "
+    "overflow raise — while DuckDB sums in HUGEINT; both take the "
+    "same mod 2^32, so values agree at ANY row count). The "
     "round-3 incident in one query: a silent "
     "testdata regeneration between pipeline runs changes this manifest "
     "before it breaks anything downstream. At scale: 10 independent "
@@ -1328,10 +1327,14 @@ def ext_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t, k in sorted(_MANIFEST_KEYS.items()):
         df = load_table(spark, sf_dir, t)
         parts.append(
-            df.select(md5_long(k).alias("h"))
+            df.select(md5_long(k).cast("decimal(38,0)").alias("h"))
             .agg(
                 F.count("*").alias("n_rows"),
-                F.pmod(F.sum("h"), F.lit(2**32)).alias("key_checksum"),
+                # DECIMAL(38,0) sum: overflow-FREE to ~10^28 rows (the
+                # session runs ANSI mode, where a bigint sum would
+                # RAISE — not wrap — near 2^31 rows of 32-bit hashes);
+                # DuckDB sums in HUGEINT. Both exact -> pmod agrees.
+                F.pmod(F.sum("h"), F.lit(2**32)).cast("long").alias("key_checksum"),
             )
             .select(F.lit(t).alias("table_name"), "n_rows", "key_checksum")
         )

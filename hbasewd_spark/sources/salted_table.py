@@ -47,9 +47,17 @@ def sql_literal(v: Any) -> str:
 
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        raise ValueError(f"no SQL literal rendering for non-finite float {v!r}")
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, datetime.datetime):
+        # tz-aware datetimes convert to the engine session zone (UTC,
+        # session.py) before rendering — F.lit() on the typed scan path
+        # does the same conversion, so SQL and facade users see the
+        # same [start, stop) rows (plan-parity contract)
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
     if isinstance(v, datetime.date):
         return f"DATE '{v.isoformat()}'"
@@ -215,12 +223,11 @@ class SaltedTable:
     def _has_data_files(self) -> bool:
         """True iff at least one non-hidden data file exists under a
         salt partition dir — the ground truth for whether an empty-
-        relation fallback is legitimate in :meth:`df`."""
-        fs = Fs(self.spark, self.path)
-        return any(
-            not p.rsplit("/", 1)[1].startswith((".", "_"))
-            for p in fs.glob(f"{self.path.rstrip('/')}/{SALT_COL}=*/*")
-        )
+        relation fallback is legitimate in :meth:`df`. Delegates to
+        :meth:`_data_signature` so there is exactly ONE definition of
+        "what counts as a data file" shared with the index/zone-map
+        watermarks."""
+        return bool(self._data_signature(Fs(self.spark, self.path)))
 
     def refresh(self) -> None:
         self._df = None
@@ -500,7 +507,12 @@ class SaltedTable:
                         fs.read_text(zm_dir + "/" + self.ZONE_META_FILE)
                     )
                     if meta.get("data_sig") == self._data_signature(fs):
-                        rows = self.spark.read.parquet(zm_dir).collect()
+                        zdf = self.spark.read.parquet(zm_dir)
+                        # sidecars written before the n_nulls column
+                        # existed are schema-stale: recompute rather
+                        # than hand expire() rows missing the field
+                        if "n_nulls" in zdf.columns:
+                            rows = zdf.collect()
                 except Exception:
                     rows = None  # unreadable/stale sidecar: recompute
             if rows is None:
@@ -529,6 +541,13 @@ class SaltedTable:
                 F.min(col).alias("lo"),
                 F.max(col).alias("hi"),
                 F.count("*").alias("n_rows"),
+                # nulls are INVISIBLE to lo/hi (min/max skip them); the
+                # count makes them visible so expire() never takes the
+                # delete-whole-file path on a file that still holds
+                # null-keyed rows
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_nulls"),
             )
         )
 
@@ -635,13 +654,26 @@ class SaltedTable:
             raise ValueError("expire() requires a cutoff key")
         fs = Fs(self.spark, self.path)
         zones = self._zone_rows(self.key_col)
-        # zone lo/hi are min/max over non-null keys: a file whose keys
-        # are ALL null has (None, None) bounds — a null key has no age,
-        # so such files are always kept (and null-keyed rows in
-        # boundary files are preserved by the isNull disjunct below)
-        drop = [r for r in zones if r.hi is not None and r.hi < before]
+        # zone lo/hi are min/max over NON-NULL keys: a null key has no
+        # age, so null-keyed rows must survive every path. A file whose
+        # keys are all null ((None, None) bounds) is kept untouched; a
+        # file wholly below the cutoff takes the metadata-only delete
+        # ONLY when its zone row proves it holds no nulls (n_nulls == 0)
+        # — otherwise it joins the rewrite set, where the isNull
+        # disjunct preserves the null-keyed rows
+        drop = [
+            r
+            for r in zones
+            if r.hi is not None and r.hi < before and r.n_nulls == 0
+        ]
         boundary = [
-            r for r in zones if r.lo is not None and r.lo < before <= r.hi
+            r
+            for r in zones
+            if r.lo is not None
+            and (
+                (r.lo < before <= r.hi)
+                or (r.hi < before and r.n_nulls > 0)
+            )
         ]
         stats = {
             "files_dropped": len(drop),
@@ -823,6 +855,7 @@ def compact(table: SaltedTable, target_files_per_salt: int = 1) -> SaltedTable:
 
     fs = Fs(table.spark, table.path)
     base = table.path.rstrip("/")
+    _refuse_orphaned_old(fs, base, "compact")
     tmp = base + ".compact_tmp"
     fs.delete(tmp, recursive=True)
     n = table.distributor.buckets * target_files_per_salt
@@ -869,6 +902,7 @@ def rebucket(table: SaltedTable, new_distributor: KeyDistributor) -> SaltedTable
     compact()."""
     fs = Fs(table.spark, table.path)
     base = table.path.rstrip("/")
+    _refuse_orphaned_old(fs, base, "rebucket")
     tmp = base + ".rebucket_tmp"
     fs.delete(tmp, recursive=True)
     data = table.df().drop(SALT_COL)
@@ -880,6 +914,22 @@ def rebucket(table: SaltedTable, new_distributor: KeyDistributor) -> SaltedTable
     return SaltedTable.load(table.spark, base)
 
 
+def _refuse_orphaned_old(fs: Fs, base: str, op: str) -> None:
+    """Pre-flight for the lifecycle rewrites: when ``base.old`` exists
+    WITHOUT a live table at ``base``, a previous swap failed after the
+    aside rename and the aside copy is the only surviving data —
+    reading ``df()`` in that state yields the empty-schema fallback, so
+    proceeding would stage an empty rewrite over the last copy. Refuse
+    with recovery instructions instead (cheap: two existence checks)."""
+    old = base + ".old"
+    if fs.exists(old) and not fs.exists(base):
+        raise IOError(
+            f"{op}(): found {old} but no live table at {base} — a previous "
+            f"swap failed mid-flight and {old} holds the only copy; restore "
+            f"it (rename {old} -> {base}) before rerunning"
+        )
+
+
 def _swap_table_dirs(fs: Fs, tmp: str, base: str, op: str) -> None:
     """Crash-safe directory swap for the lifecycle rewrites: rename the
     live table ASIDE (``base -> base.old``) before renaming the staged
@@ -889,7 +939,22 @@ def _swap_table_dirs(fs: Fs, tmp: str, base: str, op: str) -> None:
     delete-then-rename protocol had a window where a crash left NO
     table at ``base`` and the only copy in a ``*_tmp`` sibling."""
     old = base + ".old"
-    fs.delete(old, recursive=True)  # leftover from a prior crashed swap
+    if fs.exists(old):
+        if fs.exists(base):
+            # true leftover: the prior swap landed (base is live) but
+            # crashed before clearing the aside copy — safe to clear
+            fs.delete(old, recursive=True)
+        else:
+            # the aside copy is the ONLY surviving table (a prior swap
+            # failed after base -> old and the restore also failed).
+            # Deleting it here — or letting the rewrite land — would
+            # destroy the last copy, and the rewrite that was just
+            # staged came from an EMPTY df() fallback in this state.
+            raise IOError(
+                f"{op}(): found {old} but no live table at {base} — a "
+                f"previous swap failed mid-flight and {old} holds the only "
+                f"copy; restore it (rename {old} -> {base}) before rerunning"
+            )
     if fs.exists(base) and not fs.rename(base, old):
         raise IOError(
             f"{op}(): could not move the live table aside "

@@ -546,8 +546,11 @@ def neardup_corpus_ingest(
     At 100 TB: per epoch the index side streams map-side (the batch is
     the broadcast side of both probe joins); index growth is
     file-append-only. Returns the started query."""
-    from hbasewd_spark.operators.dedup import _bands_of, features_of_docs
-    from hbasewd_spark.operators.minhash_index import probe_index
+    from hbasewd_spark.operators.dedup import features_of_docs
+    from hbasewd_spark.operators.minhash_index import (
+        probe_index,
+        write_index_relations,
+    )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -565,38 +568,45 @@ def neardup_corpus_ingest(
             for d in fs.glob(f"{index_path.rstrip('/')}/hsets/epoch=*")
             if not d.endswith(f"epoch={epoch_id}")
         ]
-        if prior_bands and prior_sets:
-            idx_bands = spark.read.option(
-                "basePath", f"{index_path}/bands"
-            ).parquet(*prior_bands)
-            idx_sets = spark.read.option(
-                "basePath", f"{index_path}/hsets"
-            ).parquet(*prior_sets)
-            dupes = (
-                probe_index(spark, batch, idx_bands, idx_sets)
-                .select(F.col("new_doc_id").alias("doc_id"))
-                .distinct()
-            )
-            batch = batch.join(dupes, "doc_id", "left_anti")
+        # ONE signature pass per epoch: the same persisted features
+        # frame serves the probe and the index append (the pipeline is
+        # the dominant batch-side cost)
         feats = features_of_docs(batch).persist()
         try:
-            (
-                batch.write.mode("overwrite").parquet(
-                    dest_path.rstrip("/") + f"/epoch={epoch_id}"
+            feats_admitted = feats
+            if prior_bands and prior_sets:
+                idx_bands = spark.read.option(
+                    "basePath", f"{index_path}/bands"
+                ).parquet(*prior_bands)
+                idx_sets = spark.read.option(
+                    "basePath", f"{index_path}/hsets"
+                ).parquet(*prior_sets)
+                # exclude_self=False: an at-least-once redelivery of an
+                # already-admitted (id, text) must match its own prior
+                # signature and be held back, not slip past a same-id
+                # exclusion
+                dupes = (
+                    probe_index(
+                        spark,
+                        batch,
+                        idx_bands,
+                        idx_sets,
+                        exclude_self=False,
+                        new_feats=feats,
+                    )
+                    .select(F.col("new_doc_id").alias("doc_id"))
+                    .distinct()
                 )
+                batch = batch.join(F.broadcast(dupes), "doc_id", "left_anti")
+                feats_admitted = feats.join(F.broadcast(dupes), "doc_id", "left_anti")
+            batch.write.mode("overwrite").parquet(
+                dest_path.rstrip("/") + f"/epoch={epoch_id}"
             )
-            (
-                _bands_of(feats)
-                .repartition("band")
-                .sortWithinPartitions("band_hash")
-                .write.mode("overwrite")
-                .partitionBy("band")
-                .parquet(f"{index_path.rstrip('/')}/bands/epoch={epoch_id}")
-            )
-            (
-                feats.select("doc_id", F.array_distinct("hs").alias("hset"))
-                .write.mode("overwrite")
-                .parquet(f"{index_path.rstrip('/')}/hsets/epoch={epoch_id}")
+            write_index_relations(
+                feats_admitted,
+                f"{index_path.rstrip('/')}/bands/epoch={epoch_id}",
+                f"{index_path.rstrip('/')}/hsets/epoch={epoch_id}",
+                "overwrite",
             )
         finally:
             feats.unpersist()
