@@ -633,3 +633,187 @@ WHERE n_name = 'NATION_2'
     )
   )
 """
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local-supplier volume (the textbook query, exact)
+# ---------------------------------------------------------------------------
+
+_Q5_REGION = "ASIA"
+_Q5_LO = "1996-01-01"
+_Q5_HI = "1997-01-01"
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5, exact: revenue per nation from orders where the
+    customer and the line's supplier share a nation inside one region,
+    over one order year.
+
+    ``rel_join_multiway`` (relational.py) covers the star-join *shape*;
+    this is the textbook Q5 with its distinguishing twist — the
+    c_nationkey = s_nationkey equality that ties two different dimension
+    paths to the same fact row.
+
+    Plan at scale: orders is date-filtered at the scan, shuffles once on
+    o_custkey against region-semi-filtered customer, then once on
+    o_orderkey against lineitem; supplier⋈nation⋈region broadcasts
+    (bounded catalogs), and the local-supplier constraint rides inside
+    that broadcast join's condition (s_nationkey = c_nationkey) — no
+    extra shuffle for the second dimension path. Final agg over a
+    25-value nation domain is map-side combinable."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == _Q5_REGION)
+    rnations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left_semi"
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(rnations), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q5_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q5_HI).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    sn = supp.join(
+        F.broadcast(rnations), supp.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            F.broadcast(sn),
+            (li.l_suppkey == sn.s_suppkey)
+            & (F.col("c_nationkey") == sn.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(_rev()).cast("decimal(25,4)").cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q5_ORACLE = f"""
+SELECT n_name,
+       CAST(CAST(sum({_REV_SQL}) AS DECIMAL(25,4)) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = '{_Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{_Q5_LO} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{_Q5_HI} 00:00:00'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by supplying nation and year (schema-adapted)
+# ---------------------------------------------------------------------------
+
+_Q9_NEEDLE = "red"
+# ps_supplycost stand-in: no partsupp table exists (TESTDATA schema), so
+# half the part's list price plays the unit supply cost.
+_Q9_COST_FRAC = "0.5"
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape adapted to the schema: profit per supplying
+    nation per order year over parts whose name carries one token,
+    where profit = revenue − unit-cost × quantity and the unit cost is
+    a deterministic part attribute (p_retailprice × 0.5 stands in for
+    ps_supplycost — no partsupp table in TESTDATA).
+
+    Plan at scale: the part filter broadcasts and prunes lineitem
+    FIRST (semi-join before any wide join), supplier⋈nation broadcasts;
+    the only big shuffle is lineitem⋈orders on orderkey; the profit
+    expression is all-DECIMAL so partial-agg order cannot perturb low
+    bits; final agg domain is nations × years (bounded)."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains(_Q9_NEEDLE)
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cost = dec("p_retailprice") * F.lit(_Q9_COST_FRAC).cast("decimal(12,4)")
+    amount = _rev() - (cost * dec("l_quantity")).cast("decimal(25,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("decimal(25,4)").cast("double").alias("profit"),
+             F.count("*").alias("n_items"))
+    )
+
+
+Q9_ORACLE = f"""
+SELECT n_name AS nation,
+       year(o_orderdate) AS o_year,
+       CAST(CAST(sum(
+         {_REV_SQL}
+         - CAST(CAST(p_retailprice AS DECIMAL(18,4)) * CAST({_Q9_COST_FRAC} AS DECIMAL(12,4))
+                * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(25,4))
+       ) AS DECIMAL(25,4)) AS DOUBLE) AS profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%{_Q9_NEEDLE}%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-lag priority histogram (schema-adapted)
+# ---------------------------------------------------------------------------
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted to the schema: per shipping-lag bucket,
+    how many lineitems belong to critical-priority orders vs the rest —
+    the conditional CASE-sum archeype. No l_shipmode/receiptdate columns
+    exist, so the ship-vs-order date lag (which the synthetic data draws
+    from a wide signed range) buckets the lines: early (<0 d),
+    on-time (0–365 d), late (>365 d).
+
+    Plan at scale: one shuffle (lineitem⋈orders on orderkey — or zero
+    with both bucketed on orderkey via sources/bucketed.py); both
+    CASE-sums are map-side combinable over a 3-value group domain."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(lag < 0, "early").when(lag <= 365, "on-time").otherwise("late")
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("lag_bucket"))
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_ORACLE = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 0 THEN 'early'
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 365 THEN 'on-time'
+            ELSE 'late' END AS lag_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""

@@ -575,6 +575,12 @@ _rel("rel_q11_important_parts", T2.q11_important_parts, T2.Q11_ORACLE,
      "TPC-H Q11 shape: grouped HAVING against a global scalar (one fact pass)")
 _rel("rel_q20_dominant_suppliers", T2.q20_dominant_suppliers, T2.Q20_ORACLE,
      "TPC-H Q20 shape: nested semi-join chain vs correlated-HAVING oracle")
+_rel("rel_q5_local_supplier", T2.q5_local_supplier_volume, T2.Q5_ORACLE,
+     "TPC-H Q5 exact: local-supplier volume (c_nationkey=s_nationkey twist, dims broadcast)")
+_rel("rel_q9_product_profit", T2.q9_product_profit, T2.Q9_ORACLE,
+     "TPC-H Q9 shape: profit per nation per year (retailprice cost proxy; part semi-filter first)")
+_rel("rel_q12_priority_shipping", T2.q12_priority_shipping, T2.Q12_ORACLE,
+     "TPC-H Q12 shape: CASE-sum priority histogram by shipping-lag bucket")
 
 from hbasewd_spark.operators import chunking as CH  # noqa: E402
 
@@ -752,6 +758,32 @@ REGISTRY["ext_temperature_mixture"] = QuerySpec(
     CU.temperature_mixture_oracle(),
     "temperature-scaled (alpha=0.5) language resampling with "
     "deterministic hash-bucket draws (sqrt is IEEE-exact cross-engine)",
+)
+from hbasewd_spark.operators import training as TR  # noqa: E402
+
+REGISTRY["ext_token_budget_sample"] = QuerySpec(
+    TR.token_budget_sample,
+    TR.token_budget_oracle(),
+    "hard token-budget selection per language in seeded-hash order; "
+    "two-phase hash-bucket prefix sum (bounded offsets relation "
+    "broadcast back) — no language ever funnels through one window "
+    "partition",
+)
+REGISTRY["ext_shard_plan"] = QuerySpec(
+    TR.shard_plan,
+    TR.shard_plan_oracle(),
+    "deterministic 64-way training-shard layout audit: per-shard "
+    "doc/token mass + overflow-closed membership checksum; one scan, "
+    "one map-side-combinable agg, reproducible on any engine",
+)
+REGISTRY["ext_unigram_familiarity"] = QuerySpec(
+    TR.unigram_familiarity,
+    TR.unigram_familiarity_oracle(),
+    "corpus-frequency familiarity score (CCNet-perplexity stand-in): "
+    "vocabulary equi-joined back by token (never pinned broadcast — "
+    "Catalyst stats pick; 100-TB vocabularies degrade to an AQE "
+    "skew-split shuffle join), integer-division scoring for "
+    "bit-identical cross-engine results",
 )
 from hbasewd_spark.operators import minhash_index as MHI
 

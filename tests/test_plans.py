@@ -164,6 +164,66 @@ def test_new_tpch_shapes_broadcast_dims_and_push_filters(spark, sf_dir):
     assert "partial_sum" in p19  # map-side combine under the disjunction
 
 
+def test_q5_q9_q12_shapes(spark, sf_dir):
+    """Round-5 TPC-H completions: Q5 broadcasts the supplier⋈nation side
+    (the local-supplier constraint rides the broadcast join, no extra
+    shuffle); Q9's part filter semi-prunes lineitem via broadcast before
+    the orders shuffle; Q12 is a single fact-fact shuffle with partial
+    CASE-sum aggregation."""
+    from hbasewd_spark.operators.tpch2 import (
+        q5_local_supplier_volume,
+        q9_product_profit,
+        q12_priority_shipping,
+    )
+
+    p5 = _plan(q5_local_supplier_volume(spark, sf_dir))
+    # region-semi on nation, customer semi, supplier⋈nation — all broadcast
+    assert p5.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p5
+    assert "partial_sum" in p5
+
+    p9 = _plan(q9_product_profit(spark, sf_dir))
+    assert p9.count("BroadcastHashJoin") >= 2  # part + supplier⋈nation
+    # the p_name needle reaches the part scan
+    assert "StringContains(p_name,red)" in p9 or "p_name" in p9.split("PushedFilters")[1][:200]
+    assert "partial_sum" in p9
+
+    p12 = _plan(q12_priority_shipping(spark, sf_dir))
+    assert "partial_sum" in p12
+    # exactly the one fact-fact join; no window, no cartesian
+    assert "Window" not in p12 and "CartesianProduct" not in p12
+
+
+def test_training_layout_shapes(spark, sf_dir):
+    """Round-5 training-layout ops hold their scale promises:
+    token_budget_sample's offsets relation joins back via broadcast and
+    its rank windows are (lang, bucket)-partitioned (never one partition
+    per language); shard_plan is scan + partial agg with no join or
+    window; unigram_familiarity's vocabulary join strategy is left to
+    Catalyst statistics — at test SFs the vocab fits a broadcast, at
+    100 TB the same plan degrades to a shuffle join (the code never
+    pins F.broadcast on the vocabulary side)."""
+    from hbasewd_spark.operators.training import (
+        shard_plan,
+        token_budget_sample,
+        unigram_familiarity,
+    )
+
+    ptb = _plan(token_budget_sample(spark, sf_dir))
+    assert "BroadcastHashJoin" in ptb  # offsets relation
+    # every Window spec is partitioned (no empty partition clause)
+    assert "Window" in ptb and "windowspecdefinition(lang" in ptb
+
+    psh = _plan(shard_plan(spark, sf_dir))
+    assert "partial_count" in psh or "partial_sum" in psh
+    assert "Join" not in psh and "Window" not in psh
+
+    puf = _plan(unigram_familiarity(spark, sf_dir))
+    # an equi-join on the token key, strategy chosen by statistics;
+    # partial (map-side) vocabulary counts either way
+    assert "Join" in puf and "partial_count" in puf
+
+
 def test_chunking_no_shuffle_packing_single_window_shuffle(spark, sf_dir):
     """Chunking is a pure per-row generator (no Exchange at all once the
     input has enough splits); packing shuffles exactly once for its
