@@ -161,6 +161,16 @@ def main() -> None:
     timed("quality_calibration", lambda: Q.REGISTRY["ext_quality_calibration"].fn(spark, SF_DIR).count())
     timed("url_host_stats", lambda: Q.REGISTRY["ext_url_host_stats"].fn(spark, SF_DIR).count())
 
+    # 33-38. round-5 session-2: TPC-H archetype completions (Q5 exact,
+    # Q9/Q12 schema-adapted) + training-layout ops (token-budget fill,
+    # shard audit, unigram familiarity scoring)
+    timed("tpch_q5", lambda: Q.REGISTRY["rel_q5_local_supplier"].fn(spark, SF_DIR).count())
+    timed("tpch_q9", lambda: Q.REGISTRY["rel_q9_product_profit"].fn(spark, SF_DIR).count())
+    timed("tpch_q12", lambda: Q.REGISTRY["rel_q12_priority_shipping"].fn(spark, SF_DIR).count())
+    timed("token_budget", lambda: Q.REGISTRY["ext_token_budget_sample"].fn(spark, SF_DIR).count())
+    timed("shard_plan", lambda: Q.REGISTRY["ext_shard_plan"].fn(spark, SF_DIR).count())
+    timed("unigram_familiarity", lambda: Q.REGISTRY["ext_unigram_familiarity"].fn(spark, SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     try:
         _report_vs_history(total, timings)
