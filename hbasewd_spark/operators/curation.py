@@ -360,3 +360,104 @@ def quality_calibration_oracle() -> str:
     WHERE q.quality >= c.cutoff
     GROUP BY q.lang, c.n_docs, c.cutoff
     """
+
+
+# ---------------------------------------------------------------------------
+# repeated-passage scrub (the rewrite twin of passage_dedup)
+# ---------------------------------------------------------------------------
+
+
+def passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_kept, scrubbed_chars, scrubbed_md5) — the REWRITE
+    twin of :func:`passage_dedup`: where that operator profiles
+    duplication, this one produces the cleaned corpus — every document
+    reassembled from only its first-occurrence segments (corpus-global
+    md5-fingerprint resolution, same min-agg skew-immune first-pick).
+    A document whose every segment occurred earlier vanishes entirely,
+    which is the intended semantic (it contributes nothing new).
+
+    The output carries the reassembled text's length and md5 rather
+    than the text itself so the attestation hash stays compact; the
+    text column is one ``array_join`` away (drop the md5/length
+    projection in a pipeline use).
+
+    At 100 TB: unlike the profile op, segment TEXT must move — once,
+    in the per-doc reassembly shuffle (this is inherent: the output IS
+    rewritten text). First-occurrence resolution still shuffles only
+    slim (fp, seg_key) pairs, and reassembly order is restored by
+    ``array_sort`` on (seg_idx, ·) structs, not a window — no
+    single-partition sort anywhere."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    base = docs.select("doc_id", tokens("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    n_segs = F.expr(f"(size(toks) + {SEG_TOKENS - 1}) div {SEG_TOKENS}").cast("int")
+    segs = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_idx"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.array_join(
+            F.slice("toks", F.col("seg_idx") * SEG_TOKENS + 1, SEG_TOKENS), " "
+        ).alias("seg_text"),
+        (F.col("doc_id") * _SEG_KEY_BASE + F.col("seg_idx")).alias("seg_key"),
+    ).withColumn("fp", F.md5("seg_text"))
+    firsts = segs.groupBy("fp").agg(F.min("seg_key").alias("first_key"))
+    kept = segs.join(firsts, "fp").where(F.col("seg_key") == F.col("first_key"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg_text"))),
+                    lambda s: s["seg_text"],
+                ),
+                " ",
+            ).alias("scrubbed"),
+        )
+        .select(
+            "doc_id",
+            "n_kept",
+            F.length("scrubbed").alias("scrubbed_chars"),
+            F.md5("scrubbed").alias("scrubbed_md5"),
+        )
+    )
+
+
+def passage_scrub_oracle() -> str:
+    toks = sql_tokens("text", "duckdb")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {toks} AS toks FROM documents WHERE len({toks}) > 0
+    ),
+    segs AS (
+      SELECT doc_id, seg_idx,
+             array_to_string(
+               toks[seg_idx * {SEG_TOKENS} + 1 : seg_idx * {SEG_TOKENS} + {SEG_TOKENS}],
+               ' ') AS seg_text,
+             doc_id * {_SEG_KEY_BASE} + seg_idx AS seg_key
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, CAST((len(toks) + {SEG_TOKENS - 1}) / {SEG_TOKENS} AS INTEGER) - 1)) AS seg_idx
+        FROM base
+      ) t
+    ),
+    fps AS (SELECT *, md5(seg_text) AS fp FROM segs),
+    firsts AS (SELECT fp, min(seg_key) AS first_key FROM fps GROUP BY fp),
+    kept AS (
+      SELECT s.doc_id, s.seg_idx, s.seg_text
+      FROM fps s JOIN firsts f ON s.fp = f.fp
+      WHERE s.seg_key = f.first_key
+    ),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(seg_text, ' ' ORDER BY seg_idx) AS scrubbed
+      FROM kept GROUP BY doc_id
+    )
+    SELECT doc_id, n_kept, CAST(length(scrubbed) AS INTEGER) AS scrubbed_chars,
+           md5(scrubbed) AS scrubbed_md5
+    FROM rebuilt
+    """

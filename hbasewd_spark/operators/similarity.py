@@ -1042,3 +1042,83 @@ def quantized_topk_oracle() -> str:
     )
     SELECT query_id, rank, vec_id, qcos_sim FROM ranked WHERE rank <= {TOPK}
     """
+
+
+# ---------------------------------------------------------------------------
+# cross-label centroid drift (corpus-mixture monitoring)
+# ---------------------------------------------------------------------------
+
+
+def centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label_a, label_b, cos_centroid) for every unordered label pair —
+    the pairwise cosine between per-label embedding centroids. The
+    corpus-mixture monitoring pass: two labels whose centroids drift
+    together are collapsing into one distribution (dedupe or re-label),
+    and tracking the matrix across snapshots detects embedding-model or
+    upstream-data drift before it poisons a training mix.
+
+    Numeric discipline matches :func:`embed_outliers`: components are
+    ``floor(x*1e9 + 0.5)`` integer-quantized before the mean (IEEE-exact
+    on both engines, order-independent integer sums), then the pairwise
+    cosine folds the 64-dim centroid arrays left-to-right in double —
+    identical operands, identical op order, bit-identical results.
+
+    At 100 TB: the only corpus-sized work is the slim (label, dim, xq)
+    aggregation with map-side partial sums; the centroid relation is
+    |labels| rows, and the pair join is an intentionally tiny broadcast
+    nested-loop over that relation (|labels|² pairs, bounded by the
+    label catalog — never corpus-sized). Sum-in-long overflows only
+    past ~4e9 vectors per label; swap the partial sums to
+    DECIMAL(38,0) (the ext_dataset_manifest trick) beyond that."""
+    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    dims = emb.select("label", F.posexplode(_dvec("embedding")).alias("dim", "x"))
+    xq = F.floor(F.col("x") * OUTLIER_QUANT + F.lit(0.5)).cast("long")
+    cents = (
+        dims.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(xq).cast("double") / F.count("*") / F.lit(float(OUTLIER_QUANT))
+            ).alias("m")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select("label", F.transform("dm", lambda s: s["m"]).alias("cv"))
+    )
+    a = cents.select(F.col("label").alias("label_a"), F.col("cv").alias("cva"))
+    b = cents.select(F.col("label").alias("label_b"), F.col("cv").alias("cvb"))
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            (
+                _dot(F.col("cva"), F.col("cvb"))
+                / (_norm(F.col("cva")) * _norm(F.col("cvb")))
+            ).alias("cos_centroid"),
+        )
+    )
+
+
+def centroid_drift_oracle() -> str:
+    dot = sql_dot("a.cv", "b.cv")
+    na = sql_dot("a.cv", "a.cv")
+    nb = sql_dot("b.cv", "b.cv")
+    return f"""
+    WITH dims AS (
+      SELECT label, gs.i AS dim,
+             CAST(floor(CAST(embedding[gs.i] AS DOUBLE) * {OUTLIER_QUANT}.0 + 0.5)
+                  AS BIGINT) AS xq
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) gs
+    ),
+    means AS (
+      SELECT label, dim,
+             CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*)
+               / {OUTLIER_QUANT}.0 AS m
+      FROM dims GROUP BY label, dim
+    ),
+    cents AS (SELECT label, list(m ORDER BY dim) AS cv FROM means GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           {dot} / (sqrt({na}) * sqrt({nb})) AS cos_centroid
+    FROM cents a JOIN cents b ON a.label < b.label
+    """

@@ -654,13 +654,23 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_nationkey = s_nationkey equality that ties two different dimension
     paths to the same fact row.
 
-    Plan at scale: orders is date-filtered at the scan, shuffles once on
-    o_custkey against region-semi-filtered customer, then once on
-    o_orderkey against lineitem; supplier⋈nation⋈region broadcasts
-    (bounded catalogs), and the local-supplier constraint rides inside
-    that broadcast join's condition (s_nationkey = c_nationkey) — no
-    extra shuffle for the second dimension path. Final agg over a
-    25-value nation domain is map-side combinable."""
+    Plan at scale: orders is date-filtered at the scan and joins the
+    region-semi-filtered customer first (the two SMALLER relations);
+    lineitem then joins that slice on o_orderkey under an explicit
+    ``shuffle_hash`` hint — the fact-fact join is pinned to a shuffle
+    (both sides exchange on orderkey, the slim slice builds
+    per-partition hashes), because size ESTIMATES at this seam are
+    untrustworthy in both directions: the engine raises
+    autoBroadcastJoinThreshold to 64 MB, a column-pruned lineitem
+    estimate slips under it at sf1 (measured: a 6M-row lineitem
+    broadcast build, 8× super-linear), and the orders⋈customer join
+    output estimate is inflated enough that flipping build sides picks
+    lineitem again. The hint is exactly what a 1000-executor plan
+    wants anyway. supplier⋈nation⋈region broadcasts (bounded
+    catalogs), and the local-supplier constraint rides inside that
+    broadcast join's condition (s_nationkey = c_nationkey) — no extra
+    shuffle for the second dimension path. Final agg over a 25-value
+    nation domain is map-side combinable."""
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == _Q5_REGION)
     rnations = nation.join(
@@ -678,9 +688,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = supp.join(
         F.broadcast(rnations), supp.s_nationkey == F.col("n_nationkey")
     ).select("s_suppkey", "s_nationkey", "n_name")
+    oc = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
     return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        li.join(oc.hint("shuffle_hash"), li.l_orderkey == F.col("o_orderkey"))
         .join(
             F.broadcast(sn),
             (li.l_suppkey == sn.s_suppkey)
@@ -731,9 +743,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan at scale: the part filter broadcasts and prunes lineitem
     FIRST (semi-join before any wide join), supplier⋈nation broadcasts;
-    the only big shuffle is lineitem⋈orders on orderkey; the profit
-    expression is all-DECIMAL so partial-agg order cannot perturb low
-    bits; final agg domain is nations × years (bounded)."""
+    the only big join is the part-filtered lineitem ⋈ orders on
+    orderkey, pinned ``shuffle_hash`` — fact-fact joins never ride a
+    broadcast build regardless of what column-pruned size estimates
+    claim (same estimate trap as Q5: under the engine's 64 MB
+    threshold a whole fact broadcast-builds at sf1; measured 1.9 s →
+    0.7 s from the pin). The profit expression is all-DECIMAL so
+    partial-agg order cannot perturb low bits; final agg domain is
+    nations × years (bounded)."""
     part = load_table(spark, sf_dir, "part").where(
         F.col("p_name").contains(_Q9_NEEDLE)
     )
@@ -742,7 +759,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "n_name")
     li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    ).hint("shuffle_hash")
     cost = dec("p_retailprice") * F.lit(_Q9_COST_FRAC).cast("decimal(12,4)")
     amount = _rev() - (cost * dec("l_quantity")).cast("decimal(25,4)")
     return (
@@ -786,13 +805,15 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a wide signed range) buckets the lines: early (<0 d),
     on-time (0–365 d), late (>365 d).
 
-    Plan at scale: one shuffle (lineitem⋈orders on orderkey — or zero
+    Plan at scale: one shuffle (lineitem⋈orders on orderkey, pinned
+    ``shuffle_hash`` like Q5/Q9 so a column-pruned size estimate can
+    never put a fact table on a broadcast build — or zero shuffles
     with both bucketed on orderkey via sources/bucketed.py); both
     CASE-sums are map-side combinable over a 3-value group domain."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
+    ).hint("shuffle_hash")
     lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
     bucket = (
         F.when(lag < 0, "early").when(lag <= 365, "on-time").otherwise("late")

@@ -808,9 +808,70 @@ REGISTRY["ext_embed_outliers"] = QuerySpec(
     "semantic outlier filter: top-k farthest vectors from their own "
     "label centroid (decimal-mean centroid + exact-fold distances)",
 )
+REGISTRY["ext_centroid_drift"] = QuerySpec(
+    SIM.centroid_drift,
+    SIM.centroid_drift_oracle(),
+    "corpus-mixture monitoring: pairwise cosine between per-label "
+    "embedding centroids (quantized-integer means, fixed-fold dots; "
+    "the pair join is a bounded |labels|² nested loop over a "
+    "broadcast centroid relation, never corpus-sized)",
+)
+REGISTRY["ext_passage_scrub"] = QuerySpec(
+    CU.passage_scrub,
+    CU.passage_scrub_oracle(),
+    "rewrite twin of passage_dedup: documents reassembled from only "
+    "their first-occurrence 20-token segments (array_sort reassembly, "
+    "no windows; output carries length+md5 of the cleaned text)",
+)
 
 
 TX_TOKENS_DUCK = TX.sql_tokens("text", "duckdb")
+
+# code-vs-prose heuristic: code-punctuation density in parts-per-million
+# (integer arithmetic end to end — cross-engine exact at any scale)
+_CODE_SYM_PAT = "[{}();=<>#]"
+_CODE_SYM_PPM = 15_000  # >=1.5% code punctuation => code-like
+
+
+@q(
+    "ext_code_detect",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             length(text) AS n_chars,
+             (len(regexp_extract_all(text, '{_CODE_SYM_PAT}')) * 1000000)
+               // greatest(length(text), 1) AS sym_ppm
+      FROM documents
+    )
+    SELECT lang, sym_ppm >= {_CODE_SYM_PPM} AS is_code,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(sym_ppm) AS BIGINT) AS sum_sym_ppm
+    FROM scored GROUP BY lang, sym_ppm >= {_CODE_SYM_PPM}
+    """,
+    "code-vs-prose detection: per-document code-punctuation density "
+    "(ppm, integer-division exact), rolled up per (lang, verdict) — "
+    "the cheap pre-filter a mixed crawl runs before routing documents "
+    "to code vs prose pipelines. Pure regexp+arithmetic in codegen, "
+    "one map-side-combinable aggregation, zero Python",
+)
+def ext_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    scored = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.expr(
+            f"(regexp_count(text, '{_CODE_SYM_PAT}') * 1000000)"
+            f" div greatest(length(text), 1)"
+        ).alias("sym_ppm"),
+    )
+    return scored.groupBy(
+        "lang", (F.col("sym_ppm") >= _CODE_SYM_PPM).alias("is_code")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum("sym_ppm").cast("bigint").alias("sum_sym_ppm"),
+    )
 
 
 @q(

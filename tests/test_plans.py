@@ -181,16 +181,22 @@ def test_q5_q9_q12_shapes(spark, sf_dir):
     assert p5.count("BroadcastHashJoin") >= 3
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p5
     assert "partial_sum" in p5
+    # the fact-fact seam is PINNED to a shuffle: a column-pruned
+    # lineitem estimate slips under the 64 MB broadcast threshold at
+    # sf1 and broadcast-built the whole fact (8x super-linear) before
+    assert "ShuffledHashJoin [l_orderkey" in p5
 
     p9 = _plan(q9_product_profit(spark, sf_dir))
     assert p9.count("BroadcastHashJoin") >= 2  # part + supplier⋈nation
     # the p_name needle reaches the part scan
     assert "StringContains(p_name,red)" in p9 or "p_name" in p9.split("PushedFilters")[1][:200]
     assert "partial_sum" in p9
+    assert "ShuffledHashJoin [l_orderkey" in p9  # same pin as Q5
 
     p12 = _plan(q12_priority_shipping(spark, sf_dir))
     assert "partial_sum" in p12
-    # exactly the one fact-fact join; no window, no cartesian
+    # exactly the one fact-fact join — pinned shuffle; no window
+    assert "ShuffledHashJoin [l_orderkey" in p12
     assert "Window" not in p12 and "CartesianProduct" not in p12
 
 
@@ -222,6 +228,31 @@ def test_training_layout_shapes(spark, sf_dir):
     # an equi-join on the token key, strategy chosen by statistics;
     # partial (map-side) vocabulary counts either way
     assert "Join" in puf and "partial_count" in puf
+
+
+def test_drift_scrub_codedetect_shapes(spark, sf_dir):
+    """centroid_drift's pair join is a bounded nested loop over the
+    broadcast |labels|-row centroid relation (the corpus-sized work is
+    only the partial-agg dims rollup); passage_scrub resolves first
+    occurrences by min-agg and reassembles with array_sort — no Window
+    anywhere; code_detect is one scan + partial agg with zero Python
+    and zero joins."""
+    from hbasewd_spark.operators.curation import passage_scrub
+    from hbasewd_spark.operators.similarity import centroid_drift
+    from hbasewd_spark.queries import REGISTRY
+
+    pcd = _plan(centroid_drift(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in pcd  # label_a < label_b, tiny
+    assert "partial_sum" in pcd  # dims rollup is map-side combinable
+
+    pps = _plan(passage_scrub(spark, sf_dir))
+    assert "Window" not in pps
+    assert "partial_min" in pps  # first-occurrence via min-agg
+
+    pcd2 = _plan(REGISTRY["ext_code_detect"].fn(spark, sf_dir))
+    assert "Join" not in pcd2 and "Window" not in pcd2
+    assert "partial_sum" in pcd2
+    assert "BatchEvalPython" not in pcd2 and "ArrowEvalPython" not in pcd2
 
 
 def test_chunking_no_shuffle_packing_single_window_shuffle(spark, sf_dir):
