@@ -171,6 +171,13 @@ def main() -> None:
     timed("shard_plan", lambda: Q.REGISTRY["ext_shard_plan"].fn(spark, SF_DIR).count())
     timed("unigram_familiarity", lambda: Q.REGISTRY["ext_unigram_familiarity"].fn(spark, SF_DIR).count())
 
+    # 39-41. round-5 session-3 second batch: embedding drift matrix,
+    # passage rewrite (text moves once — the rewrite IS the output),
+    # code-vs-prose routing
+    timed("centroid_drift", lambda: Q.REGISTRY["ext_centroid_drift"].fn(spark, SF_DIR).count())
+    timed("passage_scrub", lambda: Q.REGISTRY["ext_passage_scrub"].fn(spark, SF_DIR).count())
+    timed("code_detect", lambda: Q.REGISTRY["ext_code_detect"].fn(spark, SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     try:
         _report_vs_history(total, timings)
