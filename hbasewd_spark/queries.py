@@ -1144,6 +1144,70 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.run_stream_to_memory(spark, agg, "stream_session_window_out")
 
 
+def _stream_dedup_duck() -> str:
+    from hbasewd_spark.functions.text import sql_fingerprint
+
+    fp = sql_fingerprint("text", "duckdb")
+    return f"""
+    WITH f AS (SELECT doc_id, {fp} AS fp FROM documents)
+    SELECT min(doc_id) AS doc_id, fp FROM f GROUP BY fp
+    """
+
+
+@q(
+    "stream_dedup_ingest",
+    None,  # oracle assigned below (needs the helper above)
+    "ACTUAL Structured Streaming cross-batch exact dedup: the document "
+    "corpus is re-staged as 4 doc_id-range slices (ascending mtimes -> "
+    "deterministic micro-batch order), streamed one file per batch "
+    "through foreachBatch fingerprint+anti-join admission "
+    "(streaming/ingest.py dedup_corpus_ingest) into an "
+    "epoch-partitioned corpus. Because slices ascend by doc_id, the "
+    "admitted set is exactly min-doc_id-per-fingerprint — the batch "
+    "SQL oracle. At scale the anti-join probes a slim 8-byte/doc "
+    "fingerprint relation; bucket by fp for a shuffle-free probe",
+)
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from hbasewd_spark.streaming import ingest as ST
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="hbasewd_streamdedup_")
+    src, dest, ckpt = f"{root}/src", f"{root}/corpus", f"{root}/ckpt"
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    n_slices = 4
+    step = max((int(hi) - int(lo)) // n_slices + 1, 1)
+    schema = docs.schema
+    stamped: set[str] = set()
+    base_mtime = 1_600_000_000
+    for i in range(n_slices):
+        a, b = int(lo) + i * step, int(lo) + (i + 1) * step
+        docs.where(
+            (F.col("doc_id") >= a) & (F.col("doc_id") < b)
+        ).coalesce(1).write.mode("append").parquet(src)
+        # deterministic batch order: FileStreamSource sorts by mtime,
+        # so stamp this slice's fresh files with an ascending second
+        for fn in _os.listdir(src):
+            p = f"{src}/{fn}"
+            if fn.endswith(".parquet") and p not in stamped:
+                _os.utime(p, (base_mtime + i, base_mtime + i))
+                stamped.add(p)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    ST.dedup_corpus_ingest(stream, dest, ckpt).awaitTermination()
+    # read the partitioned root (not an epoch=* glob: globs make the
+    # reader probe for a streaming-sink metadata dir and log a WARN)
+    return spark.read.parquet(dest).select("doc_id", "fp")
+
+
+REGISTRY["stream_dedup_ingest"].oracle = _stream_dedup_duck()
+
+
 # ===========================================================================
 # Round-2 operators: as-of join, hierarchical time rollup, deterministic
 # sampling, PII scrubbing, benchmark contamination, z-order clustering
