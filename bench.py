@@ -161,7 +161,7 @@ def main() -> None:
     timed("quality_calibration", lambda: Q.REGISTRY["ext_quality_calibration"].fn(spark, SF_DIR).count())
     timed("url_host_stats", lambda: Q.REGISTRY["ext_url_host_stats"].fn(spark, SF_DIR).count())
 
-    # 33-38. round-5 session-2: TPC-H archetype completions (Q5 exact,
+    # 33-38. round-5 session-3: TPC-H archetype completions (Q5 exact,
     # Q9/Q12 schema-adapted) + training-layout ops (token-budget fill,
     # shard audit, unigram familiarity scoring)
     timed("tpch_q5", lambda: Q.REGISTRY["rel_q5_local_supplier"].fn(spark, SF_DIR).count())

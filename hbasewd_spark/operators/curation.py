@@ -31,6 +31,58 @@ SEG_TOKENS = 20
 _SEG_KEY_BASE = 1_000_000
 
 
+def _segments(docs: DataFrame, with_text: bool = False) -> DataFrame:
+    """Single definition of corpus segmentation, shared by the profile
+    (:func:`passage_dedup`) and rewrite (:func:`passage_scrub`) twins —
+    the fp/seg_key definitions MUST stay bit-identical between them or
+    the twin relationship silently breaks. Emits (doc_id, seg_idx, fp,
+    seg_key[, seg_text])."""
+    base = docs.select("doc_id", tokens("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    n_segs = F.expr(f"(size(toks) + {SEG_TOKENS - 1}) div {SEG_TOKENS}").cast("int")
+    seg_text = F.array_join(
+        F.slice("toks", F.col("seg_idx") * SEG_TOKENS + 1, SEG_TOKENS), " "
+    )
+    cols = [
+        F.col("doc_id"),
+        F.col("seg_idx"),
+        F.md5(seg_text).alias("fp"),
+        (F.col("doc_id") * _SEG_KEY_BASE + F.col("seg_idx")).alias("seg_key"),
+    ]
+    if with_text:
+        cols.insert(2, seg_text.alias("seg_text"))
+    return base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_idx"),
+        F.col("toks"),
+    ).select(*cols)
+
+
+def _sql_segs(with_text: bool = False) -> str:
+    """DuckDB twin of :func:`_segments` (base + segs CTE bodies)."""
+    toks = sql_tokens("text", "duckdb")
+    seg_text = (
+        f"array_to_string(toks[seg_idx * {SEG_TOKENS} + 1 :"
+        f" seg_idx * {SEG_TOKENS} + {SEG_TOKENS}], ' ')"
+    )
+    text_col = f"{seg_text} AS seg_text," if with_text else ""
+    return f"""
+    base AS (
+      SELECT doc_id, {toks} AS toks FROM documents WHERE len({toks}) > 0
+    ),
+    segs AS (
+      SELECT doc_id, seg_idx, {text_col}
+             md5({seg_text}) AS fp,
+             doc_id * {_SEG_KEY_BASE} + seg_idx AS seg_key
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, CAST((len(toks) + {SEG_TOKENS - 1}) / {SEG_TOKENS} AS INTEGER) - 1)) AS seg_idx
+        FROM base
+      ) t
+    )"""
+
+
 def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repeated-passage profile: (doc_id, n_segments,
     n_dup_segments, dup_ratio) where a segment (a :data:`SEG_TOKENS`-token
@@ -49,24 +101,7 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (agg + join back); the per-doc rollup re-shuffles (doc_id,
     is_dup) pairs. Payload text never shuffles."""
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    base = docs.select("doc_id", tokens("text").alias("toks")).where(
-        F.size("toks") > 0
-    )
-    n_segs = F.expr(f"(size(toks) + {SEG_TOKENS - 1}) div {SEG_TOKENS}").cast("int")
-    segs = base.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_idx"),
-        F.col("toks"),
-    ).select(
-        "doc_id",
-        "seg_idx",
-        F.md5(
-            F.array_join(
-                F.slice("toks", F.col("seg_idx") * SEG_TOKENS + 1, SEG_TOKENS), " "
-            )
-        ).alias("fp"),
-        (F.col("doc_id") * _SEG_KEY_BASE + F.col("seg_idx")).alias("seg_key"),
-    )
+    segs = _segments(docs)
     firsts = segs.groupBy("fp").agg(F.min("seg_key").alias("first_key"))
     marked = segs.join(firsts, "fp").select(
         "doc_id", (F.col("seg_key") != F.col("first_key")).alias("is_dup")
@@ -81,23 +116,8 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def passage_dedup_oracle() -> str:
-    toks = sql_tokens("text", "duckdb")
     return f"""
-    WITH base AS (
-      SELECT doc_id, {toks} AS toks FROM documents WHERE len({toks}) > 0
-    ),
-    segs AS (
-      SELECT doc_id, seg_idx,
-             md5(array_to_string(
-               toks[seg_idx * {SEG_TOKENS} + 1 : seg_idx * {SEG_TOKENS} + {SEG_TOKENS}],
-               ' ')) AS fp,
-             doc_id * {_SEG_KEY_BASE} + seg_idx AS seg_key
-      FROM (
-        SELECT doc_id, toks,
-               unnest(generate_series(0, CAST((len(toks) + {SEG_TOKENS - 1}) / {SEG_TOKENS} AS INTEGER) - 1)) AS seg_idx
-        FROM base
-      ) t
-    ),
+    WITH {_sql_segs()},
     firsts AS (SELECT fp, min(seg_key) AS first_key FROM segs GROUP BY fp),
     marked AS (
       SELECT s.doc_id, s.seg_key <> f.first_key AS is_dup
@@ -388,22 +408,7 @@ def passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_sort`` on (seg_idx, ·) structs, not a window — no
     single-partition sort anywhere."""
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    base = docs.select("doc_id", tokens("text").alias("toks")).where(
-        F.size("toks") > 0
-    )
-    n_segs = F.expr(f"(size(toks) + {SEG_TOKENS - 1}) div {SEG_TOKENS}").cast("int")
-    segs = base.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_idx"),
-        F.col("toks"),
-    ).select(
-        "doc_id",
-        "seg_idx",
-        F.array_join(
-            F.slice("toks", F.col("seg_idx") * SEG_TOKENS + 1, SEG_TOKENS), " "
-        ).alias("seg_text"),
-        (F.col("doc_id") * _SEG_KEY_BASE + F.col("seg_idx")).alias("seg_key"),
-    ).withColumn("fp", F.md5("seg_text"))
+    segs = _segments(docs, with_text=True)
     firsts = segs.groupBy("fp").agg(F.min("seg_key").alias("first_key"))
     kept = segs.join(firsts, "fp").where(F.col("seg_key") == F.col("first_key"))
     return (
@@ -428,28 +433,12 @@ def passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def passage_scrub_oracle() -> str:
-    toks = sql_tokens("text", "duckdb")
     return f"""
-    WITH base AS (
-      SELECT doc_id, {toks} AS toks FROM documents WHERE len({toks}) > 0
-    ),
-    segs AS (
-      SELECT doc_id, seg_idx,
-             array_to_string(
-               toks[seg_idx * {SEG_TOKENS} + 1 : seg_idx * {SEG_TOKENS} + {SEG_TOKENS}],
-               ' ') AS seg_text,
-             doc_id * {_SEG_KEY_BASE} + seg_idx AS seg_key
-      FROM (
-        SELECT doc_id, toks,
-               unnest(generate_series(0, CAST((len(toks) + {SEG_TOKENS - 1}) / {SEG_TOKENS} AS INTEGER) - 1)) AS seg_idx
-        FROM base
-      ) t
-    ),
-    fps AS (SELECT *, md5(seg_text) AS fp FROM segs),
-    firsts AS (SELECT fp, min(seg_key) AS first_key FROM fps GROUP BY fp),
+    WITH {_sql_segs(with_text=True)},
+    firsts AS (SELECT fp, min(seg_key) AS first_key FROM segs GROUP BY fp),
     kept AS (
       SELECT s.doc_id, s.seg_idx, s.seg_text
-      FROM fps s JOIN firsts f ON s.fp = f.fp
+      FROM segs s JOIN firsts f ON s.fp = f.fp
       WHERE s.seg_key = f.first_key
     ),
     rebuilt AS (

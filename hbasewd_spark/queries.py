@@ -828,20 +828,37 @@ REGISTRY["ext_passage_scrub"] = QuerySpec(
 TX_TOKENS_DUCK = TX.sql_tokens("text", "duckdb")
 
 # code-vs-prose heuristic: code-punctuation density in parts-per-million
-# (integer arithmetic end to end — cross-engine exact at any scale)
+# (BIGINT arithmetic end to end — cross-engine exact at any scale; the
+# count is widened BEFORE the 1e6 multiply because Spark's regexp_count
+# is int32 and a ~150 KB code file overflows the product under ANSI)
 _CODE_SYM_PAT = "[{}();=<>#]"
 _CODE_SYM_PPM = 15_000  # >=1.5% code punctuation => code-like
+# The shipped corpus is PURE prose (zero punctuation characters in any
+# document — verified), so the raw detector would be vacuously
+# all-false and its discriminating path unattested. The query therefore
+# stages a deterministic code-decorated slice first: every 5th document
+# by key hash gets a code snippet appended, proportional to its length
+# (~6% punctuation density — decisively over the threshold), on BOTH
+# engines identically. Real deployments drop the staging CTE.
+_CODE_DECOR = " {z=(1);}"
 
 
 @q(
     "ext_code_detect",
     f"""
-    WITH scored AS (
+    WITH staged AS (
       SELECT lang,
-             length(text) AS n_chars,
-             (len(regexp_extract_all(text, '{_CODE_SYM_PAT}')) * 1000000)
-               // greatest(length(text), 1) AS sym_ppm
+             CASE WHEN ({sql_md5_long("CAST(doc_id AS VARCHAR)", "duckdb")}) % 5 = 0
+                  THEN text || repeat('{_CODE_DECOR}', greatest(length(text) // 100, 1))
+                  ELSE text END AS t
       FROM documents
+    ),
+    scored AS (
+      SELECT lang,
+             length(t) AS n_chars,
+             (len(regexp_extract_all(t, '{_CODE_SYM_PAT}')) * 1000000)
+               // greatest(length(t), 1) AS sym_ppm
+      FROM staged
     )
     SELECT lang, sym_ppm >= {_CODE_SYM_PPM} AS is_code,
            count(*) AS n_docs,
@@ -850,19 +867,34 @@ _CODE_SYM_PPM = 15_000  # >=1.5% code punctuation => code-like
     FROM scored GROUP BY lang, sym_ppm >= {_CODE_SYM_PPM}
     """,
     "code-vs-prose detection: per-document code-punctuation density "
-    "(ppm, integer-division exact), rolled up per (lang, verdict) — "
-    "the cheap pre-filter a mixed crawl runs before routing documents "
-    "to code vs prose pipelines. Pure regexp+arithmetic in codegen, "
-    "one map-side-combinable aggregation, zero Python",
+    "(ppm, BIGINT integer-division exact), rolled up per (lang, "
+    "verdict) — the cheap pre-filter a mixed crawl runs before routing "
+    "documents to code vs prose pipelines. The shipped corpus is pure "
+    "prose, so the query first stages a deterministic code-decorated "
+    "slice (every 5th doc by key hash) so BOTH verdict branches are "
+    "attested. Pure regexp+arithmetic in codegen, one "
+    "map-side-combinable aggregation, zero Python",
 )
 def ext_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.functions.codec import md5_long
+
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    scored = docs.select(
+    decorated = F.concat(
+        F.col("text"),
+        F.expr(f"repeat('{_CODE_DECOR}', greatest(length(text) div 100, 1))"),
+    )
+    staged = docs.select(
         "lang",
-        F.length("text").alias("n_chars"),
+        F.when(md5_long(F.col("doc_id").cast("string")) % 5 == 0, decorated)
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    scored = staged.select(
+        "lang",
+        F.length("t").alias("n_chars"),
         F.expr(
-            f"(regexp_count(text, '{_CODE_SYM_PAT}') * 1000000)"
-            f" div greatest(length(text), 1)"
+            f"(CAST(regexp_count(t, '{_CODE_SYM_PAT}') AS BIGINT) * 1000000)"
+            f" div greatest(CAST(length(t) AS BIGINT), 1)"
         ).alias("sym_ppm"),
     )
     return scored.groupBy(
@@ -1169,37 +1201,49 @@ def _stream_dedup_duck() -> str:
 )
 def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
+    import shutil as _shutil
 
     from hbasewd_spark.streaming import ingest as ST
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bounds = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    lo, hi = bounds[0], bounds[1]
+    if lo is None:  # empty corpus -> empty admitted set, same schema
+        return spark.createDataFrame([], "doc_id bigint, fp bigint")
     root = tempfile.mkdtemp(prefix="hbasewd_streamdedup_")
     src, dest, ckpt = f"{root}/src", f"{root}/corpus", f"{root}/ckpt"
-    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     n_slices = 4
     step = max((int(hi) - int(lo)) // n_slices + 1, 1)
     schema = docs.schema
-    stamped: set[str] = set()
-    base_mtime = 1_600_000_000
-    for i in range(n_slices):
-        a, b = int(lo) + i * step, int(lo) + (i + 1) * step
-        docs.where(
-            (F.col("doc_id") >= a) & (F.col("doc_id") < b)
-        ).coalesce(1).write.mode("append").parquet(src)
-        # deterministic batch order: FileStreamSource sorts by mtime,
-        # so stamp this slice's fresh files with an ascending second
-        for fn in _os.listdir(src):
-            p = f"{src}/{fn}"
-            if fn.endswith(".parquet") and p not in stamped:
-                _os.utime(p, (base_mtime + i, base_mtime + i))
-                stamped.add(p)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(src)
-    )
-    ST.dedup_corpus_ingest(stream, dest, ckpt).awaitTermination()
+    docs = docs.persist()  # 4 slice writes read one cached pass
+    try:
+        stamped: set[str] = set()
+        base_mtime = 1_600_000_000
+        for i in range(n_slices):
+            a, b = int(lo) + i * step, int(lo) + (i + 1) * step
+            docs.where(
+                (F.col("doc_id") >= a) & (F.col("doc_id") < b)
+            ).coalesce(1).write.mode("append").parquet(src)
+            # deterministic batch order: FileStreamSource sorts by
+            # mtime, so stamp each slice's files an ascending second
+            for fn in _os.listdir(src):
+                p = f"{src}/{fn}"
+                if fn.endswith(".parquet") and p not in stamped:
+                    _os.utime(p, (base_mtime + i, base_mtime + i))
+                    stamped.add(p)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+        ST.dedup_corpus_ingest(stream, dest, ckpt).awaitTermination()
+    finally:
+        docs.unpersist()
+        # the staged slices and checkpoint are corpus-sized scratch;
+        # only dest (which the returned DataFrame reads lazily) stays
+        _shutil.rmtree(src, ignore_errors=True)
+        _shutil.rmtree(ckpt, ignore_errors=True)
     # read the partitioned root (not an epoch=* glob: globs make the
     # reader probe for a streaming-sink metadata dir and log a WARN)
     return spark.read.parquet(dest).select("doc_id", "fp")

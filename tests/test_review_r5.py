@@ -180,3 +180,40 @@ def test_manifest_checksum_decimal_sum_matches_oracle_semantics(spark):
 
     want = sum(int(hashlib.md5(f"k{i}".encode()).hexdigest()[:8], 16) for i in range(1000)) % 2**32
     assert got == want
+
+
+def test_stream_dedup_ingest_empty_corpus(spark, tmp_path):
+    """An empty documents table must yield an empty admitted set (same
+    schema), not a TypeError from int(None) bounds."""
+    from hbasewd_spark.queries import REGISTRY
+
+    empty_dir = str(tmp_path / "sfempty")
+    spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(empty_dir + "/documents.parquet")
+    out = REGISTRY["stream_dedup_ingest"].fn(spark, empty_dir)
+    assert out.columns == ["doc_id", "fp"]
+    assert out.count() == 0
+
+
+def test_code_detect_overflow_safe_and_both_branches(spark, tmp_path):
+    """A pathological document with >2147 code-punctuation characters
+    must not overflow the ppm product (int32 regexp_count widened to
+    BIGINT before the 1e6 multiply under ANSI), and the staged slice
+    must fire BOTH verdict branches on the shipped prose corpus."""
+    from hbasewd_spark.queries import REGISTRY, _CODE_SYM_PPM
+
+    big_dir = str(tmp_path / "sfbig")
+    code = "{};()=<>#" * 400  # 3600 code chars
+    spark.createDataFrame(
+        [(0, code, "en", "s", len(code))],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.parquet(big_dir + "/documents.parquet")
+    row = REGISTRY["ext_code_detect"].fn(spark, big_dir).collect()[0]
+    assert row.is_code and 0 < row.sum_sym_ppm <= 1_000_000
+
+    verdicts = {
+        r.is_code
+        for r in REGISTRY["ext_code_detect"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert verdicts == {True, False}
