@@ -1897,6 +1897,224 @@ def _oov_duck() -> str:
 REGISTRY["ext_text_oov_rate"].oracle = _oov_duck()
 
 
+# ===========================================================================
+# Round-5 session-3 batch 3: cohort retention, value histograms, language
+# confusion, embedding dimension health, BPE merge candidates
+# ===========================================================================
+
+_HIST_BIN = 20.0  # events.value spans [0, 500): 25 fixed-width bins
+
+
+@q(
+    "rel_cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0 FROM events GROUP BY 1
+    )
+    SELECT date_trunc('week', f.t0) AS cohort_week,
+           date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS activity_week,
+           count(DISTINCT e.user_id) AS n_users,
+           count(*) AS n_events
+    FROM events e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    "cohort retention matrix: users bucketed by first-seen week, "
+    "activity counted per (cohort, activity) week — the classic "
+    "retention triangle. Two shuffles on the slim (user_id, ts) "
+    "projection (first-seen agg + the matrix agg); the join is "
+    "stats-driven; Monday-truncation agrees across engines",
+)
+def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.date_trunc("week", "t0").alias("cohort_week"),
+            F.date_trunc("week", "ts").alias("activity_week"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@q(
+    "rel_value_histogram",
+    f"""
+    SELECT event_type,
+           CAST(floor(value / {_HIST_BIN}) AS INTEGER) AS bin,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "fixed-width value histogram per event type (floor-division "
+    "binning — identical IEEE ops on both engines, no width_bucket "
+    "dialect differences). One map-side-combinable agg over a bounded "
+    "(type x bin) domain; the profile step before choosing sketch "
+    "bucket boundaries at scale",
+)
+def rel_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(_HIST_BIN)).cast("int").alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def _lang_confusion_duck() -> str:
+    det = TX.sql_lang_id("text", "duckdb")
+    return f"""
+    SELECT lang, {det} AS detected, count(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """
+
+
+@q(
+    "ext_lang_confusion",
+    None,  # assigned below
+    "language-ID confusion matrix: labeled vs detected language, doc "
+    "counts per cell — the calibration artifact for any lang-ID gate "
+    "(off-diagonal mass = routing error rate per language). Pure "
+    "codegen marker counting, one bounded-domain agg, zero Python",
+)
+def ext_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    return (
+        docs.select("lang", TX.lang_id("text").alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+REGISTRY["ext_lang_confusion"].oracle = _lang_confusion_duck()
+
+_DIM_QUANT = 1_000_000  # 1e-6 quantization: xq^2 sums stay in int64
+
+
+@q(
+    "ext_embed_dim_stats",
+    f"""
+    WITH dims AS (
+      SELECT gs.i AS dim,
+             CAST(floor(CAST(embedding[gs.i] AS DOUBLE) * {_DIM_QUANT}.0 + 0.5)
+                  AS BIGINT) AS xq
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
+    )
+    SELECT dim, count(*) AS n,
+           CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*) / {_DIM_QUANT}.0 AS mean_x,
+           CAST(CAST(sum(xq * xq) AS BIGINT) AS DOUBLE) / count(*) / {_DIM_QUANT}.0 / {_DIM_QUANT}.0
+             - (CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*) / {_DIM_QUANT}.0)
+               * (CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*) / {_DIM_QUANT}.0)
+             AS var_x
+    FROM dims GROUP BY dim
+    """,
+    "embedding dimension health: per-dimension mean and variance over "
+    "the corpus (dead or collapsed dimensions surface as ~zero "
+    "variance — the check before trusting an embedding model's output "
+    "space). Quantized-integer sums (floor x*1e6, squares stay in "
+    "int64 to ~1e10 unit-norm vectors; DECIMAL(38,0) beyond), then a "
+    "fixed IEEE op sequence for mean/var — bit-identical cross-engine. "
+    "One slim (dim, xq) aggregation, map-side combinable",
+)
+def ext_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.operators.similarity import _dvec
+
+    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    dims = emb.select(F.posexplode(_dvec("embedding")).alias("dim0", "x")).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x") * _DIM_QUANT + F.lit(0.5)).cast("long").alias("xq"),
+    )
+    q = float(_DIM_QUANT)
+    agged = dims.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("xq").cast("bigint").alias("s"),
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n") / F.lit(q)
+    ex2 = F.col("s2").cast("double") / F.col("n") / F.lit(q) / F.lit(q)
+    return agged.select(
+        "dim",
+        "n",
+        mean.alias("mean_x"),
+        (ex2 - mean * mean).alias("var_x"),
+    )
+
+
+_BPE_TOPK = 20
+
+
+def _bpe_duck() -> str:
+    toks = TX.sql_tokens("text", "duckdb")
+    return f"""
+    WITH w AS (
+      SELECT unnest({toks}) AS word FROM documents
+    ),
+    v AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+    p AS (
+      SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                                   i -> substr(word, i, 2))) AS pair,
+             freq
+      FROM v WHERE length(word) >= 2
+    ),
+    c AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY pair)
+    SELECT pair, n FROM (
+      SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rk
+      FROM c
+    ) t WHERE rk <= {_BPE_TOPK}
+    """
+
+
+@q(
+    "ext_bpe_merge_candidates",
+    None,  # assigned below
+    "BPE vocabulary induction, step one: the top adjacent character "
+    "pairs by corpus frequency — exactly the statistic a BPE trainer "
+    "merges first. Pair extraction runs over the VOCABULARY relation "
+    "(word, freq), not the corpus (the corpus-sized work is the one "
+    "map-side-combinable word count), so each merge round costs a "
+    "vocab scan — the only shape that survives iterated training at "
+    "100 TB",
+)
+def ext_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.functions.text import tokens
+    from hbasewd_spark.operators.topk import global_topk
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = vocab.where(F.length("word") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("n"))
+    return global_topk(
+        counts, [F.col("n").desc(), F.col("pair").asc()], _BPE_TOPK, rk_name=None
+    ).select("pair", "n")
+
+
+REGISTRY["ext_bpe_merge_candidates"].oracle = _bpe_duck()
+
+
 def _zorder_sql(dialect: str) -> str:
     from hbasewd_spark.functions.codec import sql_zvalue16
 

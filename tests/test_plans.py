@@ -255,6 +255,29 @@ def test_drift_scrub_codedetect_shapes(spark, sf_dir):
     assert "BatchEvalPython" not in pcd2 and "ArrowEvalPython" not in pcd2
 
 
+def test_batch3_shapes(spark, sf_dir):
+    """Batch-3 ops keep their scale shapes: histogram/lang-confusion/
+    dim-stats are single-scan partial aggs with no join, window, or
+    Python; cohort joins the slim first-seen relation (partial aggs on
+    both sides); BPE pair mining explodes the VOCABULARY relation, not
+    the corpus, and takes top-k without a global sort."""
+    from hbasewd_spark.queries import REGISTRY
+
+    for name in ["rel_value_histogram", "ext_lang_confusion", "ext_embed_dim_stats"]:
+        p = _plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "Join" not in p and "Window" not in p, name
+        assert "partial_count" in p or "partial_sum" in p, name
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+    pc = _plan(REGISTRY["rel_cohort_retention"].fn(spark, sf_dir))
+    assert "Join" in pc and "partial_min" in pc
+
+    pb = _plan(REGISTRY["ext_bpe_merge_candidates"].fn(spark, sf_dir))
+    assert "partial_count" in pb  # vocab count is map-side combinable
+    # top-k is the grouped partial top-k, never a single-partition sort
+    assert "Window" not in pb
+
+
 def test_chunking_no_shuffle_packing_single_window_shuffle(spark, sf_dir):
     """Chunking is a pure per-row generator (no Exchange at all once the
     input has enough splits); packing shuffles exactly once for its
