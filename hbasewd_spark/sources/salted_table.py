@@ -884,6 +884,65 @@ def compact(table: SaltedTable, target_files_per_salt: int = 1) -> SaltedTable:
     return table
 
 
+def cluster(
+    table: SaltedTable, x: str, y: str, files_per_salt: int = 4
+) -> SaltedTable:
+    """Z-ORDER clustering rewrite (the Delta ``OPTIMIZE ZORDER BY``
+    shape): rewrite each salt partition's files sorted by the 32-bit
+    Morton interleave of two dimension columns, so per-file min/max
+    stats are tight in BOTH dims and 2-D predicates prune files the
+    key-sorted layout cannot. ``x``/``y`` must be integer-valued
+    columns; only their low 16 bits participate (pre-bucket wider
+    domains with ``pmod``).
+
+    The trade-off is explicit and documented: the write-time layout
+    invariant (key-sorted files => tight KEY row-group stats) is
+    traded for two-dimensional locality — ordered scans still work
+    (``scan(ordered=True)`` re-sorts and ``scanner()`` plans a
+    per-bucket sort; neither reads physical file order), but key-range
+    zone maps widen. Choose per table: cluster the tables whose hot
+    predicates are 2-D, compact the rest.
+
+    At 100 TB this is the same nightly-rewrite cost class as
+    :func:`compact`: no row crosses a salt partition, the exchange is
+    a range partition on (salt, zval) — contiguous z-slices become
+    files, which is exactly what makes the zone maps tight — and the
+    swap is the crash-safe aside-rename protocol. Key->salt index
+    survives (placement within the salt dir changed, membership did
+    not)."""
+    from pyspark.sql import functions as F
+
+    from hbasewd_spark.functions.codec import zvalue16
+
+    fs = Fs(table.spark, table.path)
+    base = table.path.rstrip("/")
+    _refuse_orphaned_old(fs, base, "cluster")
+    tmp = base + ".cluster_tmp"
+    fs.delete(tmp, recursive=True)
+    n = table.distributor.buckets * files_per_salt
+    staged = (
+        table.df()
+        .withColumn("_zv", zvalue16(x, y))
+        .repartitionByRange(n, F.col(SALT_COL), F.col("_zv"))
+        .sortWithinPartitions(SALT_COL, "_zv")
+        .drop("_zv")
+    )
+    table._writer(staged).mode("overwrite").save(tmp)
+    fs.copy(base + "/" + META_FILE, tmp + "/" + META_FILE)
+    idx_src = base + "/" + SaltedTable.KEY_INDEX_DIR
+    if fs.is_dir(idx_src):
+        fs.copy(idx_src, tmp + "/" + SaltedTable.KEY_INDEX_DIR)
+    _swap_table_dirs(fs, tmp, base, "cluster")
+    table.refresh()
+    idx_dir = base + "/" + SaltedTable.KEY_INDEX_DIR
+    if fs.is_dir(idx_dir):
+        fs.write_text(
+            idx_dir + "/" + SaltedTable.INDEX_META_FILE,
+            json.dumps({"data_sig": table._data_signature(fs)}),
+        )
+    return table
+
+
 def rebucket(table: SaltedTable, new_distributor: KeyDistributor) -> SaltedTable:
     """Bucket-count (or strategy) migration — the scaling knob the
     reference's README centers on (bucket count trades write
