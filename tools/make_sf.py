@@ -60,9 +60,16 @@ def scaled_copy(df, table: str, copy: int):
         out = out.withColumn(c, (F.col(c) + F.lit(copy * OFFSET)).cast("long"))
     if copy > 0 and table == "documents":
         # distinct text per copy (see module docstring); keep n_chars
-        # honest so length-based quality filters see consistent stats
+        # honest so length-based quality filters see consistent stats.
+        # The stamp must stay (a) pure ASCII — multimodal payloads
+        # reuse text bytes and their oracles rely on byte==char
+        # offsets (a 2-byte UTF-8 stamp broke audio_segments at sf1) —
+        # and (b) ALPHANUMERIC, so the tokenizer keeps `wordq3` as ONE
+        # token distinct from `word` (a separator stamp split into
+        # [word, 3], leaking the original token stream back into every
+        # copy and defeating the linear-dedup-structure goal)
         out = out.withColumn(
-            "text", F.regexp_replace("text", r"(\w+)", f"$1§{copy}")
+            "text", F.regexp_replace("text", r"(\w+)", f"$1q{copy}")
         ).withColumn("n_chars", F.length("text").cast("long"))
     if copy > 0 and table == "embeddings":
         n = copy  # rotate left by `copy` positions
