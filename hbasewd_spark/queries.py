@@ -1210,7 +1210,14 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = bounds[0], bounds[1]
     if lo is None:  # empty corpus -> empty admitted set, same schema
         return spark.createDataFrame([], "doc_id bigint, fp bigint")
-    root = tempfile.mkdtemp(prefix="hbasewd_streamdedup_")
+    # a deterministic per-sf cache root, REPLACED each invocation (not
+    # mkdtemp: that stranded a corpus-sized copy per run — at most one
+    # copy may ever exist, same convention as the events_salted caches)
+    root = os.path.join(
+        tempfile.gettempdir(), "hbasewd_cache",
+        os.path.basename(os.path.normpath(sf_dir)), "stream_dedup",
+    )
+    _shutil.rmtree(root, ignore_errors=True)
     src, dest, ckpt = f"{root}/src", f"{root}/corpus", f"{root}/ckpt"
     n_slices = 4
     step = max((int(hi) - int(lo)) // n_slices + 1, 1)
@@ -1221,6 +1228,11 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_mtime = 1_600_000_000
         for i in range(n_slices):
             a, b = int(lo) + i * step, int(lo) + (i + 1) * step
+            # coalesce(1) is SEMANTIC, not cosmetic: one file == one
+            # micro-batch, and the oracle equivalence (admitted ==
+            # min-doc_id-per-fp) needs each doc_id-range slice
+            # processed as one batch — a slice split across batches in
+            # arbitrary membership order could admit a non-min doc
             docs.where(
                 (F.col("doc_id") >= a) & (F.col("doc_id") < b)
             ).coalesce(1).write.mode("append").parquet(src)
@@ -1238,6 +1250,11 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src)
         )
         ST.dedup_corpus_ingest(stream, dest, ckpt).awaitTermination()
+    except BaseException:
+        # a failed drain must not leave a partial dest a later read
+        # could mistake for a complete admitted set
+        _shutil.rmtree(root, ignore_errors=True)
+        raise
     finally:
         docs.unpersist()
         # the staged slices and checkpoint are corpus-sized scratch;
@@ -2005,12 +2022,19 @@ _DIM_QUANT = 1_000_000  # 1e-6 quantization: xq^2 sums stay in int64
 @q(
     "ext_embed_dim_stats",
     f"""
-    WITH dims AS (
-      SELECT gs.i AS dim,
-             CAST(floor(CAST(embedding[gs.i] AS DOUBLE) * {_DIM_QUANT}.0 + 0.5)
-                  AS BIGINT) AS xq
+    WITH pos AS (
+      -- per-row series bound: derives the dim domain from the actual
+      -- array length exactly like the Spark posexplode (a hardcoded
+      -- bound would count phantom NULL dims if the fixture's
+      -- dimensionality ever changed)
+      SELECT unnest(generate_series(1, len(embedding))) AS i, embedding
       FROM embeddings
-      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
+    ),
+    dims AS (
+      SELECT i AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {_DIM_QUANT}.0 + 0.5)
+                  AS BIGINT) AS xq
+      FROM pos
     )
     SELECT dim, count(*) AS n,
            CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*) / {_DIM_QUANT}.0 AS mean_x,
@@ -2023,8 +2047,10 @@ _DIM_QUANT = 1_000_000  # 1e-6 quantization: xq^2 sums stay in int64
     "embedding dimension health: per-dimension mean and variance over "
     "the corpus (dead or collapsed dimensions surface as ~zero "
     "variance — the check before trusting an embedding model's output "
-    "space). Quantized-integer sums (floor x*1e6, squares stay in "
-    "int64 to ~1e10 unit-norm vectors; DECIMAL(38,0) beyond), then a "
+    "space). Quantized-integer sums (floor x*1e6; per-dim squared "
+    "sums stay in int64 to ~5e8 unit-norm vectors — ~9e6 if a "
+    "dimension's magnitude reaches 1.0 — switch the partial sums to "
+    "DECIMAL(38,0) beyond), then a "
     "fixed IEEE op sequence for mean/var — bit-identical cross-engine. "
     "One slim (dim, xq) aggregation, map-side combinable",
 )

@@ -853,28 +853,39 @@ def compact(table: SaltedTable, target_files_per_salt: int = 1) -> SaltedTable:
     an s3a:// or hdfs:// table, not just local disk."""
     from pyspark.sql import functions as F
 
-    fs = Fs(table.spark, table.path)
-    base = table.path.rstrip("/")
-    _refuse_orphaned_old(fs, base, "compact")
-    tmp = base + ".compact_tmp"
-    fs.delete(tmp, recursive=True)
     n = table.distributor.buckets * target_files_per_salt
-    table._writer(
+    staged = (
         table.df()
         .repartition(n, F.col(SALT_COL))
         .sortWithinPartitions(SALT_COL, table.key_col)
-    ).mode("overwrite").save(tmp)
+    )
+    return _staged_rewrite(table, staged, "compact")
+
+
+def _staged_rewrite(table: SaltedTable, staged, op: str) -> SaltedTable:
+    """The crash-safe rewrite protocol shared by the salt-preserving
+    lifecycle verbs (:func:`compact`, :func:`cluster`) — ONE
+    definition, because every line here is safety-critical and a
+    protocol fix must reach all verbs at once (the orphaned-``.old``
+    refusal already had to): refuse if a previous swap stranded the
+    only copy, stage the rewrite into a sibling dir, carry the table
+    metadata and the key->salt index (no row crosses a salt
+    partition, so the index mapping survives), aside-rename swap, and
+    restamp the index watermark against the new data files."""
+    fs = Fs(table.spark, table.path)
+    base = table.path.rstrip("/")
+    _refuse_orphaned_old(fs, base, op)
+    tmp = f"{base}.{op}_tmp"
+    fs.delete(tmp, recursive=True)
+    table._writer(staged).mode("overwrite").save(tmp)
     fs.copy(base + "/" + META_FILE, tmp + "/" + META_FILE)
-    # the key->salt index survives compaction unchanged (compaction
-    # never moves a row across salt partitions), so carry it over
     idx_src = base + "/" + SaltedTable.KEY_INDEX_DIR
     if fs.is_dir(idx_src):
         fs.copy(idx_src, tmp + "/" + SaltedTable.KEY_INDEX_DIR)
-    _swap_table_dirs(fs, tmp, base, "compact")
+    _swap_table_dirs(fs, tmp, base, op)
     table.refresh()
-    # compaction rewrote the data files: restamp the index watermark
-    # (the mapping itself is unchanged) so indexed gets stay on the
-    # fast path
+    # the rewrite replaced the data files: restamp the index watermark
+    # (the mapping itself is unchanged) so indexed gets stay fast
     idx_dir = base + "/" + SaltedTable.KEY_INDEX_DIR
     if fs.is_dir(idx_dir):
         fs.write_text(
@@ -914,11 +925,6 @@ def cluster(
 
     from hbasewd_spark.functions.codec import zvalue16
 
-    fs = Fs(table.spark, table.path)
-    base = table.path.rstrip("/")
-    _refuse_orphaned_old(fs, base, "cluster")
-    tmp = base + ".cluster_tmp"
-    fs.delete(tmp, recursive=True)
     n = table.distributor.buckets * files_per_salt
     staged = (
         table.df()
@@ -927,20 +933,7 @@ def cluster(
         .sortWithinPartitions(SALT_COL, "_zv")
         .drop("_zv")
     )
-    table._writer(staged).mode("overwrite").save(tmp)
-    fs.copy(base + "/" + META_FILE, tmp + "/" + META_FILE)
-    idx_src = base + "/" + SaltedTable.KEY_INDEX_DIR
-    if fs.is_dir(idx_src):
-        fs.copy(idx_src, tmp + "/" + SaltedTable.KEY_INDEX_DIR)
-    _swap_table_dirs(fs, tmp, base, "cluster")
-    table.refresh()
-    idx_dir = base + "/" + SaltedTable.KEY_INDEX_DIR
-    if fs.is_dir(idx_dir):
-        fs.write_text(
-            idx_dir + "/" + SaltedTable.INDEX_META_FILE,
-            json.dumps({"data_sig": table._data_signature(fs)}),
-        )
-    return table
+    return _staged_rewrite(table, staged, "cluster")
 
 
 def rebucket(table: SaltedTable, new_distributor: KeyDistributor) -> SaltedTable:

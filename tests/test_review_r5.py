@@ -196,7 +196,7 @@ def test_stream_dedup_ingest_empty_corpus(spark, tmp_path):
     assert out.count() == 0
 
 
-def test_code_detect_overflow_safe_and_both_branches(spark, tmp_path):
+def test_code_detect_overflow_safe_and_both_branches(spark, tmp_path, sf_dir):
     """A pathological document with >2147 code-punctuation characters
     must not overflow the ppm product (int32 regexp_count widened to
     BIGINT before the 1e6 multiply under ANSI), and the staged slice
@@ -214,6 +214,6 @@ def test_code_detect_overflow_safe_and_both_branches(spark, tmp_path):
 
     verdicts = {
         r.is_code
-        for r in REGISTRY["ext_code_detect"].fn(spark, "/root/testdata/sf0.001").collect()
+        for r in REGISTRY["ext_code_detect"].fn(spark, sf_dir).collect()
     }
     assert verdicts == {True, False}
