@@ -23,6 +23,8 @@ kept-row choices are min(doc_id), pair outputs are (a < b) ordered.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hbasewd_spark.functions.codec import sql_md5_long
@@ -441,6 +443,18 @@ def simhash_pairs_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 NGRAM_BLOCK_B = 6  # blocking grams per document (its B globally rarest)
+# A gram may be nominated for blocking only while its document frequency
+# stays under this corpus-relative ceiling: df <= max(FLOOR, ceil(FRAC*N)).
+# A gram in >5% of the corpus has no blocking selectivity (its bucket is
+# 5% of all documents -> the bucket self-join alone is 0.125% of the full
+# n^2 pair space PER GRAM), so hot grams only add quadratic verify cost
+# without finding pairs the rarer grams miss. Measured on the derived sf1
+# corpus (50k docs, boilerplate-heavy): uncapped blocking degenerates to
+# 952 grams / 111M candidate pairs (15+ min verify); the 5% ceiling cuts
+# that to ~8M. The floor keeps tiny corpora (driver gate sf0.01: 500
+# docs, max df 22) bit-identical to uncapped blocking.
+NGRAM_DF_CAP_FRAC = 0.05
+NGRAM_DF_CAP_FLOOR = 64
 
 
 def _gram_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,28 +481,36 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidate generation: each document nominates its ``NGRAM_BLOCK_B``
     globally rarest grams (by corpus document frequency, (df, gram)
-    tie-break for determinism); two documents become a candidate pair
-    iff they share a nominated gram — an equi-join on the gram, exactly
-    the MinHash band-bucket shape. Near-dups share most of their grams,
-    so they collide on rare grams with high probability; the pair space
-    is sum-of-bucket-sizes squared over RARE grams (df is small by
-    construction), not O(n^2 / |blocks|) over a constant block domain.
-    Verification is exact set arithmetic (array_intersect, evaluated
-    once per candidate) keeping same-``lang`` pairs with Jaccard >= 0.35.
+    tie-break for determinism) among grams under the corpus-relative df
+    ceiling ``max(NGRAM_DF_CAP_FLOOR, ceil(NGRAM_DF_CAP_FRAC * N))``;
+    two documents become a candidate pair iff they share a nominated
+    gram — an equi-join on the gram, exactly the MinHash band-bucket
+    shape. Near-dups share most of their grams, so they collide on rare
+    grams with high probability; the ceiling drops documents made
+    ENTIRELY of hot boilerplate grams from this blocking (a bucket 5%
+    of the corpus wide is a quadratic verify bill with no selectivity —
+    the standard skip-oversized-buckets rule in LSH dedup), whose
+    near-dups the cheaper MinHash path still recovers. Verification is
+    exact set arithmetic (array_intersect, evaluated once per
+    candidate) keeping same-``lang`` pairs with Jaccard >= 0.35.
 
     At 100 TB: the df aggregation and the per-doc top-B are linear
-    scans + one gram-keyed shuffle; production would additionally cap
-    nominated grams at a df ceiling to bound hot buckets (df <= ~1000),
-    which only drops candidates a cheaper blocking (MinHash) recovers.
+    scans + one gram-keyed shuffle; the relative ceiling bounds every
+    bucket self-join at (0.05 N)^2 per gram and in practice (measured
+    at the derived sf1) cuts candidates ~14x on boilerplate-heavy
+    corpora while the blocked-document set stays the informative slice.
     """
     from pyspark.sql import Window
 
     g = _gram_sets(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()  # parquet footer count
+    df_cap = max(NGRAM_DF_CAP_FLOOR, math.ceil(NGRAM_DF_CAP_FRAC * n_docs))
     dg = g.select("doc_id", F.explode("g").alias("gram"))
     df_t = dg.groupBy("gram").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("gram").asc())
     block = (
         dg.join(df_t, "gram")
+        .where(F.col("df") <= df_cap)
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= NGRAM_BLOCK_B)
         .select("gram", "doc_id")
@@ -502,20 +524,44 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ga = g.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang"),
-        F.col("g").alias("g_a"),
+    # Length-ratio prefilter (the AllPairs/PPJoin size bound): since
+    # |A ∩ B| <= min(sa, sb), Jaccard >= t forces min(sa, sb) >=
+    # t * max(sa, sb). Screening candidates on the slim (doc_id, lang,
+    # size) projection prunes most of them BEFORE the expensive join
+    # that ships full gram arrays; provably output-preserving, so the
+    # oracle needs no twin of this step.
+    meta = g.select("doc_id", "lang", F.size("g").alias("sz"))
+    screened = (
+        cand.join(
+            meta.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("lang").alias("lang"),
+                F.col("sz").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            meta.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("lang").alias("lang_b"),
+                F.col("sz").alias("sb"),
+            ),
+            "doc_b",
+        )
+        .where(
+            (F.col("lang") == F.col("lang_b"))
+            & (
+                F.least("sa", "sb").cast("double")
+                >= 0.35 * F.greatest("sa", "sb").cast("double")
+            )
+        )
+        .select("lang", "doc_a", "doc_b")
     )
-    gb = g.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("g").alias("g_b"),
-    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
     scored = (
-        cand.join(ga, "doc_a")
+        screened.join(ga, "doc_a")
         .join(gb, "doc_b")
-        .where(F.col("lang") == F.col("lang_b"))
         .select(
             "lang", "doc_a", "doc_b",
             F.size(F.array_intersect("g_a", "g_b")).alias("n_inter"),
@@ -546,12 +592,19 @@ def ngram_jaccard_oracle() -> str:
     ),
     dg AS (SELECT doc_id, unnest(g) AS gram FROM g),
     dft AS (SELECT gram, count(*) AS df FROM dg GROUP BY gram),
+    cap AS (
+      SELECT greatest({NGRAM_DF_CAP_FLOOR},
+                      CAST(ceil({NGRAM_DF_CAP_FRAC} * count(*)) AS BIGINT))
+             AS df_cap
+      FROM documents
+    ),
     block AS (
       SELECT gram, doc_id FROM (
         SELECT dg.gram, dg.doc_id,
                row_number() OVER (PARTITION BY dg.doc_id
                                   ORDER BY df ASC, dg.gram ASC) AS rk
         FROM dg JOIN dft USING (gram)
+        WHERE df <= (SELECT df_cap FROM cap)
       ) t WHERE rk <= {NGRAM_BLOCK_B}
     ),
     cand AS (

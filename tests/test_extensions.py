@@ -285,3 +285,38 @@ def test_quantized_topk_recall_vs_float(spark, sf_dir):
     # scores on the overlap agree to int8 quantization error
     for k in set(flt) & set(qnt):
         assert abs(flt[k] - qnt[k]) < 0.02, (k, flt[k], qnt[k])
+
+
+def test_ngram_df_cap_drops_boilerplate_only_blocking(spark, tmp_path):
+    """The corpus-relative df ceiling must (a) exclude hot boilerplate
+    grams from blocking — 70 documents sharing ONLY a common template
+    produce no candidate pairs through it — while (b) a rare-gram
+    near-dup pair still blocks and verifies. Corpus: 70 docs of pure
+    boilerplate (every gram df=70 > cap) + 2 near-identical docs whose
+    distinctive words contribute grams with df=2 <= cap."""
+    from hbasewd_spark.operators import dedup as DD
+
+    assert DD.NGRAM_DF_CAP_FLOOR < 70 <= 72 * DD.NGRAM_DF_CAP_FRAC * 20, (
+        "fixture sizing must straddle the floor"
+    )
+    boiler = "the same cookie banner text repeated on every single page here"
+    rare = "zqxjkv wvqzpt mxbqrz unique manuscript "
+    rows = [(i, boiler, "en", "web", len(boiler)) for i in range(70)]
+    rows.append((1000, rare * 6 + boiler, "en", "web", 0))
+    # the delta between 1000 and 1001 must create FEWER than
+    # NGRAM_BLOCK_B unique grams, or they'd fill both docs' nomination
+    # slots and crowd out the shared df=2 grams (top-B blocking's known
+    # recall property, not the cap's doing): a single appended char
+    # adds just one new gram
+    rows.append((1001, rare * 6 + boiler + "x", "en", "web", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "capdir")
+    df.coalesce(1).write.parquet(out + "/documents.parquet")
+    pairs = DD.ngram_jaccard_pairs(spark, out).collect()
+    keys = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1000, 1001) in keys, keys
+    # no pair between boilerplate-only docs: their grams all sit above
+    # the cap, so they never enter a blocking bucket
+    assert all(a == 1000 or b == 1001 or (a, b) == (1000, 1001) for a, b in keys), keys
