@@ -72,13 +72,20 @@ def scaled_copy(df, table: str, copy: int):
             "text", F.regexp_replace("text", r"(\w+)", f"$1q{copy}")
         ).withColumn("n_chars", F.length("text").cast("long"))
     if copy > 0 and table == "embeddings":
-        n = copy  # rotate left by `copy` positions
-        out = out.withColumn(
-            "embedding",
-            F.concat(
-                F.slice("embedding", n + 1, 10_000), F.slice("embedding", 1, n)
-            ),
-        )
+        # rotate left by `copy` positions — modulo the vector dim (64),
+        # else copies >= dim would alias copy % dim exactly and plant
+        # artificial duplicate embeddings. Copies past one full cycle
+        # are NEGATED instead (cosine-opposite, maximally far), which
+        # keeps every copy pairwise-distant up to factor 128. factor <=
+        # 64 outputs (incl. the standing sf1) are bit-identical to the
+        # pre-fix tool.
+        n = copy % 64
+        rotated = F.concat(
+            F.slice("embedding", n + 1, 10_000), F.slice("embedding", 1, n)
+        ) if n else F.col("embedding")
+        if copy >= 64:
+            rotated = F.transform(rotated, lambda x: -x)
+        out = out.withColumn("embedding", rotated)
     return out
 
 
