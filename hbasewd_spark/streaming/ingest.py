@@ -34,15 +34,28 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbasewd_spark.sources.loaders import ensure_nanos_conf
 
     ensure_nanos_conf(spark)
-    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # FileStreamSource wants a directory: stream sf_dir, glob-filtered
-    # to the events file (one file -> one availableNow micro-batch)
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(path)
+    if os.path.isdir(path):
+        # derived scale dirs (tools/make_sf.py) write events.parquet as
+        # a parquet DIRECTORY of part files; stream it directly and let
+        # availableNow take every part in ONE micro-batch (no rate
+        # limit): part-file order is nondeterministic, so slicing this
+        # layout into per-file batches could push the watermark past
+        # later files' events and drop them — a layout artifact the
+        # batch-SQL oracle can't mirror. Single-file driver layout
+        # below keeps the one-file-one-batch shape (driver-attested).
+        stream = spark.readStream.schema(batch.schema).parquet(path)
+    else:
+        # FileStreamSource wants a directory: stream sf_dir,
+        # glob-filtered to the events file (one file -> one availableNow
+        # micro-batch)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     from hbasewd_spark.sources.loaders import normalize_timestamps
 
     # shared normalization with the batch loader (nanos-as-bigint and
