@@ -117,8 +117,19 @@ GROUP BY c_mktsegment
 
 
 def join_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: fact ⋈ 4 dims with all dims broadcast — one
-    shuffle total (the final aggregation)."""
+    """TPC-H Q5 shape: fact ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+
+    Broadcast hints go ONLY on the catalog-sized dims (nation: 25
+    rows, region: 5 — bounded by the world, not the SF). orders and
+    customer GROW with the data, so they're pinned shuffle_hash like
+    the other fact-fact joins in this suite (Q5/Q9/Q12): the original
+    all-broadcast shape measured 19.8s at sf10 vs 4.3s pinned, and
+    leaving them un-hinted is no safer — Catalyst's threshold reads
+    COMPRESSED parquet size, so a <64MB file can explode into a
+    GB-scale broadcast hash table (measured: auto still chose
+    broadcast at sf10, 1.3-2.4x slower, and a driver OOM at larger
+    SFs). shuffle_hash keeps one deterministic plan at every scale;
+    at tiny SF the extra exchange moves KBs."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -126,8 +137,8 @@ def join_multiway_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount", "decimal(12,4)"))
     return (
-        li.join(F.broadcast(orders.where(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders.where(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).hint("shuffle_hash"), li.l_orderkey == F.col("o_orderkey"))
+        .join(customer.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
@@ -905,9 +916,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
     revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,4)") - dec("l_discount", "decimal(12,4)"))
+    # orders is barely reduced by its date filter and customer only
+    # 1/5 by segment — both grow with the SF, so the joins are pinned
+    # shuffle_hash (broadcast measured 1.7x slower at sf10 and is a
+    # driver OOM at 100 TB; auto-thresholding trusts COMPRESSED size)
     grouped = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        .join(cust.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("decimal(25,4)").cast("double").alias("revenue"))
     )
@@ -1113,7 +1128,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey")
         .agg(F.sum(_revenue()).cast("decimal(25,4)").cast("double").alias("revenue"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer grows with the SF — shuffle_hash, not broadcast
+        # (both sides of this seam are customer-cardinality relations)
+        .join(cust.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", F.col("n_name"))
     )
@@ -1204,7 +1221,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     j = (
         orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # big (the HAVING sliver) stays broadcast — selective by
+        # construction; customer grows with the SF -> shuffle_hash
+        .join(cust.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey"))
     )
     return global_topk(
         j.select(
