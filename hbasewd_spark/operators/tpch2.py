@@ -299,9 +299,21 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle keeps the EXISTS/NOT EXISTS text verbatim, so the gate
     proves the reformulation equivalent on real data.
 
-    Plan at scale: one lineitem⋈orders shuffle, one grouped aggregate
-    per order, one broadcast of the nation-filtered supplier dim, and a
-    TakeOrderedAndProject top-10 — no correlated per-row scans."""
+    Plan at scale: ONE lineitem⋈orders shuffle (pinned shuffle_hash —
+    both sides grow with the SF), then a TWO-LEVEL aggregate with no
+    distinct aggregation anywhere: (order, supplier) partials first
+    (map-side combinable), then plain per-order counts over the
+    supplier-level rows. The naive two-branch form scanned lineitem
+    AND orders twice and paid the fact-fact join twice; the
+    single-pass count_distinct form pays Spark's expand-based
+    multi-distinct (3x the rows through the aggregate). This shape
+    avoids both, then broadcasts the nation-filtered supplier dim
+    over the per-order survivors and takes the top-10.
+
+    numwait counts late LINEITEM rows (the oracle's EXISTS is per l1
+    row), so the supplier-level partial carries its late-row count
+    and survivors contribute sum(n_late_rows), preserving row
+    multiplicity without ever re-deriving the late rows."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
@@ -309,24 +321,29 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_name")
 
-    j = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+    j = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    ).withColumn(
         "is_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAYS"),
     )
-    ordstats = j.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    supp_level = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_rows"),
     )
-    late_rows = j.where(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    ordstats = supp_level.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.when(F.col("n_late_rows") > 0, 1).otherwise(0)).alias("n_late_supp"),
+        F.max(F.when(F.col("n_late_rows") > 0, F.col("l_suppkey"))).alias("late_supp"),
+        F.sum(F.when(F.col("n_late_rows") > 0, F.col("n_late_rows"))).alias("late_rows"),
+    )
     sole_late = (
-        late_rows.join(
-            ordstats.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
-            "l_orderkey",
-            "left_semi",
-        )
+        ordstats.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select(F.col("late_supp").alias("l_suppkey"), "late_rows")
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
     )
-    counted = sole_late.groupBy("s_name").agg(F.count("*").alias("numwait"))
+    counted = sole_late.groupBy("s_name").agg(
+        F.sum("late_rows").cast("long").alias("numwait")
+    )
     return global_topk(
         counted, [F.col("numwait").desc(), F.col("s_name").asc()], 10
     ).select("rk", "s_name", "numwait")

@@ -387,13 +387,16 @@ def test_no_unbounded_global_window_anywhere(spark, sf_dir):
 
 def test_q21_collapses_correlated_scans(spark, sf_dir):
     """The textbook Q21 scans lineitem three times (base + EXISTS +
-    NOT EXISTS); the reformulation must scan it at most twice (the
-    per-order aggregate and the late-row slice recompute one join) and
-    finish with a heap top-k, never a global window."""
+    NOT EXISTS); the two-level-aggregate reformulation scans it
+    exactly ONCE, pays one pinned fact-fact shuffle join, no expand-
+    based distinct aggregation, and finishes with a heap top-k, never
+    a global window."""
     from hbasewd_spark.operators.tpch2 import q21_waiting_suppliers
 
     plan = _plan(q21_waiting_suppliers(spark, sf_dir))
-    assert plan.count("lineitem.parquet") <= 2
+    assert plan.count("lineitem.parquet") == 1
+    assert "ShuffledHashJoin" in plan  # the pinned fact-fact seam
+    assert "Expand" not in plan  # no multi-count_distinct expansion
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan  # nation-filtered supplier dim
 
