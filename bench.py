@@ -88,6 +88,13 @@ def main() -> None:
         lambda: tbl.scan(start=bounds.lo, stop=bounds.hi, ordered=True).collect(),
     )
 
+    # 2b. the same read through the exchange-free merge path (zone-
+    # planned shard merge instead of a range-exchange sort)
+    timed(
+        "merged_scan",
+        lambda: tbl.scan_merged(start=bounds.lo, stop=bounds.hi).collect(),
+    )
+
     # 3. point gets (P2) — 10 single gets through the salt-pruned path,
     # then the batched multi_get (HTable.get(List<Get>) parity: one job)
     try:

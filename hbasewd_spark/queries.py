@@ -262,6 +262,50 @@ def salted_scan_events(spark: SparkSession, sf_dir: str, write: bool = True) -> 
     )
 
 
+@q(
+    "o9b_merged_ordered_scan",
+    _O9_SQL,
+    "O9 via the exchange-free path: the same salted write + ordered "
+    "range read, but order restoration is scan_merged's zone-planned "
+    "shard merge (DistributedScanner.java:106-139 fanned out as tasks "
+    "— table bytes never cross a shuffle) instead of a range-exchange "
+    "sort; rn is stamped presorted, so the whole witness stays "
+    "exchange-free. Same oracle as o9: the two paths must agree "
+    "exactly, rank included.",
+)
+def o9b_merged_ordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.operators.topk import global_rank
+    from hbasewd_spark.plans.distributor import Hash31Distributor
+    from hbasewd_spark.sources.salted_table import SaltedTable
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL '12' HOUR")).alias("lo"),
+        (F.min("ts") + F.expr("INTERVAL '36' HOUR")).alias("hi"),
+    ).collect()[0]
+
+    class _EventDist(Hash31Distributor):
+        def salt_expr(self, key):
+            return self.salt_expr_long(key)
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "hbasewd_cache",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "events_salted_merged",
+    )
+    t = SaltedTable.write(ev, path, _EventDist(H31_BUCKETS), "ts")
+    merged = t.scan_merged(
+        start=bounds.lo,
+        stop=bounds.hi,
+        columns=["event_id", "ts", "event_type", "value"],
+        tiebreak=["event_id"],
+    )
+    return global_rank(merged, ["ts", "event_id"], presorted=True, rk_name="rn").select(
+        "rn", "event_id", "ts", "event_type", "value"
+    )
+
+
 _P2_SQL = f"""
 SELECT event_id, {_H31_SALT} AS salt, event_type, value
 FROM events WHERE event_id IN {_POINT_KEYS}

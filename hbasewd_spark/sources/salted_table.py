@@ -767,6 +767,215 @@ class SaltedTable:
             .sortWithinPartitions(self.key_col)
         )
 
+    # ------------------------------------------- exchange-free ordered scan
+    MERGED_SCAN_CHUNK_ROWS = 1 << 16
+    MERGED_SCAN_TARGET_ROWS = 1 << 19  # ~rows per merge shard
+
+    def scan_merged(
+        self,
+        start: Any = None,
+        stop: Any = None,
+        shards: int | None = None,
+        columns: list[str] | None = None,
+        tiebreak: list[str] | None = None,
+    ) -> DataFrame:
+        """Distributed ordered range scan with NO exchange of table data
+        — the DistributedScanner merge (DistributedScanner.java:106-139)
+        fanned out across tasks instead of pulled to one client.
+
+        :meth:`scan` (``ordered=True``) restores key order with a
+        range-exchange sort: correct, but every scanned byte crosses
+        the shuffle. This path exploits what the write contract already
+        guarantees — every file is key-sorted (``sortWithinPartitions``
+        at write) with tight row-group stats — and plans on the key
+        zone map instead:
+
+        1. DRIVER (O(#files) metadata, the reference's client-side scan
+           planning cost class): intersect per-file [lo, hi] with the
+           request, pick row-balanced shard boundaries from the
+           cumulative file row counts.
+        2. A |shards|-row descriptor relation (shard key range + the
+           files that intersect it) is range-partitioned by shard id —
+           the only Exchange in the plan, moving kilobytes.
+        3. Each task ``mapInPandas``-merges ITS key range: pyarrow
+           opens only its descriptor's files, row-group stats skip
+           everything outside the range (each file contributes one
+           contiguous sorted run), and a stable vectorized sort merges
+           the ~``buckets`` runs. Output partitions are disjoint
+           ascending key ranges, rows sorted within — the same global
+           order contract a range-exchange sort produces.
+
+        At 100 TB: data moves storage→task exactly once, no shuffle
+        write/read, and a shard re-merges only its slice. The trade is
+        planning on driver-side zone metadata (see SCALE.md on moving
+        that to a manifest past ~1e5 files).
+
+        Contract deltas vs :meth:`scan`: parquet tables only (the
+        interchange formats have no row-group stats to prune by) and
+        NULL keys are excluded (rowkeys are never null in the
+        reference; ``scan`` sorts them first). ``tiebreak`` columns
+        extend the in-task sort to a total order so a rank stamp is
+        deterministic (``global_rank(..., presorted=True)``).
+        """
+        if self.fmt != "parquet":
+            raise ValueError(
+                f"scan_merged needs parquet row-group stats; table format is {self.fmt!r}"
+            )
+        import pandas as pd
+        from pyspark.sql.types import StructType
+
+        zone = self._zone_rows(self.key_col)
+        in_range = [
+            r
+            for r in zone
+            if r.lo is not None
+            and (stop is None or r.lo < stop)
+            and (start is None or r.hi >= start)
+        ]
+        data_schema = (
+            StructType.fromJson(json.loads(self.data_schema_json))
+            if self.data_schema_json
+            else self.df().drop(SALT_COL).schema
+        )
+        out_fields = [f for f in data_schema.fields]
+        if columns:
+            keep = set(columns)
+            out_fields = [f for f in out_fields if f.name in keep]
+        out_schema = StructType(out_fields)
+        read_cols = [f.name for f in out_schema.fields]
+        key_col = self.key_col
+        sort_cols = [key_col] + [c for c in (tiebreak or []) if c != key_col]
+        spark = self.spark
+
+        if not in_range:
+            return spark.createDataFrame([], out_schema)
+
+        if shards:
+            n_shards = shards
+        else:
+            # shard count follows the ESTIMATED IN-RANGE row volume
+            # (zone-map interpolation), not the core count: every
+            # (shard x file) pairing is a footer read + row-group
+            # decode, and parquet row groups are the real pruning
+            # granularity — sharding a small range across 32 tasks
+            # re-reads the same row groups 32x (measured 1.2x SLOWER
+            # than the exchange sort at sf10; right-sized it wins).
+            # At 100 TB the same formula yields thousands of shards.
+            est = 0.0
+            for r in in_range:
+                frac = 1.0
+                try:
+                    span = r.hi - r.lo
+                    if span and (start is not None or stop is not None):
+                        s = max(r.lo, start) if start is not None else r.lo
+                        e = min(r.hi, stop) if stop is not None else r.hi
+                        frac = max(0.0, min(1.0, (e - s) / span))
+                except TypeError:
+                    pass  # non-arithmetic key (string): whole file
+                est += r.n_rows * frac
+            n_shards = max(
+                1,
+                min(
+                    int(est // self.MERGED_SCAN_TARGET_ROWS) + 1,
+                    len(in_range),
+                    spark.sparkContext.defaultParallelism,
+                ),
+            )
+        # row-balanced boundaries: walk files by lo, cut where the
+        # cumulative count crosses each 1/n_shards slice of the total
+        in_range.sort(key=lambda r: (r.lo, r.file))
+        total = sum(r.n_rows for r in in_range) or 1
+        bounds, acc, next_cut = [], 0, 1
+        for r in in_range[:-1]:
+            acc += r.n_rows
+            if acc >= next_cut * total / n_shards and len(bounds) < n_shards - 1:
+                nxt = r.hi  # first key of the NEXT shard is past this file's hi
+                if (not bounds or nxt > bounds[-1]) and (stop is None or nxt < stop):
+                    bounds.append(nxt)
+                next_cut += 1
+        edges = [start] + bounds + [stop]
+        shard_rows = []
+        for i in range(len(edges) - 1):
+            lo, hi = edges[i], edges[i + 1]
+            files = [
+                r.file
+                for r in in_range
+                if (hi is None or r.lo < hi) and (lo is None or r.hi >= lo)
+            ]
+            shard_rows.append((i, lo, hi, files))
+
+        key_type = data_schema[key_col].dataType.simpleString()
+        key_is_int = data_schema[key_col].dataType.typeName() in (
+            "long", "integer", "short", "byte",
+        )
+        desc = spark.createDataFrame(
+            shard_rows,
+            f"shard_id int, lo {key_type}, hi {key_type}, files array<string>",
+        ).repartitionByRange(len(shard_rows), "shard_id")
+
+        chunk = self.MERGED_SCAN_CHUNK_ROWS
+
+        def merge_shards(batches):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            def norm_bound(v, field_type):
+                """Bound value -> the file column's exact comparison
+                domain: nullable descriptor ints arrive as float
+                (pandas NaN widening) and Spark-written timestamps are
+                tz-aware in the file but session-naive in the
+                descriptor."""
+                if v is None or pd.isna(v):
+                    return None
+                if key_is_int:
+                    return int(v)
+                if pa.types.is_timestamp(field_type) and field_type.tz:
+                    ts = pd.Timestamp(v)
+                    return (
+                        ts.tz_localize(field_type.tz)
+                        if ts.tzinfo is None
+                        else ts.tz_convert(field_type.tz)
+                    )
+                return v
+
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    runs, ftype = [], None
+                    for path in row.files:
+                        if ftype is None:
+                            ftype = pq.read_schema(path).field(key_col).type
+                            lo = norm_bound(row.lo, ftype)
+                            hi = norm_bound(row.hi, ftype)
+                            # [lo, hi) half-open on every seam,
+                            # matching range_predicate; unbounded outer
+                            # edges stay open
+                            filters = []
+                            if lo is not None:
+                                filters.append((key_col, ">=", lo))
+                            if hi is not None:
+                                filters.append((key_col, "<", hi))
+                        t = pq.read_table(
+                            path, columns=read_cols, filters=filters or None
+                        )
+                        if t.num_rows:
+                            runs.append(t.to_pandas())
+                    if not runs:
+                        continue
+                    merged = pd.concat(runs, ignore_index=True)
+                    # null keys are excluded by contract (comparisons
+                    # already drop them on bounded shards)
+                    merged = merged.dropna(subset=[key_col])
+                    # stable sort over pre-sorted runs: timsort finds
+                    # the runs and this is an O(n log k) merge, not a
+                    # from-scratch sort
+                    merged = merged.sort_values(
+                        sort_cols, kind="stable", ignore_index=True
+                    )[read_cols]
+                    for off in range(0, len(merged), chunk):
+                        yield merged.iloc[off : off + chunk]
+
+        return desc.mapInPandas(merge_shards, out_schema)
+
     def register_view(self, name: str, keep_salt: bool = False) -> None:
         """Plain-SQL access to the salted table: register a desalted
         temp view so users query the LOGICAL table (``SELECT ... FROM

@@ -1,0 +1,134 @@
+"""scan_merged — the exchange-free distributed ordered scan.
+
+The contract under test: output rows equal scan(ordered=True) exactly
+(same range semantics), arrive globally key-ordered across partitions,
+and the physical plan moves NO table data through an Exchange — the
+only exchange is the kilobyte shard-descriptor relation, and no Sort
+node exists anywhere (the merge happens inside the tasks over
+pre-sorted file runs).
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbasewd_spark.plans.distributor import Hash31Distributor, HashDistributor
+from hbasewd_spark.sources.kv_fixture import KEY_PREFIX, kv_df
+from hbasewd_spark.sources.salted_table import SaltedTable
+
+
+def _plan(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def kv_table(spark, kv, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("merged") / "kv")
+    return SaltedTable.write(kv, path, HashDistributor(8), "key_long")
+
+
+def test_merged_equals_ordered_scan_bounded(kv_table):
+    ref = kv_table.scan(
+        start=KEY_PREFIX + 100, stop=KEY_PREFIX + 900, ordered=True
+    ).collect()
+    got = kv_table.scan_merged(
+        start=KEY_PREFIX + 100, stop=KEY_PREFIX + 900, shards=4
+    ).collect()
+    assert [r.key_long for r in got] == [r.key_long for r in ref]
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+
+
+def test_merged_unbounded_and_column_pruned(kv_table):
+    got = kv_table.scan_merged(columns=["key_long"]).collect()
+    ref = kv_table.scan(ordered=True).select("key_long").collect()
+    assert [r.key_long for r in got] == [r.key_long for r in ref]
+    assert got[0].__fields__ == ["key_long"]
+
+
+def test_merged_empty_range_returns_empty_with_schema(kv_table):
+    out = kv_table.scan_merged(start=KEY_PREFIX + 10**9, stop=KEY_PREFIX + 2 * 10**9)
+    assert out.count() == 0
+    assert "key_long" in out.columns
+
+
+def test_merged_more_shards_than_files(kv_table):
+    got = kv_table.scan_merged(
+        start=KEY_PREFIX + 100, stop=KEY_PREFIX + 200, shards=64
+    ).collect()
+    keys = [r.key_long for r in got]
+    want = kv_table.scan(
+        start=KEY_PREFIX + 100, stop=KEY_PREFIX + 200, ordered=True
+    ).count()
+    assert keys == sorted(keys) and len(keys) == want > 0
+
+
+def test_merged_plan_is_exchange_free_over_data(kv_table):
+    plan = _plan(kv_table.scan_merged(start=KEY_PREFIX + 100, stop=KEY_PREFIX + 900))
+    # the ONLY exchange is the |shards|-row descriptor's range
+    # partitioning; table bytes never cross a shuffle and no Sort node
+    # exists (merge happens inside mapInPandas)
+    assert plan.count("Exchange") <= 1
+    assert "Sort " not in plan
+    assert "MapInPandas" in plan
+
+
+def test_merged_rejects_interchange_formats(spark, kv, tmp_path):
+    t = SaltedTable.write(
+        kv, str(tmp_path / "kv_csv"), HashDistributor(4), "key_long", fmt="csv"
+    )
+    with pytest.raises(ValueError, match="row-group"):
+        t.scan_merged()
+
+
+def test_merged_timestamp_key_with_ties_and_rank(spark, sf_dir, tmp_path):
+    """Timestamp keys (tz-aware in parquet, naive in the session) and
+    duplicate keys across shard seams: multiset parity with the
+    ordered scan, global key order, and a presorted global_rank stamp
+    identical to the sorted reference."""
+    from hbasewd_spark.operators.topk import global_rank
+    from hbasewd_spark.sources.loaders import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL '12' HOUR")).alias("lo"),
+        (F.min("ts") + F.expr("INTERVAL '36' HOUR")).alias("hi"),
+    ).collect()[0]
+
+    class _D(Hash31Distributor):
+        def salt_expr(self, key):
+            return self.salt_expr_long(key)
+
+    t = SaltedTable.write(ev, str(tmp_path / "ev"), _D(16), "ts")
+    cols = ["event_id", "ts", "event_type", "value"]
+    ref = t.scan(start=b.lo, stop=b.hi, ordered=True, columns=cols).collect()
+    merged = t.scan_merged(
+        start=b.lo, stop=b.hi, shards=6, columns=cols, tiebreak=["event_id"]
+    )
+    got = merged.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+    ts_seq = [r.ts for r in got]
+    assert ts_seq == sorted(ts_seq)
+    ranked = global_rank(merged, ["ts", "event_id"], presorted=True).collect()
+    want = sorted(map(tuple, ref), key=lambda r: (r[1], r[0]))
+    assert [
+        (r.event_id, r.ts) for r in sorted(ranked, key=lambda r: r.rn)
+    ] == [(r[0], r[1]) for r in want]
+
+
+def test_merged_null_keys_are_excluded_by_contract(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i if i % 7 else None, f"v{i}") for i in range(50)],
+        "k long, v string",
+    )
+    t = SaltedTable.write(df, str(tmp_path / "nulls"), HashDistributor(4), "k")
+    got = t.scan_merged().collect()
+    keys = [r.k for r in got]
+    assert None not in keys
+    assert keys == sorted(keys)
+    # the documented delta vs scan(): nulls sort first there
+    assert len(got) == df.where(F.col("k").isNotNull()).count()
