@@ -2440,11 +2440,12 @@ def rel_ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (hbasewd_spark/attestation.py, derived from CORRECTNESS_r*.json by
 # tools/gen_priority.py — regenerate after every round). Sort key:
 #
-#   1. latest driver-attested round (never attested -> 0, leads);
-#   2. oracle-less (rows-only by design) queries sort BEHIND
-#      oracle-backed ones within the same staleness cohort — a
-#      rows-only query must never displace a value-hash attestation
-#      from the 50-slot window (the round-3 wasted-slot lesson);
+#   1. oracle-less (rows-only by design) queries sort BEHIND ALL
+#      oracle-backed ones — a rows-only query must never occupy one of
+#      the 50 hash-gate slots regardless of how stale it is (the
+#      round-3 wasted-slot lesson; made absolute in round 6 when the
+#      rotation promoted rel_approx_stats into the window);
+#   2. latest driver-attested round (never attested -> 0, leads);
 #   3. registry insertion order (stable, deterministic).
 #
 # With this, "the window is exactly the stalest 50 hash-attestable
@@ -2457,8 +2458,8 @@ def _ordered_names() -> list[str]:
     return sorted(
         names,
         key=lambda n: (
-            LAST_ATTESTED.get(n, 0),
             0 if REGISTRY[n].oracle else 1,
+            LAST_ATTESTED.get(n, 0),
             idx[n],
         ),
     )

@@ -771,6 +771,126 @@ class SaltedTable:
     MERGED_SCAN_CHUNK_ROWS = 1 << 16
     MERGED_SCAN_TARGET_ROWS = 1 << 19  # ~rows per merge shard
 
+    @staticmethod
+    def _key_axis(v):
+        """Map a key bound onto a float interpolation axis; ``None``
+        when the key domain has no usable arithmetic (strings). float64
+        loses bits past 2^53 — acceptable here because the axis only
+        positions heuristic CUT POINTS; range semantics at the seams
+        stay exact in the key's own type."""
+        import datetime
+        import decimal
+
+        import pandas as pd
+
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, (int, float)):
+            return float(v)
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, datetime.datetime):
+            return float(pd.Timestamp(v).value)  # wall-clock ns
+        if isinstance(v, datetime.date):
+            return float(v.toordinal())
+        return None
+
+    @staticmethod
+    def _axis_key(x: float, template):
+        """Inverse of :meth:`_key_axis`: land the interpolated cut back
+        in the key's own domain, typed like ``template``."""
+        import datetime
+        import decimal
+
+        import pandas as pd
+
+        if isinstance(template, int):
+            return int(round(x))
+        if isinstance(template, float):
+            return float(x)
+        if isinstance(template, decimal.Decimal):
+            return decimal.Decimal(repr(x))
+        if isinstance(template, datetime.datetime):
+            # floor to Spark's timestamp precision (us) — a cut point
+            # needs no sub-microsecond resolution
+            ts = pd.Timestamp(int(round(x))).floor("us")
+            return ts.tz_localize(template.tzinfo).to_pydatetime()
+        if isinstance(template, datetime.date):
+            return datetime.date.fromordinal(int(round(x)))
+        return None
+
+    @classmethod
+    def _quantile_bounds(cls, in_range, start, stop, n_shards):
+        """Shard boundaries at the j/n_shards quantiles of the mixture
+        of per-file uniform row densities over the clipped zone
+        overlaps. F(b) = sum_f w_f * clip((b - s_f) / (e_f - s_f), 0, 1)
+        is monotone in b, so each boundary is one vectorized bisection:
+        (n_shards-1) x ~60 iterations x O(#files) numpy — the same
+        driver cost class as the zone planning itself. Returns ``None``
+        for non-arithmetic keys (caller falls back to whole-file cuts)
+        and ``[]`` when no interior cut exists."""
+        if n_shards <= 1:
+            return []
+        import numpy as np
+
+        axes = [(cls._key_axis(r.lo), cls._key_axis(r.hi)) for r in in_range]
+        if any(a is None or b is None for a, b in axes):
+            return None
+        s = np.array([a for a, _ in axes])
+        e = np.array([b for _, b in axes])
+        w = np.array(
+            [max(0, r.n_rows - (getattr(r, "n_nulls", 0) or 0)) for r in in_range],
+            dtype=np.float64,
+        )
+        a0 = cls._key_axis(start) if start is not None else None
+        a1 = cls._key_axis(stop) if stop is not None else None
+        cs = s if a0 is None else np.maximum(s, a0)
+        ce = e if a1 is None else np.minimum(e, a1)
+        span = np.where(e > s, e - s, 1.0)
+        # estimated in-range weight per file; point-mass files (lo==hi)
+        # count fully iff they survive the clip
+        frac = np.where(
+            e > s,
+            np.clip((ce - cs) / span, 0.0, 1.0),
+            (cs <= ce).astype(np.float64),
+        )
+        w = w * frac
+        total = float(w.sum())
+        lo_ax, hi_ax = float(cs.min()), float(ce.max())
+        if total <= 0 or not hi_ax > lo_ax:
+            return []
+        seg = np.where(ce > cs, ce - cs, 1.0)
+
+        def cdf(b):
+            t = np.where(
+                ce > cs,
+                np.clip((b - cs) / seg, 0.0, 1.0),
+                (b >= ce).astype(np.float64),
+            )
+            return float((w * t).sum())
+
+        template = in_range[0].lo
+        bounds = []
+        for j in range(1, n_shards):
+            target = total * j / n_shards
+            lo_b, hi_b = lo_ax, hi_ax
+            for _ in range(60):
+                mid = 0.5 * (lo_b + hi_b)
+                if cdf(mid) < target:
+                    lo_b = mid
+                else:
+                    hi_b = mid
+            b = cls._axis_key(0.5 * (lo_b + hi_b), template)
+            if b is None:
+                return None
+            if (
+                (not bounds or b > bounds[-1])
+                and (start is None or b > start)
+                and (stop is None or b < stop)
+            ):
+                bounds.append(b)
+        return bounds
+
     def scan_merged(
         self,
         start: Any = None,
@@ -881,18 +1001,34 @@ class SaltedTable:
                     spark.sparkContext.defaultParallelism,
                 ),
             )
-        # row-balanced boundaries: walk files by lo, cut where the
-        # cumulative count crosses each 1/n_shards slice of the total
+        # row-balanced boundaries. Two file geometries exist:
+        #   * compacted/range-partitioned layouts: files hold DISJOINT
+        #     key slices, so cutting at whole-file hi values balances;
+        #   * salted layouts (this class's write path): every bucket
+        #     file is a sorted run over ~the FULL key domain, so every
+        #     whole-file hi sits at the domain max and the old
+        #     cumulative-count walk degenerated to ONE shard merging
+        #     the entire range (single-task OOM class at 100 TB).
+        # For arithmetic keys, cut instead at the j/n_shards quantiles
+        # of the mixture of per-file uniform densities over the CLIPPED
+        # zone overlaps — boundaries land inside the overlap no matter
+        # how the files tile the domain. Non-arithmetic (string) keys
+        # fall back to the whole-file walk, which is exact for the
+        # disjoint geometry they'd realistically pair with.
         in_range.sort(key=lambda r: (r.lo, r.file))
-        total = sum(r.n_rows for r in in_range) or 1
-        bounds, acc, next_cut = [], 0, 1
-        for r in in_range[:-1]:
-            acc += r.n_rows
-            if acc >= next_cut * total / n_shards and len(bounds) < n_shards - 1:
-                nxt = r.hi  # first key of the NEXT shard is past this file's hi
-                if (not bounds or nxt > bounds[-1]) and (stop is None or nxt < stop):
-                    bounds.append(nxt)
-                next_cut += 1
+        bounds = self._quantile_bounds(in_range, start, stop, n_shards)
+        if bounds is None:
+            total = sum(r.n_rows for r in in_range) or 1
+            bounds, acc, next_cut = [], 0, 1
+            for r in in_range[:-1]:
+                acc += r.n_rows
+                if acc >= next_cut * total / n_shards and len(bounds) < n_shards - 1:
+                    nxt = r.hi  # first key of NEXT shard is past this file's hi
+                    if (not bounds or nxt > bounds[-1]) and (
+                        stop is None or nxt < stop
+                    ):
+                        bounds.append(nxt)
+                    next_cut += 1
         edges = [start] + bounds + [stop]
         shard_rows = []
         for i in range(len(edges) - 1):
@@ -914,17 +1050,23 @@ class SaltedTable:
         ).repartitionByRange(len(shard_rows), "shard_id")
 
         chunk = self.MERGED_SCAN_CHUNK_ROWS
+        # mapInPandas hands timestamps to Python as SESSION-naive; the
+        # parquet field may carry any tz. Capture the session zone on
+        # the driver so norm_bound localizes descriptor bounds through
+        # the right wall clock (a non-UTC session would otherwise shift
+        # every shard seam by the UTC offset).
+        session_tz = spark.conf.get("spark.sql.session.timeZone")
 
         def merge_shards(batches):
             import pyarrow as pa
+            import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
             def norm_bound(v, field_type):
                 """Bound value -> the file column's exact comparison
                 domain: nullable descriptor ints arrive as float
-                (pandas NaN widening) and Spark-written timestamps are
-                tz-aware in the file but session-naive in the
-                descriptor."""
+                (pandas NaN widening) and timestamps arrive
+                session-naive while the file field is tz-aware."""
                 if v is None or pd.isna(v):
                     return None
                 if key_is_int:
@@ -932,47 +1074,60 @@ class SaltedTable:
                 if pa.types.is_timestamp(field_type) and field_type.tz:
                     ts = pd.Timestamp(v)
                     return (
-                        ts.tz_localize(field_type.tz)
+                        ts.tz_localize(session_tz)
                         if ts.tzinfo is None
-                        else ts.tz_convert(field_type.tz)
-                    )
+                        else ts
+                    ).tz_convert(field_type.tz)
                 return v
 
-            for pdf in batches:
-                for row in pdf.itertuples(index=False):
-                    runs, ftype = [], None
-                    for path in row.files:
-                        if ftype is None:
-                            ftype = pq.read_schema(path).field(key_col).type
-                            lo = norm_bound(row.lo, ftype)
-                            hi = norm_bound(row.hi, ftype)
-                            # [lo, hi) half-open on every seam,
-                            # matching range_predicate; unbounded outer
-                            # edges stay open
-                            filters = []
-                            if lo is not None:
-                                filters.append((key_col, ">=", lo))
-                            if hi is not None:
-                                filters.append((key_col, "<", hi))
-                        t = pq.read_table(
-                            path, columns=read_cols, filters=filters or None
-                        )
-                        if t.num_rows:
-                            runs.append(t.to_pandas())
-                    if not runs:
-                        continue
-                    merged = pd.concat(runs, ignore_index=True)
-                    # null keys are excluded by contract (comparisons
-                    # already drop them on bounded shards)
-                    merged = merged.dropna(subset=[key_col])
-                    # stable sort over pre-sorted runs: timsort finds
-                    # the runs and this is an O(n log k) merge, not a
-                    # from-scratch sort
-                    merged = merged.sort_values(
-                        sort_cols, kind="stable", ignore_index=True
-                    )[read_cols]
-                    for off in range(0, len(merged), chunk):
-                        yield merged.iloc[off : off + chunk]
+            # The range partitioner may co-locate two descriptors in
+            # one partition and upstream batch order is not
+            # deterministic: materialize the (tiny, kilobyte-class)
+            # descriptor rows and process them in shard_id order so
+            # the in-partition output honors the global-order contract
+            # global_rank(presorted=True) consumes.
+            rows = [
+                row
+                for pdf in batches
+                for row in pdf.itertuples(index=False)
+            ]
+            rows.sort(key=lambda r: r.shard_id)
+            for row in rows:
+                runs, ftype = [], None
+                for path in row.files:
+                    if ftype is None:
+                        ftype = pq.read_schema(path).field(key_col).type
+                        lo = norm_bound(row.lo, ftype)
+                        hi = norm_bound(row.hi, ftype)
+                        # [lo, hi) half-open on every seam,
+                        # matching range_predicate; unbounded outer
+                        # edges stay open
+                        filters = []
+                        if lo is not None:
+                            filters.append((key_col, ">=", lo))
+                        if hi is not None:
+                            filters.append((key_col, "<", hi))
+                    t = pq.read_table(
+                        path, columns=read_cols, filters=filters or None
+                    )
+                    # null keys are excluded by contract; drop them
+                    # IN ARROW — through to_pandas an int64 key
+                    # column with nulls widens to float64 and
+                    # silently corrupts values past 2^53
+                    t = t.filter(pc.is_valid(t.column(key_col)))
+                    if t.num_rows:
+                        runs.append(t.to_pandas())
+                if not runs:
+                    continue
+                merged = pd.concat(runs, ignore_index=True)
+                # stable sort over pre-sorted runs: timsort finds
+                # the runs and this is an O(n log k) merge, not a
+                # from-scratch sort
+                merged = merged.sort_values(
+                    sort_cols, kind="stable", ignore_index=True
+                )[read_cols]
+                for off in range(0, len(merged), chunk):
+                    yield merged.iloc[off : off + chunk]
 
         return desc.mapInPandas(merge_shards, out_schema)
 

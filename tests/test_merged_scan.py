@@ -120,6 +120,53 @@ def test_merged_timestamp_key_with_ties_and_rank(spark, sf_dir, tmp_path):
     ] == [(r[0], r[1]) for r in want]
 
 
+def test_merged_salted_layout_yields_multiple_nonempty_shards(kv_table):
+    """The round-5 degeneration: every salted bucket file spans ~the
+    full key domain, so whole-file boundary cuts all landed at the
+    domain max and EVERY bounded scan collapsed to one merge shard —
+    correct output, single-task OOM class at scale. The quantile
+    interpolation must spread a bounded scan across the requested
+    shards, each partition non-empty, globally ordered, disjoint."""
+    df = kv_table.scan_merged(
+        start=KEY_PREFIX + 100, stop=KEY_PREFIX + 900, shards=4
+    ).withColumn("pid", F.spark_partition_id())
+    per = {r.pid: r for r in df.groupBy("pid").agg(
+        F.count("*").alias("n"),
+        F.min("key_long").alias("lo"),
+        F.max("key_long").alias("hi"),
+    ).collect()}
+    nonempty = sorted(per)
+    assert len(nonempty) >= 3, f"shards degenerated: {per}"
+    # row balance: no shard hoards the range (old behavior = 100% in one)
+    total = sum(per[p].n for p in nonempty)
+    assert max(per[p].n for p in nonempty) <= 0.6 * total
+    # disjoint ascending ranges across partition ids
+    for a, b in zip(nonempty, nonempty[1:]):
+        assert per[a].hi < per[b].lo
+
+
+def test_quantile_bounds_timestamp_and_string_keys(kv_table):
+    """_quantile_bounds interpolates timestamp keys on the ns axis and
+    declines (-> None, whole-file fallback) on string keys."""
+    import datetime
+    from types import SimpleNamespace as Z
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def zrow(lo, hi, n):
+        return Z(lo=lo, hi=hi, n_rows=n, n_nulls=0, file="f")
+
+    rows = [
+        zrow(t0, t0 + datetime.timedelta(hours=10), 1000) for _ in range(4)
+    ]
+    b = SaltedTable._quantile_bounds(rows, None, None, 4)
+    assert len(b) == 3 and b == sorted(b)
+    assert all(t0 < x < t0 + datetime.timedelta(hours=10) for x in b)
+    assert SaltedTable._quantile_bounds(
+        [zrow("aa", "zz", 100)], None, None, 4
+    ) is None
+
+
 def test_merged_null_keys_are_excluded_by_contract(spark, tmp_path):
     df = spark.createDataFrame(
         [(i if i % 7 else None, f"v{i}") for i in range(50)],
