@@ -455,6 +455,10 @@ NGRAM_BLOCK_B = 6  # blocking grams per document (its B globally rarest)
 # docs, max df 22) bit-identical to uncapped blocking.
 NGRAM_DF_CAP_FRAC = 0.05
 NGRAM_DF_CAP_FLOOR = 64
+# Jaccard admission threshold — ONE constant feeding the final filter,
+# the (provably output-preserving) length-ratio prefilter, AND the
+# DuckDB oracle, so the three can never drift apart (ADVICE r5).
+NGRAM_JACCARD_T = 0.35
 
 
 def _gram_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,14 +507,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     g = _gram_sets(spark, sf_dir)
-    n_docs = load_table(spark, sf_dir, "documents").count()  # parquet footer count
-    df_cap = max(NGRAM_DF_CAP_FLOOR, math.ceil(NGRAM_DF_CAP_FRAC * n_docs))
+    # the df ceiling is a 1-row broadcast relation, not an eager
+    # .count() at plan-construction time (ADVICE r5: building the
+    # DataFrame must not run a Spark job — registry walks, test_plans
+    # and .explain() all construct without executing)
+    cap = load_table(spark, sf_dir, "documents").agg(
+        F.greatest(
+            F.lit(NGRAM_DF_CAP_FLOOR).cast("long"),
+            F.ceil(F.lit(NGRAM_DF_CAP_FRAC) * F.count("*")).cast("long"),
+        ).alias("df_cap")
+    )
     dg = g.select("doc_id", F.explode("g").alias("gram"))
     df_t = dg.groupBy("gram").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("gram").asc())
     block = (
         dg.join(df_t, "gram")
-        .where(F.col("df") <= df_cap)
+        .join(F.broadcast(cap))  # 1-row cross: the scalar-subquery shape
+        .where(F.col("df") <= F.col("df_cap"))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= NGRAM_BLOCK_B)
         .select("gram", "doc_id")
@@ -552,7 +565,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang") == F.col("lang_b"))
             & (
                 F.least("sa", "sb").cast("double")
-                >= 0.35 * F.greatest("sa", "sb").cast("double")
+                >= NGRAM_JACCARD_T * F.greatest("sa", "sb").cast("double")
             )
         )
         .select("lang", "doc_a", "doc_b")
@@ -572,7 +585,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sa") + F.col("sb") - F.col("n_inter")
     ).cast("double")
     return scored.select("lang", "doc_a", "doc_b", jac.alias("jaccard")).where(
-        F.col("jaccard") >= 0.35
+        F.col("jaccard") >= NGRAM_JACCARD_T
     )
 
 
@@ -624,7 +637,8 @@ def ngram_jaccard_oracle() -> str:
     SELECT lang, doc_a, doc_b,
            CAST(n_inter AS DOUBLE) / CAST(sa + sb - n_inter AS DOUBLE) AS jaccard
     FROM scored
-    WHERE CAST(n_inter AS DOUBLE) / CAST(sa + sb - n_inter AS DOUBLE) >= 0.35
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa + sb - n_inter AS DOUBLE)
+          >= {NGRAM_JACCARD_T}
     """
 
 

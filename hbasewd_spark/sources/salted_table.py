@@ -105,6 +105,7 @@ class SaltedTable:
         mode: str = "overwrite",
         fmt: str = "parquet",
         zone_map_cols: list[str] | None = None,
+        row_group_bytes: int | None = None,
     ) -> "SaltedTable":
         """Bulk salted ingest (P3 at DataFrame granularity).
 
@@ -122,6 +123,15 @@ class SaltedTable:
         is no row-group stat pruning and CSV cannot carry BinaryType
         columns (the salt-partition layout and range-scan semantics
         still apply — only file-internal pruning is lost).
+
+        ``row_group_bytes`` overrides parquet's 128 MB row-group size.
+        Row groups are the intra-file pruning granularity for BOTH scan
+        paths (Catalyst parquet filter pushdown and scan_merged's arrow
+        read): a bucket file holding one giant row group makes every
+        range read decode the whole file. At 100 TB the default is
+        right (GB-class bucket files -> ~8+ groups each); at bench
+        scale the miniature-faithful move is shrinking the group so the
+        file:group ratio matches production (SCALE.md, file geometry).
         """
         salted_df = salted(df, distributor, key_col)
         n = distributor.buckets
@@ -134,6 +144,8 @@ class SaltedTable:
         )
         if fmt == "csv":
             writer = writer.option("header", "true")
+        if row_group_bytes and fmt == "parquet":
+            writer = writer.option("parquet.block.size", int(row_group_bytes))
         writer.save(path)
         data_schema_json = df.schema.json()
         meta = {

@@ -94,6 +94,16 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/root/repo/.localdata/sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--target-file-mb",
+        type=int,
+        default=128,
+        help="approximate output parquet file size; the r5 default "
+        "(one file per upstream partition) emitted ~4 MB single-row-"
+        "group files at sf10, which neutralizes row-group pruning for "
+        "every scan path and misrepresents a real lake's geometry "
+        "(VERDICT r5 #3). 0 keeps the upstream partitioning.",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F  # noqa: F401
@@ -109,12 +119,29 @@ def main() -> None:
         )
         print(f"{t}: copied")
 
+    def src_bytes(table: str) -> int:
+        d = os.path.join(args.src, f"{table}.parquet")
+        if os.path.isfile(d):
+            return os.path.getsize(d)
+        if os.path.isdir(d):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(d)
+                for f in fs
+                if not f.startswith((".", "_"))
+            )
+        return 0
+
     for t in SHIFT:
         base = load_table(spark, args.src, t)
         parts = [scaled_copy(base, t, i) for i in range(args.factor)]
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
+        if args.target_file_mb:
+            est = src_bytes(t) * args.factor
+            n_files = max(1, round(est / (args.target_file_mb * (1 << 20))))
+            u = u.repartition(n_files)
         u.write.mode("overwrite").parquet(f"{args.out}/{t}.parquet")
         n = spark.read.parquet(f"{args.out}/{t}.parquet").count()
         print(f"{t}: {n} rows ({args.factor}x)")
