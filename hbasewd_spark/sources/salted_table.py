@@ -499,6 +499,25 @@ class SaltedTable:
     def _zone_dir(self, col: str) -> str:
         return f"{self.path.rstrip('/')}/{self.ZONE_MAP_DIR}/{col}"
 
+    def _zone_sidecar_df(self, col: str) -> DataFrame | None:
+        """The persisted zone-map sidecar for ``col`` as a (lazy)
+        DataFrame — only when present, watermark-fresh, and
+        schema-current (sidecars written before the n_nulls column
+        existed are schema-stale: recompute rather than hand expire()
+        rows missing the field). ``None`` otherwise."""
+        zm_dir = self._zone_dir(col)
+        fs = Fs(self.spark, self.path)
+        if not fs.is_dir(zm_dir):
+            return None
+        try:
+            meta = json.loads(fs.read_text(zm_dir + "/" + self.ZONE_META_FILE))
+            if meta.get("data_sig") != self._data_signature(fs):
+                return None
+            zdf = self.spark.read.parquet(zm_dir)
+            return zdf if "n_nulls" in zdf.columns else None
+        except Exception:
+            return None  # unreadable/stale sidecar
+
     def _zone_rows(self, col: str) -> list:
         """Collected zone rows for ``col`` — from the persisted sidecar
         when present and fresh, else computed live; memoized per table
@@ -510,25 +529,8 @@ class SaltedTable:
         if zm_cache is None:
             zm_cache = self._zone_maps = {}
         if col not in zm_cache:
-            zm_dir = self._zone_dir(col)
-            fs = Fs(self.spark, self.path)
-            rows = None
-            if fs.is_dir(zm_dir):
-                try:
-                    meta = json.loads(
-                        fs.read_text(zm_dir + "/" + self.ZONE_META_FILE)
-                    )
-                    if meta.get("data_sig") == self._data_signature(fs):
-                        zdf = self.spark.read.parquet(zm_dir)
-                        # sidecars written before the n_nulls column
-                        # existed are schema-stale: recompute rather
-                        # than hand expire() rows missing the field
-                        if "n_nulls" in zdf.columns:
-                            rows = zdf.collect()
-                except Exception:
-                    rows = None  # unreadable/stale sidecar: recompute
-            if rows is None:
-                rows = self.zone_map(col).collect()
+            zdf = self._zone_sidecar_df(col)
+            rows = zdf.collect() if zdf is not None else self.zone_map(col).collect()
             if len(rows) > self.ZONE_MAP_DRIVER_WARN_FILES:
                 warnings.warn(
                     f"zone map for {col!r} holds {len(rows)} file entries "
@@ -903,60 +905,16 @@ class SaltedTable:
                 bounds.append(b)
         return bounds
 
-    def scan_merged(
-        self,
-        start: Any = None,
-        stop: Any = None,
-        shards: int | None = None,
-        columns: list[str] | None = None,
-        tiebreak: list[str] | None = None,
-    ) -> DataFrame:
-        """Distributed ordered range scan with NO exchange of table data
-        — the DistributedScanner merge (DistributedScanner.java:106-139)
-        fanned out across tasks instead of pulled to one client.
-
-        :meth:`scan` (``ordered=True``) restores key order with a
-        range-exchange sort: correct, but every scanned byte crosses
-        the shuffle. This path exploits what the write contract already
-        guarantees — every file is key-sorted (``sortWithinPartitions``
-        at write) with tight row-group stats — and plans on the key
-        zone map instead:
-
-        1. DRIVER (O(#files) metadata, the reference's client-side scan
-           planning cost class): intersect per-file [lo, hi] with the
-           request, pick row-balanced shard boundaries from the
-           cumulative file row counts.
-        2. A |shards|-row descriptor relation (shard key range + the
-           files that intersect it) is range-partitioned by shard id —
-           the only Exchange in the plan, moving kilobytes.
-        3. Each task ``mapInPandas``-merges ITS key range: pyarrow
-           opens only its descriptor's files, row-group stats skip
-           everything outside the range (each file contributes one
-           contiguous sorted run), and a stable vectorized sort merges
-           the ~``buckets`` runs. Output partitions are disjoint
-           ascending key ranges, rows sorted within — the same global
-           order contract a range-exchange sort produces.
-
-        At 100 TB: data moves storage→task exactly once, no shuffle
-        write/read, and a shard re-merges only its slice. The trade is
-        planning on driver-side zone metadata (see SCALE.md on moving
-        that to a manifest past ~1e5 files).
-
-        Contract deltas vs :meth:`scan`: parquet tables only (the
-        interchange formats have no row-group stats to prune by) and
-        NULL keys are excluded (rowkeys are never null in the
-        reference; ``scan`` sorts them first). ``tiebreak`` columns
-        extend the in-task sort to a total order so a rank stamp is
-        deterministic (``global_rank(..., presorted=True)``).
-        """
-        if self.fmt != "parquet":
-            raise ValueError(
-                f"scan_merged needs parquet row-group stats; table format is {self.fmt!r}"
-            )
-        import pandas as pd
-        from pyspark.sql.types import StructType
-
-        zone = self._zone_rows(self.key_col)
+    def _plan_shards_driver(
+        self, start, stop, shards, key_type
+    ) -> DataFrame | None:
+        """scan_merged step 1 on the DRIVER: collect the O(#files) zone
+        rows (the reference's client-side scan-planning cost class,
+        fine to ~ZONE_MAP_DRIVER_WARN_FILES), cut row-balanced shard
+        boundaries, and emit the |shards|-row descriptor relation.
+        Returns ``None`` when no file intersects the request."""
+        spark, key_col = self.spark, self.key_col
+        zone = self._zone_rows(key_col)
         in_range = [
             r
             for r in zone
@@ -964,23 +922,8 @@ class SaltedTable:
             and (stop is None or r.lo < stop)
             and (start is None or r.hi >= start)
         ]
-        data_schema = (
-            StructType.fromJson(json.loads(self.data_schema_json))
-            if self.data_schema_json
-            else self.df().drop(SALT_COL).schema
-        )
-        out_fields = [f for f in data_schema.fields]
-        if columns:
-            keep = set(columns)
-            out_fields = [f for f in out_fields if f.name in keep]
-        out_schema = StructType(out_fields)
-        read_cols = [f.name for f in out_schema.fields]
-        key_col = self.key_col
-        sort_cols = [key_col] + [c for c in (tiebreak or []) if c != key_col]
-        spark = self.spark
-
         if not in_range:
-            return spark.createDataFrame([], out_schema)
+            return None
 
         if shards:
             n_shards = shards
@@ -1051,15 +994,257 @@ class SaltedTable:
                 if (hi is None or r.lo < hi) and (lo is None or r.hi >= lo)
             ]
             shard_rows.append((i, lo, hi, files))
+        return spark.createDataFrame(
+            shard_rows,
+            f"shard_id int, lo {key_type}, hi {key_type}, files array<string>",
+        ).repartitionByRange(len(shard_rows), "shard_id")
 
+    def _plan_shards_spark(
+        self, start, stop, shards, data_schema, auto: bool
+    ) -> DataFrame | None:
+        """scan_merged step 1 as a small SPARK JOB over the zone-map
+        relation (SCALE.md's driver-side-metadata escape hatch): the
+        driver never materializes O(#files) zone rows — it holds only
+        the O(#shards) boundary list; the per-shard file lists are
+        assembled by a broadcast join + collect_list that stays on the
+        executors. Same quantile cuts as :meth:`_quantile_bounds`,
+        computed by proportional per-file sampling + percentile_approx
+        (each file contributes samples in proportion to its estimated
+        in-range rows, so the unweighted percentile of the samples IS
+        the weighted quantile of the mixture).
+
+        Returns ``None`` to fall back to driver planning: on ``auto``
+        when there is no fresh sidecar or it is below the warn
+        threshold (collecting it is cheaper than 3 extra jobs), or for
+        non-arithmetic (string) keys, which percentile interpolation
+        cannot cut."""
+        spark, key_col = self.spark, self.key_col
+        zdf = self._zone_sidecar_df(key_col)
+        if zdf is None:
+            if auto:
+                return None
+            zdf = self.zone_map(key_col)  # explicit: one column-pruned scan
+        elif auto:
+            counts = getattr(self, "_zone_counts", None)
+            if counts is None:
+                counts = self._zone_counts = {}
+            if key_col not in counts:
+                counts[key_col] = zdf.count()  # parquet footer count, tiny
+            if counts[key_col] <= self.ZONE_MAP_DRIVER_WARN_FILES:
+                return None
+
+        dt = data_schema[key_col].dataType
+        tn = dt.typeName()
+        key_type = dt.simpleString()
+        epoch = F.to_date(F.lit("1970-01-01"))
+
+        def axis(c):  # key-typed Column -> double interpolation axis
+            if tn in ("long", "integer", "short", "byte", "double", "float") or tn.startswith("decimal"):
+                return c.cast("double")
+            if tn.startswith("timestamp"):
+                return F.unix_micros(c.cast("timestamp")).cast("double")
+            if tn == "date":
+                return F.datediff(c, epoch).cast("double")
+            return None
+
+        def unaxis(x):  # double axis Column -> key-typed Column
+            if tn in ("long", "integer", "short", "byte"):
+                return F.round(x).cast(dt)
+            if tn.startswith("timestamp"):
+                return F.timestamp_micros(F.round(x).cast("long")).cast(dt)
+            if tn == "date":
+                return F.date_add(epoch, F.round(x).cast("int"))
+            return x.cast(dt)
+
+        if axis(F.col("lo")) is None:
+            return None  # string keys: driver whole-file cuts
+
+        zin = zdf.where(F.col("lo").isNotNull())
+        if stop is not None:
+            zin = zin.where(F.col("lo") < F.lit(stop))
+        if start is not None:
+            zin = zin.where(F.col("hi") >= F.lit(start))
+
+        s, e = axis(F.col("lo")), axis(F.col("hi"))
+        cs = F.greatest(s, axis(F.lit(start))) if start is not None else s
+        ce = F.least(e, axis(F.lit(stop))) if stop is not None else e
+        frac = F.when(
+            e > s, F.greatest(F.lit(0.0), F.least(F.lit(1.0), (ce - cs) / (e - s)))
+        ).otherwise((cs <= ce).cast("double"))
+        w = (
+            F.col("n_rows") - F.coalesce(F.col("n_nulls"), F.lit(0))
+        ).cast("double") * frac
+        zw = zin.select(
+            "file", cs.alias("cs"), ce.alias("ce"), w.alias("w")
+        ).where(F.col("w") > 0)
+
+        # job 1: O(1) driver — total estimated in-range rows + file count
+        tot_row = zw.agg(
+            F.sum("w").alias("tot"), F.count("*").alias("nf")
+        ).collect()[0]
+        if not tot_row.nf:
+            return spark.createDataFrame(
+                [], f"shard_id int, lo {key_type}, hi {key_type}, files array<string>"
+            )
+        n_shards = shards or max(
+            1,
+            min(
+                int(tot_row.tot // self.MERGED_SCAN_TARGET_ROWS) + 1,
+                int(tot_row.nf),
+                spark.sparkContext.defaultParallelism,
+            ),
+        )
+
+        # job 2: O(#shards) driver — quantile boundaries over
+        # proportional samples
+        bvals: list = []
+        if n_shards > 1:
+            n_samples = max(4096, n_shards * 64)
+            ns = F.greatest(
+                F.lit(1),
+                F.round(F.col("w") / F.lit(float(tot_row.tot)) * n_samples).cast("int"),
+            )
+            samples = zw.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), ns - 1),
+                        lambda i: F.col("cs")
+                        + ((i.cast("double") + F.lit(0.5)) / ns.cast("double"))
+                        * (F.col("ce") - F.col("cs")),
+                    )
+                ).alias("v")
+            )
+            qs = F.array(*[F.lit(j / n_shards) for j in range(1, n_shards)])
+            brow = samples.agg(
+                F.transform(
+                    F.percentile_approx("v", qs, F.lit(20000)), unaxis
+                ).alias("bs")
+            ).collect()[0]
+            seen = start
+            for b in brow.bs or []:
+                if (
+                    b is not None
+                    and (seen is None or b > seen)
+                    and (stop is None or b < stop)
+                ):
+                    bvals.append(b)
+                    seen = b
+
+        # job 3 (lazy, part of the scan plan): per-shard file lists via
+        # a broadcast join — file names never leave the executors
+        edges = [start] + bvals + [stop]
+        bounds_df = spark.createDataFrame(
+            [(i, edges[i], edges[i + 1]) for i in range(len(edges) - 1)],
+            f"shard_id int, blo {key_type}, bhi {key_type}",
+        )
+        overlap = (
+            F.col("bhi").isNull() | (F.col("lo") < F.col("bhi"))
+        ) & (F.col("blo").isNull() | (F.col("hi") >= F.col("blo")))
+        return (
+            zin.join(F.broadcast(bounds_df), overlap)
+            .groupBy("shard_id", "blo", "bhi")
+            .agg(F.sort_array(F.collect_list("file")).alias("files"))
+            .select(
+                "shard_id",
+                F.col("blo").alias("lo"),
+                F.col("bhi").alias("hi"),
+                "files",
+            )
+            .repartitionByRange(max(1, len(edges) - 1), "shard_id")
+        )
+
+    def scan_merged(
+        self,
+        start: Any = None,
+        stop: Any = None,
+        shards: int | None = None,
+        columns: list[str] | None = None,
+        tiebreak: list[str] | None = None,
+        plan: str = "auto",
+    ) -> DataFrame:
+        """Distributed ordered range scan with NO exchange of table data
+        — the DistributedScanner merge (DistributedScanner.java:106-139)
+        fanned out across tasks instead of pulled to one client.
+
+        :meth:`scan` (``ordered=True``) restores key order with a
+        range-exchange sort: correct, but every scanned byte crosses
+        the shuffle. This path exploits what the write contract already
+        guarantees — every file is key-sorted (``sortWithinPartitions``
+        at write) with tight row-group stats — and plans on the key
+        zone map instead:
+
+        1. DRIVER (O(#files) metadata, the reference's client-side scan
+           planning cost class): intersect per-file [lo, hi] with the
+           request, pick row-balanced shard boundaries from the
+           cumulative file row counts.
+        2. A |shards|-row descriptor relation (shard key range + the
+           files that intersect it) is range-partitioned by shard id —
+           the only Exchange in the plan, moving kilobytes.
+        3. Each task ``mapInPandas``-merges ITS key range: pyarrow
+           opens only its descriptor's files, row-group stats skip
+           everything outside the range (each file contributes one
+           contiguous sorted run), and a stable vectorized sort merges
+           the ~``buckets`` runs. Output partitions are disjoint
+           ascending key ranges, rows sorted within — the same global
+           order contract a range-exchange sort produces.
+
+        At 100 TB: data moves storage→task exactly once, no shuffle
+        write/read, and a shard re-merges only its slice.
+
+        ``plan`` picks where step 1 runs. ``"driver"`` collects the
+        O(#files) zone rows (the reference's client-side planning cost
+        class — fine to ~1e5 files). ``"spark"`` runs the SAME quantile
+        planning as a small Spark job over the zone-map relation, the
+        driver holding only the O(#shards) boundary list — the manifest
+        escape hatch for 100-TB tables (SCALE.md, driver-side
+        metadata). ``"auto"`` (default) switches to Spark planning when
+        a fresh key sidecar reports more than
+        ``ZONE_MAP_DRIVER_WARN_FILES`` files.
+
+        Contract deltas vs :meth:`scan`: parquet tables only (the
+        interchange formats have no row-group stats to prune by) and
+        NULL keys are excluded (rowkeys are never null in the
+        reference; ``scan`` sorts them first). ``tiebreak`` columns
+        extend the in-task sort to a total order so a rank stamp is
+        deterministic (``global_rank(..., presorted=True)``).
+        """
+        if self.fmt != "parquet":
+            raise ValueError(
+                f"scan_merged needs parquet row-group stats; table format is {self.fmt!r}"
+            )
+        if plan not in ("auto", "driver", "spark"):
+            raise ValueError(f"plan must be auto|driver|spark, got {plan!r}")
+        import pandas as pd
+        from pyspark.sql.types import StructType
+
+        data_schema = (
+            StructType.fromJson(json.loads(self.data_schema_json))
+            if self.data_schema_json
+            else self.df().drop(SALT_COL).schema
+        )
+        out_fields = [f for f in data_schema.fields]
+        if columns:
+            keep = set(columns)
+            out_fields = [f for f in out_fields if f.name in keep]
+        out_schema = StructType(out_fields)
+        read_cols = [f.name for f in out_schema.fields]
+        key_col = self.key_col
+        sort_cols = [key_col] + [c for c in (tiebreak or []) if c != key_col]
+        spark = self.spark
         key_type = data_schema[key_col].dataType.simpleString()
         key_is_int = data_schema[key_col].dataType.typeName() in (
             "long", "integer", "short", "byte",
         )
-        desc = spark.createDataFrame(
-            shard_rows,
-            f"shard_id int, lo {key_type}, hi {key_type}, files array<string>",
-        ).repartitionByRange(len(shard_rows), "shard_id")
+
+        desc = None
+        if plan != "driver":
+            desc = self._plan_shards_spark(
+                start, stop, shards, data_schema, auto=(plan == "auto")
+            )
+        if desc is None:
+            desc = self._plan_shards_driver(start, stop, shards, key_type)
+        if desc is None:  # driver planning found nothing in range
+            return spark.createDataFrame([], out_schema)
 
         chunk = self.MERGED_SCAN_CHUNK_ROWS
         # mapInPandas hands timestamps to Python as SESSION-naive; the

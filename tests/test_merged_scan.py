@@ -8,6 +8,7 @@ node exists anywhere (the merge happens inside the tasks over
 pre-sorted file runs).
 """
 
+import json
 import shutil
 
 import pytest
@@ -165,6 +166,65 @@ def test_quantile_bounds_timestamp_and_string_keys(kv_table):
     assert SaltedTable._quantile_bounds(
         [zrow("aa", "zz", 100)], None, None, 4
     ) is None
+
+
+def test_merged_spark_planning_parity(kv_table):
+    """plan='spark' (shard planning as a Spark job over the zone
+    relation) produces the same rows in the same global order as
+    driver planning and the exchange-sort scan."""
+    ref = kv_table.scan(
+        start=KEY_PREFIX + 100, stop=KEY_PREFIX + 900, ordered=True
+    ).collect()
+    got = kv_table.scan_merged(
+        start=KEY_PREFIX + 100, stop=KEY_PREFIX + 900, shards=4, plan="spark"
+    ).collect()
+    assert [r.key_long for r in got] == [r.key_long for r in ref]
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+    # and unbounded, with auto shard sizing
+    got_all = kv_table.scan_merged(plan="spark", columns=["key_long"]).collect()
+    ref_all = kv_table.scan(ordered=True).select("key_long").collect()
+    assert [r.key_long for r in got_all] == [r.key_long for r in ref_all]
+
+
+def test_spark_planning_holds_only_shards_on_the_driver(spark):
+    """VERDICT r5 #6: past the warn threshold, shard planning must not
+    collect O(#files) zone rows. Plan against a SYNTHETIC 150k-file
+    zone relation (planning never opens data files) with _zone_rows
+    booby-trapped — the descriptor relation must still come out with
+    row-balanced boundaries, every file list assembled executor-side."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql.types import StructType
+
+    t = SaltedTable(
+        spark, "/tmp/__no_such_table__", HashDistributor(8), "k", "parquet",
+        json.dumps(json.loads(spark.range(1).select(SF.lit(0).cast("long").alias("k")).schema.json())),
+    )
+    n_files = 150_000
+    zone = spark.range(n_files).select(
+        SF.concat(SF.lit("f"), SF.col("id")).alias("file"),
+        (SF.col("id") % 1000 * 100).alias("lo"),          # staggered ranges
+        (SF.col("id") % 1000 * 100 + 5000).alias("hi"),
+        SF.lit(200).alias("n_rows"),
+        SF.lit(0).alias("n_nulls"),
+    )
+    t._zone_sidecar_df = lambda col: zone
+
+    def boom(col):
+        raise AssertionError("driver collected O(#files) zone rows")
+
+    t._zone_rows = boom
+    schema = StructType.fromJson(json.loads(t.data_schema_json))
+    desc = t._plan_shards_spark(1000, 90_000, 16, schema, auto=True)
+    rows = desc.collect()  # O(#shards) only
+    assert 2 <= len(rows) <= 16
+    los = [r.lo for r in sorted(rows, key=lambda r: r.shard_id)]
+    assert los == sorted(los, key=lambda x: (x is not None, x))
+    # every shard's file list is non-empty and bounded ranges nest in
+    # the request
+    for r in rows:
+        assert len(r.files) > 0
+        if r.lo is not None and r.hi is not None:
+            assert 1000 <= r.lo < r.hi <= 90_000
 
 
 def test_merged_null_keys_are_excluded_by_contract(spark, tmp_path):
