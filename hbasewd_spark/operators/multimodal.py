@@ -4,14 +4,17 @@ Images/audio/video ride through the engine as opaque ``BinaryType``
 payload columns plus a typed metadata struct — the same "schema on the
 edge, bytes in the middle" stance as the byte-compat key codec. The
 Spark-side plumbing here is real (schemas, Arrow batch shapes,
-``mapInPandas`` decode operators, partition sizing). Two codecs are
+``mapInPandas`` decode operators, partition sizing). Three codecs are
 REAL with zero dependencies — canonical PCM WAV (:func:`parse_wav`)
 and uncompressed BMP (:func:`parse_bmp`) are struct-described
-containers, parsed with stdlib ``struct`` alone. Compressed image
-codecs (jpeg/png/webp) remain a deterministic fake behind a loud
-``NotImplementedError`` seam, because no image library ships in this
-container; swapping that branch of ``_decode_batch`` for PIL/ffmpeg
-is a one-function change — the distributed plumbing does not move.
+containers parsed with stdlib ``struct`` alone, and 8-bit
+non-interlaced PNG (:func:`parse_png` + :func:`_png_defilter`) is
+stdlib ``struct``+``zlib`` with full five-filter scanline
+reconstruction. Transform codecs (jpeg/webp) remain a deterministic
+fake behind a loud ``NotImplementedError`` seam, because no DCT/VP8
+library ships in this container; swapping that branch of
+``_decode_batch`` for PIL/ffmpeg is a one-function change — the
+distributed plumbing does not move.
 
 At 100 TB: payloads dominate bytes, so the rules are (a) never shuffle
 payload columns (project them away before joins/aggs — Spark's column
@@ -173,19 +176,133 @@ def _bmp_pixel_stats(b: bytes, bmp: dict) -> tuple[int, int]:
     return total, row_bytes * bmp["height"]
 
 
+def parse_png(b: bytes) -> dict | None:
+    """REAL (stdlib-only) PNG parse: signature + chunk walk, IHDR
+    geometry, zlib-inflated IDAT with an exact raw-scanline length
+    check — ``struct`` + ``zlib``, no image library, because PNG's
+    container and its DEFLATE stream are both stdlib-described; only
+    the per-scanline filters need decoder logic (:func:`_png_defilter`).
+
+    Returns ``{width, height, bit_depth, color_type, channels,
+    interlace, row_bytes, raw}`` (``raw`` = inflated filtered
+    scanlines) or ``None`` when ``b`` is not a well-formed PNG
+    (bad signature, truncated chunk, palette/unknown color type,
+    inflate failure, raw length mismatch, Adam7 interlace — the one
+    layout whose scanline math we leave to a real image lib). Callers
+    treat None as "not an image we decode" and fall back, never crash."""
+    import struct as _struct
+    import zlib
+
+    if len(b) < 8 + 25 or not b.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    off, ihdr, idat, seen_end = 8, None, [], False
+    while off + 8 <= len(b):
+        (size,) = _struct.unpack_from(">I", b, off)
+        ctype = b[off + 4 : off + 8]
+        body = off + 8
+        if body + size + 4 > len(b):  # +4 = chunk CRC
+            return None
+        if ctype == b"IHDR":
+            if size != 13:
+                return None
+            w, h, depth, color, comp, filt, inter = _struct.unpack_from(
+                ">IIBBBBB", b, body
+            )
+            ihdr = (w, h, depth, color, comp, filt, inter)
+        elif ctype == b"IDAT":
+            idat.append(b[body : body + size])
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        off = body + size + 4
+    if ihdr is None or not idat or not seen_end:
+        return None
+    w, h, depth, color, comp, filt, inter = ihdr
+    # color 3 (palette) excluded: pixel stats over palette INDICES
+    # would not be luma-comparable with the other branches
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if comp != 0 or filt != 0 or inter != 0 or w == 0 or h == 0 or channels is None:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    row_bytes = (w * channels * depth + 7) // 8
+    if len(raw) != h * (1 + row_bytes):
+        return None
+    return {
+        "width": w,
+        "height": h,
+        "bit_depth": depth,
+        "color_type": color,
+        "channels": channels,
+        "interlace": inter,
+        "row_bytes": row_bytes,
+        "raw": raw,
+    }
+
+
+def _png_defilter(png: dict) -> bytes | None:
+    """Reconstruct pixel bytes from the inflated filtered scanlines —
+    the five PNG filter types (None/Sub/Up/Average/Paeth), 8-bit-depth
+    images only (16-bit lanes would need per-channel arithmetic).
+    Returns the pixel payload (no filter tags), or ``None`` for
+    depths/filters outside that envelope. Pure Python per byte: right
+    for unit-scale payloads and honest semantics; a production decode
+    of large rasters swaps this one function for PIL — the documented
+    seam."""
+    if png["bit_depth"] != 8:
+        return None
+    raw, h, rb, bpp = png["raw"], png["height"], png["row_bytes"], png["channels"]
+    out = bytearray()
+    prev = bytearray(rb)
+    pos = 0
+    for _ in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + rb])
+        pos += rb
+        if ft == 1:  # Sub
+            for x in range(bpp, rb):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(rb):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(rb):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(rb):
+                a = row[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                row[x] = (
+                    row[x] + (a if pa <= pb and pa <= pc else up if pb <= pc else c)
+                ) & 0xFF
+        elif ft != 0:
+            return None
+        out += row
+        prev = row
+    return bytes(out)
+
+
 def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     """Decode/feature-extract payloads via ``mapInPandas`` — one Arrow
     batch in, one feature frame out.
 
-    The ``wav`` and ``bmp`` branches are REAL: payloads that parse as
-    PCM WAV (:func:`parse_wav`) or uncompressed BMP (:func:`parse_bmp`)
-    — both stdlib-struct containers needing no codec library — emit
-    genuine geometry (channels/bits for audio, pixel width/height for
-    images) and payload-only byte stats (BMP row padding excluded).
-    Compressed image formats (and malformed bytes under any label) use
-    the deterministic fake, because no jpeg/png library ships in this
-    container; ``fake=False`` makes that seam loud instead of silently
-    fake."""
+    The ``wav``, ``bmp`` and ``png`` branches are REAL: payloads that
+    parse as PCM WAV (:func:`parse_wav`), uncompressed BMP
+    (:func:`parse_bmp`) or 8-bit non-interlaced PNG (:func:`parse_png`
+    + :func:`_png_defilter` — stdlib ``struct``+``zlib``, full filter
+    reconstruction) emit genuine geometry (channels/bits for audio,
+    pixel width/height for images) and payload-only byte stats (BMP
+    row padding and PNG filter tags excluded). jpeg/webp (and
+    malformed bytes under any label) use the deterministic fake,
+    because no transform-codec library ships in this container;
+    ``fake=False`` makes that seam loud instead of silently fake."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -193,9 +310,9 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
                 yield _decode_batch(pdf)
             else:
                 raise NotImplementedError(
-                    "real compressed-image decoding requires PIL/ffmpeg — not "
-                    "available in this container; use fake=True (WAV and BMP "
-                    "payloads are still really parsed on that path)"
+                    "real jpeg/webp decoding requires PIL/ffmpeg — not "
+                    "available in this container; use fake=True (WAV, BMP and "
+                    "PNG payloads are still really parsed on that path)"
                 )
 
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
@@ -214,10 +331,18 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         f = meta["format"]
         wav = parse_wav(b) if f == "wav" else None
         bmp = parse_bmp(b) if f == "bmp" else None
+        png = parse_png(b) if f == "png" else None
+        px = _png_defilter(png) if png is not None else None
         doc_id.append(did)
         fmt_o.append(f)
         n_bytes.append(len(b))
-        if wav is not None:
+        if px is not None:
+            s = sum(px)
+            width.append(png["width"])
+            height.append(png["height"])
+            byte_sum.append(s)
+            mean.append(s / max(len(px), 1))
+        elif wav is not None:
             data = b[wav["data_offset"] : wav["data_offset"] + wav["data_bytes"]]
             s = sum(data)
             width.append(wav["channels"])
