@@ -69,6 +69,22 @@ class Fs:
             src_fs, src_p, dst_fs, dst_p, False, True, self._conf
         )
 
+    def create_atomic(self, p: str, text: str) -> bool:
+        """Create-if-absent (``overwrite=False``): returns False when
+        the file already exists — the primitive under lock sentinels.
+        Atomic on HDFS and local; object stores without conditional
+        create degrade to best-effort, which still catches every
+        non-racing double-invocation."""
+        try:
+            out = self.fs.create(self.path(p), False)
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
     def write_text(self, p: str, text: str) -> None:
         out = self.fs.create(self.path(p), True)
         try:

@@ -448,24 +448,74 @@ class SaltedTable:
                 "distributor; round-robin buckets aren't recomputable "
                 "from the key (README:75-78)"
             )
-        salted_changes = salted(changes, self.distributor, self.key_col)
-        touched = [r[SALT_COL] for r in salted_changes.select(SALT_COL).distinct().collect()]
-        current = self.df().where(F.col(SALT_COL).isin(touched))
-        keep = current.join(
-            salted_changes.select(self.key_col), self.key_col, "left_anti"
-        )
-        merged = keep.unionByName(salted_changes.select(*keep.columns))
-        # dynamic mode: overwrite replaces only the partitions present
-        # in the written data — untouched buckets stay as-is on disk
-        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        self._writer(
-            merged.repartition(max(len(touched), 1), F.col(SALT_COL))
-            .sortWithinPartitions(SALT_COL, self.key_col)
-        ).mode("overwrite").save(self.path)
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        self.refresh()
-        return self
+        with self._lifecycle_lock("upsert_rows"):
+            salted_changes = salted(changes, self.distributor, self.key_col)
+            touched = [r[SALT_COL] for r in salted_changes.select(SALT_COL).distinct().collect()]
+            current = self.df().where(F.col(SALT_COL).isin(touched))
+            keep = current.join(
+                salted_changes.select(self.key_col), self.key_col, "left_anti"
+            )
+            merged = keep.unionByName(salted_changes.select(*keep.columns))
+            # dynamic mode: overwrite replaces only the partitions present
+            # in the written data — untouched buckets stay as-is on disk
+            prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            self._writer(
+                merged.repartition(max(len(touched), 1), F.col(SALT_COL))
+                .sortWithinPartitions(SALT_COL, self.key_col)
+            ).mode("overwrite").save(self.path)
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            self.refresh()
+            return self
+
+    # ------------------------------------------------------ lifecycle lock
+    LOCK_FILE = "_wd_lock"
+
+    def _lifecycle_lock(self, verb: str):
+        """Mutual exclusion between lifecycle verbs (expire / compact /
+        rebucket / cluster / upsert_rows): each acquires the
+        ``_wd_lock`` sentinel via atomic create-if-absent before
+        touching files. Two verbs interleaving would race the same
+        delete/stage/rename swaps and can strand or lose files — the
+        failure the per-verb docstrings previously only warned about.
+        The sentinel names the holder; a crashed holder leaves it
+        behind by design (a lock that auto-expires can't protect a
+        stalled-but-alive job) — the error message says what to delete
+        after verifying the holder is dead. Underscore prefix keeps it
+        invisible to table scans, like the metadata file."""
+        import contextlib
+
+        table = self
+
+        @contextlib.contextmanager
+        def _lock():
+            fs = Fs(table.spark, table.path)
+            base = table.path.rstrip("/")
+            if not fs.exists(base + "/" + META_FILE):
+                # no live table here (e.g. moved aside by a crashed
+                # swap): creating the sentinel would RECREATE the base
+                # dir and mask the verb's orphaned-.old refusal — run
+                # unlocked and let that refusal speak
+                yield
+                return
+            lock = base + "/" + table.LOCK_FILE
+            holder = json.dumps({"verb": verb, "pid": os.getpid()})
+            if not fs.create_atomic(lock, holder):
+                try:
+                    who = fs.read_text(lock)
+                except Exception:
+                    who = "<unreadable>"
+                raise RuntimeError(
+                    f"{verb}(): another lifecycle operation holds {lock} "
+                    f"({who}); if that holder crashed, verify it is dead "
+                    f"and delete the sentinel"
+                )
+            try:
+                yield
+            finally:
+                fs.delete(lock)
+
+        return _lock()
 
     # ------------------------------------------------------- zone map index
     ZONE_MAP_DIR = "_zone_maps"
@@ -666,82 +716,83 @@ class SaltedTable:
         ``{files_dropped, files_rewritten, files_kept, rows_dropped}``."""
         if before is None:
             raise ValueError("expire() requires a cutoff key")
-        fs = Fs(self.spark, self.path)
-        zones = self._zone_rows(self.key_col)
-        # zone lo/hi are min/max over NON-NULL keys: a null key has no
-        # age, so null-keyed rows must survive every path. A file whose
-        # keys are all null ((None, None) bounds) is kept untouched; a
-        # file wholly below the cutoff takes the metadata-only delete
-        # ONLY when its zone row proves it holds no nulls (n_nulls == 0)
-        # — otherwise it joins the rewrite set, where the isNull
-        # disjunct preserves the null-keyed rows
-        drop = [
-            r
-            for r in zones
-            if r.hi is not None and r.hi < before and r.n_nulls == 0
-        ]
-        boundary = [
-            r
-            for r in zones
-            if r.lo is not None
-            and (
-                (r.lo < before <= r.hi)
-                or (r.hi < before and r.n_nulls > 0)
-            )
-        ]
-        stats = {
-            "files_dropped": len(drop),
-            "files_rewritten": len(boundary),
-            "files_kept": len(zones) - len(drop) - len(boundary),
-            "rows_dropped": sum(r.n_rows for r in drop),
-        }
-        stage = self.path.rstrip("/") + "/.expire_stage"
-        if boundary:
-            kept = (
-                self._reader(base_path=self.path)
-                .load([r.file for r in boundary])
-                .where(
-                    (F.col(self.key_col) >= F.lit(before))
-                    | F.col(self.key_col).isNull()
+        with self._lifecycle_lock("expire"):
+            fs = Fs(self.spark, self.path)
+            zones = self._zone_rows(self.key_col)
+            # zone lo/hi are min/max over NON-NULL keys: a null key has no
+            # age, so null-keyed rows must survive every path. A file whose
+            # keys are all null ((None, None) bounds) is kept untouched; a
+            # file wholly below the cutoff takes the metadata-only delete
+            # ONLY when its zone row proves it holds no nulls (n_nulls == 0)
+            # — otherwise it joins the rewrite set, where the isNull
+            # disjunct preserves the null-keyed rows
+            drop = [
+                r
+                for r in zones
+                if r.hi is not None and r.hi < before and r.n_nulls == 0
+            ]
+            boundary = [
+                r
+                for r in zones
+                if r.lo is not None
+                and (
+                    (r.lo < before <= r.hi)
+                    or (r.hi < before and r.n_nulls > 0)
                 )
-            )
-            fs.delete(stage, recursive=True)
-            self._writer(
-                kept.repartition(max(len(boundary), 1), F.col(SALT_COL))
-                .sortWithinPartitions(SALT_COL, self.key_col)
-            ).mode("overwrite").save(stage)
-            # _reader, not a bare format read: csv needs header=true +
-            # the persisted schema or header lines count as data rows
-            staged_rows = self._reader(base_path=stage).load(stage).count()
-            stats["rows_dropped"] += sum(r.n_rows for r in boundary) - staged_rows
-        # originals go away only after the staged replacements are fully
-        # written (crash between these steps loses no surviving row —
-        # the stage dir is hidden from table scans and can be re-merged)
-        for r in drop + boundary:
-            fs.delete(r.file)
-        if boundary:
-            base = self.path.rstrip("/")
-            failed = []
-            for staged in fs.glob(f"{stage}/{SALT_COL}=*/*"):
-                name = staged.rsplit("/", 1)[1]
-                if name.startswith((".", "_")):
-                    continue
-                salt_dir = staged.rsplit("/", 2)[1]  # "salt=K"
-                dest = f"{base}/{salt_dir}/{name}"
-                if not fs.rename(staged, dest):
-                    failed.append((staged, dest))
-            if failed:
-                # surviving rows still live in the stage dir — leave it
-                # on disk for manual recovery rather than deleting it
-                self.refresh()
-                raise IOError(
-                    f"expire(): {len(failed)} staged replacement(s) failed to "
-                    f"rename (first: {failed[0][0]} -> {failed[0][1]}); the "
-                    f"stage dir {stage} is preserved with the surviving rows"
+            ]
+            stats = {
+                "files_dropped": len(drop),
+                "files_rewritten": len(boundary),
+                "files_kept": len(zones) - len(drop) - len(boundary),
+                "rows_dropped": sum(r.n_rows for r in drop),
+            }
+            stage = self.path.rstrip("/") + "/.expire_stage"
+            if boundary:
+                kept = (
+                    self._reader(base_path=self.path)
+                    .load([r.file for r in boundary])
+                    .where(
+                        (F.col(self.key_col) >= F.lit(before))
+                        | F.col(self.key_col).isNull()
+                    )
                 )
-            fs.delete(stage, recursive=True)
-        self.refresh()
-        return stats
+                fs.delete(stage, recursive=True)
+                self._writer(
+                    kept.repartition(max(len(boundary), 1), F.col(SALT_COL))
+                    .sortWithinPartitions(SALT_COL, self.key_col)
+                ).mode("overwrite").save(stage)
+                # _reader, not a bare format read: csv needs header=true +
+                # the persisted schema or header lines count as data rows
+                staged_rows = self._reader(base_path=stage).load(stage).count()
+                stats["rows_dropped"] += sum(r.n_rows for r in boundary) - staged_rows
+            # originals go away only after the staged replacements are fully
+            # written (crash between these steps loses no surviving row —
+            # the stage dir is hidden from table scans and can be re-merged)
+            for r in drop + boundary:
+                fs.delete(r.file)
+            if boundary:
+                base = self.path.rstrip("/")
+                failed = []
+                for staged in fs.glob(f"{stage}/{SALT_COL}=*/*"):
+                    name = staged.rsplit("/", 1)[1]
+                    if name.startswith((".", "_")):
+                        continue
+                    salt_dir = staged.rsplit("/", 2)[1]  # "salt=K"
+                    dest = f"{base}/{salt_dir}/{name}"
+                    if not fs.rename(staged, dest):
+                        failed.append((staged, dest))
+                if failed:
+                    # surviving rows still live in the stage dir — leave it
+                    # on disk for manual recovery rather than deleting it
+                    self.refresh()
+                    raise IOError(
+                        f"expire(): {len(failed)} staged replacement(s) failed to "
+                        f"rename (first: {failed[0][0]} -> {failed[0][1]}); the "
+                        f"stage dir {stage} is preserved with the surviving rows"
+                    )
+                fs.delete(stage, recursive=True)
+            self.refresh()
+            return stats
 
     def scanner(self, start: Any = None, stop: Any = None) -> Iterator:
         """ResultScanner-style incremental pull: a driver-side k-way
@@ -1432,28 +1483,32 @@ def _staged_rewrite(table: SaltedTable, staged, op: str) -> SaltedTable:
     only copy, stage the rewrite into a sibling dir, carry the table
     metadata and the key->salt index (no row crosses a salt
     partition, so the index mapping survives), aside-rename swap, and
-    restamp the index watermark against the new data files."""
-    fs = Fs(table.spark, table.path)
-    base = table.path.rstrip("/")
-    _refuse_orphaned_old(fs, base, op)
-    tmp = f"{base}.{op}_tmp"
-    fs.delete(tmp, recursive=True)
-    table._writer(staged).mode("overwrite").save(tmp)
-    fs.copy(base + "/" + META_FILE, tmp + "/" + META_FILE)
-    idx_src = base + "/" + SaltedTable.KEY_INDEX_DIR
-    if fs.is_dir(idx_src):
-        fs.copy(idx_src, tmp + "/" + SaltedTable.KEY_INDEX_DIR)
-    _swap_table_dirs(fs, tmp, base, op)
-    table.refresh()
-    # the rewrite replaced the data files: restamp the index watermark
-    # (the mapping itself is unchanged) so indexed gets stay fast
-    idx_dir = base + "/" + SaltedTable.KEY_INDEX_DIR
-    if fs.is_dir(idx_dir):
-        fs.write_text(
-            idx_dir + "/" + SaltedTable.INDEX_META_FILE,
-            json.dumps({"data_sig": table._data_signature(fs)}),
-        )
-    return table
+    restamp the index watermark against the new data files. Runs under
+    the table lifecycle lock (``_wd_lock``) so two verbs can't
+    interleave the swap."""
+    with table._lifecycle_lock(op):
+        fs = Fs(table.spark, table.path)
+        base = table.path.rstrip("/")
+        _refuse_orphaned_old(fs, base, op)
+        tmp = f"{base}.{op}_tmp"
+        fs.delete(tmp, recursive=True)
+        table._writer(staged).mode("overwrite").save(tmp)
+        fs.copy(base + "/" + META_FILE, tmp + "/" + META_FILE)
+        idx_src = base + "/" + SaltedTable.KEY_INDEX_DIR
+        if fs.is_dir(idx_src):
+            fs.copy(idx_src, tmp + "/" + SaltedTable.KEY_INDEX_DIR)
+        _swap_table_dirs(fs, tmp, base, op)
+        table.refresh()
+        # the rewrite replaced the data files: restamp the index
+        # watermark (the mapping itself is unchanged) so indexed gets
+        # stay fast
+        idx_dir = base + "/" + SaltedTable.KEY_INDEX_DIR
+        if fs.is_dir(idx_dir):
+            fs.write_text(
+                idx_dir + "/" + SaltedTable.INDEX_META_FILE,
+                json.dumps({"data_sig": table._data_signature(fs)}),
+            )
+        return table
 
 
 def cluster(
@@ -1513,18 +1568,19 @@ def rebucket(table: SaltedTable, new_distributor: KeyDistributor) -> SaltedTable
     by construction); rebuild after if round-robin point gets matter.
     Not reader-atomic during the final swap — same contract as
     compact()."""
-    fs = Fs(table.spark, table.path)
-    base = table.path.rstrip("/")
-    _refuse_orphaned_old(fs, base, "rebucket")
-    tmp = base + ".rebucket_tmp"
-    fs.delete(tmp, recursive=True)
-    data = table.df().drop(SALT_COL)
-    staged = SaltedTable.write(
-        data, tmp, new_distributor, table.key_col, fmt=table.fmt
-    )
-    del staged  # metadata already written into tmp by write()
-    _swap_table_dirs(fs, tmp, base, "rebucket")
-    return SaltedTable.load(table.spark, base)
+    with table._lifecycle_lock("rebucket"):
+        fs = Fs(table.spark, table.path)
+        base = table.path.rstrip("/")
+        _refuse_orphaned_old(fs, base, "rebucket")
+        tmp = base + ".rebucket_tmp"
+        fs.delete(tmp, recursive=True)
+        data = table.df().drop(SALT_COL)
+        staged = SaltedTable.write(
+            data, tmp, new_distributor, table.key_col, fmt=table.fmt
+        )
+        del staged  # metadata already written into tmp by write()
+        _swap_table_dirs(fs, tmp, base, "rebucket")
+        return SaltedTable.load(table.spark, base)
 
 
 def _refuse_orphaned_old(fs: Fs, base: str, op: str) -> None:
