@@ -159,6 +159,13 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="write per-query results in the driver's CORRECTNESS_r*.json "
+        "schema (rows/schema/hash match booleans) — the committed "
+        "SELFCHECK_r*.json full-surface attestation (VERDICT r5 #8)",
+    )
     args = ap.parse_args()
 
     from hbasewd_spark.session import get_spark
@@ -172,6 +179,7 @@ def main() -> int:
     only = set(args.only.split(",")) if args.only else None
 
     n_fail = n_rows_only = n_ran = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -184,10 +192,19 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark side raised: {e}")
             n_fail += 1
+            results[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark: {e}"[:300],
+            }
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(spark_pdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
+            results[name] = {
+                "rows_match": True, "schema_match": None, "hash_match": None,
+                "spark_rows": len(spark_pdf), "oracle_rows": None, "err": None,
+            }
             continue
         try:
             duck_rel = con.sql(oracles[name])
@@ -196,9 +213,24 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: duckdb oracle raised: {e}")
             n_fail += 1
+            results[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(spark_pdf), "oracle_rows": None,
+                "err": f"duckdb: {e}"[:300],
+            }
             continue
-        errs = compare_types(spark_dtypes, duck_cols, duck_types)
-        errs += compare(name, spark_pdf, duck_pdf)
+        type_errs = compare_types(spark_dtypes, duck_cols, duck_types)
+        val_errs = compare(name, spark_pdf, duck_pdf)
+        errs = type_errs + val_errs
+        results[name] = {
+            "rows_match": len(spark_pdf) == len(duck_pdf),
+            "schema_match": not type_errs
+            and sorted(spark_pdf.columns) == sorted(duck_pdf.columns),
+            "hash_match": not errs,
+            "spark_rows": len(spark_pdf),
+            "oracle_rows": len(duck_pdf),
+            "err": "; ".join(errs)[:300] or None,
+        }
         if errs:
             n_fail += 1
             print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
@@ -212,6 +244,12 @@ def main() -> int:
         f"\n{n_ran} ran (of {len(qs)} registered), "
         f"{n_fail} failed, {n_rows_only} rows-only"
     )
+    if args.json:
+        import json as _json
+
+        with open(args.json, "w") as f:
+            _json.dump(results, f, indent=1, sort_keys=True)
+        print(f"wrote {args.json}: {len(results)} queries")
     return 1 if n_fail else 0
 
 
