@@ -834,7 +834,28 @@ class SaltedTable:
 
     # ------------------------------------------- exchange-free ordered scan
     MERGED_SCAN_CHUNK_ROWS = 1 << 16
-    MERGED_SCAN_TARGET_ROWS = 1 << 19  # ~rows per merge shard
+    MERGED_SCAN_TARGET_ROWS = 1 << 19  # ~rows per merge shard at scale
+    MERGED_SCAN_MIN_ROWS = 1 << 15  # below this, a shard isn't worth a task
+
+    @classmethod
+    def _merged_shard_count(cls, est_rows: float, parallelism: int) -> int:
+        """Auto shard count from the estimated in-range rows: fan out
+        to the session's cores as soon as each shard clears
+        MERGED_SCAN_MIN_ROWS (a sub-32k-row shard is footer/decode
+        overhead, not parallelism), and past cores×TARGET keep shards
+        at ~TARGET rows — at 100 TB that yields thousands of shards,
+        which the scheduler absorbs like any scan. The r5 formula
+        (est // TARGET + 1, capped by file count) kept ANY local-bench
+        range on one task; measured at sf10 (320k in-range rows) the
+        fan-out is wall-neutral — per-query fixed costs dominate there,
+        the raw merge being 0.2 s of the 1.9 s total (SCALE.md, round-6
+        file geometry) — but a single task is an OOM ceiling at real
+        range sizes, which is what the floor removes."""
+        return max(
+            1,
+            min(parallelism, int(est_rows // cls.MERGED_SCAN_MIN_ROWS) + 1),
+            int(est_rows // cls.MERGED_SCAN_TARGET_ROWS) + 1,
+        )
 
     @staticmethod
     def _key_axis(v):
@@ -980,13 +1001,10 @@ class SaltedTable:
             n_shards = shards
         else:
             # shard count follows the ESTIMATED IN-RANGE row volume
-            # (zone-map interpolation), not the core count: every
-            # (shard x file) pairing is a footer read + row-group
-            # decode, and parquet row groups are the real pruning
-            # granularity — sharding a small range across 32 tasks
-            # re-reads the same row groups 32x (measured 1.2x SLOWER
-            # than the exchange sort at sf10; right-sized it wins).
-            # At 100 TB the same formula yields thousands of shards.
+            # (zone-map interpolation) via _merged_shard_count — tiny
+            # ranges stay on one task (every (shard x file) pairing is
+            # a footer read + row-group decode), core-scale ranges fan
+            # out, 100-TB ranges yield thousands of ~TARGET-row shards.
             est = 0.0
             for r in in_range:
                 frac = 1.0
@@ -999,13 +1017,8 @@ class SaltedTable:
                 except TypeError:
                     pass  # non-arithmetic key (string): whole file
                 est += r.n_rows * frac
-            n_shards = max(
-                1,
-                min(
-                    int(est // self.MERGED_SCAN_TARGET_ROWS) + 1,
-                    len(in_range),
-                    spark.sparkContext.defaultParallelism,
-                ),
+            n_shards = self._merged_shard_count(
+                est, spark.sparkContext.defaultParallelism
             )
         # row-balanced boundaries. Two file geometries exist:
         #   * compacted/range-partitioned layouts: files hold DISJOINT
@@ -1137,13 +1150,8 @@ class SaltedTable:
             return spark.createDataFrame(
                 [], f"shard_id int, lo {key_type}, hi {key_type}, files array<string>"
             )
-        n_shards = shards or max(
-            1,
-            min(
-                int(tot_row.tot // self.MERGED_SCAN_TARGET_ROWS) + 1,
-                int(tot_row.nf),
-                spark.sparkContext.defaultParallelism,
-            ),
+        n_shards = shards or self._merged_shard_count(
+            tot_row.tot, spark.sparkContext.defaultParallelism
         )
 
         # job 2: O(#shards) driver — quantile boundaries over

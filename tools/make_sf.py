@@ -141,14 +141,25 @@ def main() -> None:
         writer = u.write.mode("overwrite")
         if args.target_file_mb:
             est = src_bytes(t) * args.factor
-            n_files = max(1, round(est / (args.target_file_mb * (1 << 20))))
+            # file count: target-sized files, FLOORED at one file per
+            # local core (unless the table is truly tiny). A production
+            # lake reaches core-count splits naturally (thousands of
+            # files); a miniature that packs a main table into one
+            # 59 MB file serializes every scan of it onto one task and
+            # adds a full-text repartition shuffle the real layout
+            # never pays (measured 5-8x on doc-heavy queries at sf10).
+            cores = spark.sparkContext.defaultParallelism
+            n_files = max(
+                round(est / (args.target_file_mb * (1 << 20))),
+                min(cores, max(1, est // (256 << 10))),
+                1,
+            )
             u = u.repartition(n_files)
-            # ~16 row groups per file: row groups are BOTH the intra-
-            # file stat-pruning granularity and the smallest unit a
-            # byte-range split can actually decode — a 128 MB file
-            # holding ONE row group collapses every scan of it to a
-            # single task no matter how many splits Spark plans
-            # (measured 8x on doc-heavy queries at sf10)
+            # multiple row groups per file: row groups are BOTH the
+            # intra-file stat-pruning granularity and the smallest unit
+            # a byte-range split can decode — a file holding ONE giant
+            # row group collapses to a single task no matter how many
+            # splits Spark plans
             writer = u.write.mode("overwrite").option(
                 "parquet.block.size", max(1 << 20, (args.target_file_mb << 20) // 16)
             )
