@@ -466,6 +466,7 @@ class SaltedTable:
             ).mode("overwrite").save(self.path)
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
             self.refresh()
+            self.rebuild_zone_maps()
             return self
 
     # ------------------------------------------------------ lifecycle lock
@@ -548,6 +549,26 @@ class SaltedTable:
 
     def _zone_dir(self, col: str) -> str:
         return f"{self.path.rstrip('/')}/{self.ZONE_MAP_DIR}/{col}"
+
+    def rebuild_zone_maps(self) -> list[str]:
+        """Rebuild every persisted zone-map sidecar against the current
+        data files; returns the rebuilt column names. Lifecycle verbs
+        call this after mutating files: the watermark already makes a
+        stale sidecar SAFE (it is bypassed, never trusted), but bypass
+        means every later scan pays a live zone scan of the column —
+        silent O(data) planning where the operator had paid for
+        O(index). One column-pruned scan per sidecar, the same cost the
+        original build paid."""
+        fs = Fs(self.spark, self.path)
+        zm_root = f"{self.path.rstrip('/')}/{self.ZONE_MAP_DIR}"
+        cols = [
+            d.rsplit("/", 1)[1]
+            for d in fs.glob(f"{zm_root}/*")
+            if fs.is_dir(d)
+        ]
+        for c in cols:
+            self.build_zone_map(c)
+        return cols
 
     def _zone_sidecar_df(self, col: str) -> DataFrame | None:
         """The persisted zone-map sidecar for ``col`` as a (lazy)
@@ -792,6 +813,7 @@ class SaltedTable:
                     )
                 fs.delete(stage, recursive=True)
             self.refresh()
+            self.rebuild_zone_maps()
             return stats
 
     def scanner(self, start: Any = None, stop: Any = None) -> Iterator:
@@ -1505,6 +1527,11 @@ def _staged_rewrite(table: SaltedTable, staged, op: str) -> SaltedTable:
         idx_src = base + "/" + SaltedTable.KEY_INDEX_DIR
         if fs.is_dir(idx_src):
             fs.copy(idx_src, tmp + "/" + SaltedTable.KEY_INDEX_DIR)
+        zm_src = base + "/" + SaltedTable.ZONE_MAP_DIR
+        if fs.is_dir(zm_src):
+            # carried stale (wrong file paths), then rebuilt below —
+            # carrying it is what tells rebuild WHICH columns to index
+            fs.copy(zm_src, tmp + "/" + SaltedTable.ZONE_MAP_DIR)
         _swap_table_dirs(fs, tmp, base, op)
         table.refresh()
         # the rewrite replaced the data files: restamp the index
@@ -1516,6 +1543,7 @@ def _staged_rewrite(table: SaltedTable, staged, op: str) -> SaltedTable:
                 idx_dir + "/" + SaltedTable.INDEX_META_FILE,
                 json.dumps({"data_sig": table._data_signature(fs)}),
             )
+        table.rebuild_zone_maps()
         return table
 
 

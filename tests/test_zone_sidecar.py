@@ -59,9 +59,13 @@ def test_stale_zone_sidecar_is_bypassed_after_append(spark, kv, tmp_path):
 
 
 def test_expire_uses_and_survives_zone_sidecar(spark, kv, tmp_path):
-    """expire() planning runs off the sidecar when fresh; after the
-    expiry rewrites files, the sidecar is stale and later calls fall
-    back to live computation with correct results."""
+    """expire() planning runs off the sidecar when fresh; since round 6
+    the verb REBUILDS the sidecar after rewriting files (a bypassed
+    stale sidecar is safe but silently demotes every later scan to
+    O(data) planning), so the second expiry plans off a fresh sidecar
+    again — watermark asserted, not just counts."""
+    import json as _json
+
     t = SaltedTable.write(
         kv, str(tmp_path / "zmexp"), HashDistributor(8), "key_long",
         zone_map_cols=["key_long"],
@@ -70,10 +74,48 @@ def test_expire_uses_and_survives_zone_sidecar(spark, kv, tmp_path):
     want = expected_in_range(500, 10**9)
     assert t.df().count() == want
     assert stats["rows_dropped"] == 500 - want
-    # second expiry plans from live zone rows (sidecar now stale)
+    fs = Fs(spark, t.path)
+    meta = _json.loads(
+        fs.read_text(f"{t.path}/_zone_maps/key_long/_zone_meta.json")
+    )
+    assert meta["data_sig"] == t._data_signature(fs)  # rebuilt fresh
     stats2 = t.expire(KEY_PREFIX + 700)
     assert t.df().count() == expected_in_range(700, 10**9)
     assert stats2["rows_dropped"] == want - expected_in_range(700, 10**9)
+
+
+def test_compact_and_upsert_keep_sidecars_fresh(spark, kv, tmp_path):
+    """compact() carries the sidecar dir through the swap and rebuilds
+    it against the new files; upsert_rows() rebuilds in place. Both
+    asserted via the watermark matching the post-verb data signature."""
+    import json as _json
+
+    from hbasewd_spark.sources.salted_table import compact
+
+    t = SaltedTable.write(
+        kv, str(tmp_path / "zmlc"), HashDistributor(4), "key_long",
+        zone_map_cols=["key_long", "val"],
+    )
+    fs = Fs(spark, t.path)
+
+    def sig_matches(col):
+        meta = _json.loads(
+            fs.read_text(f"{t.path}/_zone_maps/{col}/_zone_meta.json")
+        )
+        return meta["data_sig"] == t._data_signature(fs)
+
+    compact(t)
+    assert sig_matches("key_long") and sig_matches("val")
+    t.upsert_rows(
+        spark.createDataFrame(
+            [(b"\x00", KEY_PREFIX + 5, 999, 1)],
+            "key binary, key_long long, val int, write_seq long",
+        )
+    )
+    assert sig_matches("key_long") and sig_matches("val")
+    # and the fresh sidecar actually serves a correct pruned scan
+    n = t.pruned_scan("key_long", KEY_PREFIX + 100, KEY_PREFIX + 200).count()
+    assert n == expected_in_range(100, 199)
 
 
 def test_build_zone_map_refreshes_after_change(spark, kv, tmp_path):
