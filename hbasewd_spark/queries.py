@@ -425,6 +425,48 @@ def p6_count_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _P6_SQL)
 
 
+_P6B_SQL = f"""
+SELECT count(*) AS n_range
+FROM events WHERE ts >= {_TS_LO} AND ts < {_TS_HI}
+"""
+
+
+@q(
+    "p6b_metadata_count_range",
+    _P6B_SQL,
+    "P6 count served from zone-map METADATA (SaltedTable.fast_count): "
+    "files wholly inside the range contribute their sidecar row count "
+    "with zero I/O — the reference's lean on per-region metadata — and "
+    "only boundary-straddling files are scanned. The oracle counts the "
+    "same range the slow way; the two must agree exactly.",
+)
+def p6b_metadata_count_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbasewd_spark.plans.distributor import Hash31Distributor
+    from hbasewd_spark.sources.salted_table import SaltedTable
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL '12' HOUR")).alias("lo"),
+        (F.min("ts") + F.expr("INTERVAL '36' HOUR")).alias("hi"),
+    ).collect()[0]
+
+    class _EventDist(Hash31Distributor):
+        def salt_expr(self, key):
+            return self.salt_expr_long(key)
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "hbasewd_cache",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "events_salted_fastcount",
+    )
+    t = SaltedTable.write(
+        ev, path, _EventDist(H31_BUCKETS), "ts", zone_map_cols=["ts"]
+    )
+    n = t.fast_count(bounds.lo, bounds.hi)
+    return spark.createDataFrame([(n,)], "n_range long")
+
+
 _P7_SQL = """
 SELECT rn, event_id, event_type, value FROM (
   SELECT row_number() OVER (ORDER BY event_id) AS rn,

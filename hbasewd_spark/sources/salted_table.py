@@ -1479,6 +1479,57 @@ class SaltedTable:
         buckets × parquet row-groups, scheduled natively."""
         return self.scan(start, stop, ordered=False)
 
+    def fast_count(self, start: Any = None, stop: Any = None) -> int:
+        """Range count served from the zone map: files whose key zone
+        lies WHOLLY inside ``[start, stop)`` contribute their stored
+        row count with zero I/O (the analogue of the reference relying
+        on per-region metadata instead of scanning); only the files
+        straddling a boundary are actually counted, with the range
+        predicate pruned to their row groups. Rows with NULL keys never
+        match a range predicate, so a wholly-inside file contributes
+        ``n_rows - n_nulls`` — except on the fully-unbounded call,
+        where ``scan`` applies no predicate at all and null-keyed rows
+        count too (exact ``scan().count()`` parity either way).
+
+        At 100 TB with key-sorted salted files, a retention-window
+        count touches ~2 files per bucket for real I/O; everything else
+        is sidecar metadata. An unbounded ``fast_count()`` is pure
+        metadata. Exact-equal to ``scan(start, stop).count()`` by
+        construction (oracle-gated in tests)."""
+        zones = self._zone_rows(self.key_col)
+        unbounded = start is None and stop is None
+        total = 0
+        boundary: list = []
+        for r in zones:
+            if r.lo is None:  # all-null file: no key matches a range
+                if unbounded:
+                    total += r.n_rows
+                continue
+            if unbounded:
+                total += r.n_rows
+                continue
+            lo_in = start is None or r.lo >= start
+            hi_in = stop is None or r.hi < stop
+            overlaps = (stop is None or r.lo < stop) and (
+                start is None or r.hi >= start
+            )
+            if not overlaps:
+                continue
+            if lo_in and hi_in:
+                total += r.n_rows - (r.n_nulls or 0)
+            else:
+                boundary.append(r.file)
+        if unbounded:
+            return total
+        if boundary:
+            total += (
+                self._reader(base_path=self.path)
+                .load(boundary)
+                .where(range_predicate(self.key_col, start, stop))
+                .count()
+            )
+        return total
+
 
 def compact(table: SaltedTable, target_files_per_salt: int = 1) -> SaltedTable:
     """Compact a salted table in place-ish: streaming ingest appends one

@@ -136,3 +136,31 @@ def test_build_zone_map_refreshes_after_change(spark, kv, tmp_path):
     assert meta["data_sig"] == t._data_signature(fs)
     n = t.pruned_scan("key_long", KEY_PREFIX + 300, KEY_PREFIX + 400).count()
     assert n == expected_in_range(300, 399)
+
+
+def test_fast_count_matches_scan_count(spark, kv, tmp_path):
+    """fast_count == scan().count() for bounded / unbounded / empty /
+    single-point ranges, including with NULL keys in the table (nulls
+    never match a range predicate; wholly-inside files contribute
+    n_rows - n_nulls from pure metadata)."""
+    t = SaltedTable.write(
+        kv, str(tmp_path / "fc"), HashDistributor(8), "key_long",
+        zone_map_cols=["key_long"],
+    )
+    cases = [
+        (None, None),
+        (KEY_PREFIX + 100, KEY_PREFIX + 900),
+        (KEY_PREFIX + 499, KEY_PREFIX + 500),
+        (KEY_PREFIX + 10**9, KEY_PREFIX + 2 * 10**9),  # empty
+        (None, KEY_PREFIX + 250),
+        (KEY_PREFIX + 750, None),
+    ]
+    for lo, hi in cases:
+        assert t.fast_count(lo, hi) == t.scan(lo, hi, ordered=False).count(), (lo, hi)
+
+    df = spark.createDataFrame(
+        [(i if i % 5 else None, f"v{i}") for i in range(200)], "k long, v string"
+    )
+    tn = SaltedTable.write(df, str(tmp_path / "fcn"), HashDistributor(4), "k")
+    for lo, hi in [(None, None), (50, 150), (0, 1)]:
+        assert tn.fast_count(lo, hi) == tn.scan(lo, hi, ordered=False).count(), (lo, hi)
