@@ -159,6 +159,10 @@ def main() -> None:
     # 4. unordered parallel read + count (P6, WdTableInputFormat parity)
     timed("parallel_count", lambda: tbl.parallel_read(start=bounds.lo).count())
 
+    # 4b. the same count served from zone-map metadata (fast_count):
+    # wholly-inside files contribute sidecar counts with zero I/O
+    timed("metadata_count", lambda: tbl.fast_count(bounds.lo, bounds.hi))
+
     # 5-8. relational pillars
     timed("q1_pricing", lambda: R.q1_pricing_summary(spark, SF_DIR).collect())
     timed("q5_star_join", lambda: R.join_multiway_region_revenue(spark, SF_DIR).collect())
