@@ -1254,10 +1254,12 @@ class SaltedTable:
         at write) with tight row-group stats — and plans on the key
         zone map instead:
 
-        1. DRIVER (O(#files) metadata, the reference's client-side scan
-           planning cost class): intersect per-file [lo, hi] with the
-           request, pick row-balanced shard boundaries from the
-           cumulative file row counts.
+        1. PLAN (driver by default — the reference's client-side scan
+           planning cost class — or a small Spark job over the zone
+           relation, see ``plan`` below): intersect per-file [lo, hi]
+           with the request and cut row-balanced shard boundaries at
+           the quantiles of the per-file uniform-density mixture over
+           the clipped overlaps.
         2. A |shards|-row descriptor relation (shard key range + the
            files that intersect it) is range-partitioned by shard id —
            the only Exchange in the plan, moving kilobytes.

@@ -227,6 +227,35 @@ def test_spark_planning_holds_only_shards_on_the_driver(spark):
             assert 1000 <= r.lo < r.hi <= 90_000
 
 
+def test_auto_plan_routes_to_spark_past_threshold(spark, kv, tmp_path, monkeypatch):
+    """plan='auto' switches to Spark planning when the FRESH sidecar
+    reports more files than the driver threshold — exercised end to end
+    on a real table by patching the threshold under the table's file
+    count, with the driver zone collect booby-trapped to prove which
+    path ran. Without a sidecar, auto stays on the driver path."""
+    path = str(tmp_path / "auto")
+    t = SaltedTable.write(
+        kv, path, HashDistributor(8), "key_long", zone_map_cols=["key_long"]
+    )
+    monkeypatch.setattr(SaltedTable, "ZONE_MAP_DRIVER_WARN_FILES", 4)
+    ref = t.scan(
+        start=KEY_PREFIX + 100, stop=KEY_PREFIX + 900, ordered=True
+    ).collect()
+
+    def boom(col):
+        raise AssertionError("auto planning collected zone rows on the driver")
+
+    t._zone_rows = boom
+    got = t.scan_merged(start=KEY_PREFIX + 100, stop=KEY_PREFIX + 900).collect()
+    assert [r.key_long for r in got] == [r.key_long for r in ref]
+
+    # no sidecar -> auto must fall back to driver planning (and the
+    # booby trap above would fire if it didn't collect)
+    t2 = SaltedTable.write(kv, str(tmp_path / "auto2"), HashDistributor(8), "key_long")
+    got2 = t2.scan_merged(start=KEY_PREFIX + 100, stop=KEY_PREFIX + 900).collect()
+    assert [r.key_long for r in got2] == [r.key_long for r in ref]
+
+
 def test_merged_null_keys_are_excluded_by_contract(spark, tmp_path):
     df = spark.createDataFrame(
         [(i if i % 7 else None, f"v{i}") for i in range(50)],
