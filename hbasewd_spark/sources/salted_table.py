@@ -1313,6 +1313,10 @@ class SaltedTable:
         read_cols = [f.name for f in out_schema.fields]
         key_col = self.key_col
         sort_cols = [key_col] + [c for c in (tiebreak or []) if c != key_col]
+        # the merge always needs the key (and tiebreaks) even when the
+        # caller's projection drops them: read them, project them away
+        # after the in-task sort
+        file_cols = read_cols + [c for c in sort_cols if c not in read_cols]
         spark = self.spark
         key_type = data_schema[key_col].dataType.simpleString()
         key_is_int = data_schema[key_col].dataType.typeName() in (
@@ -1388,7 +1392,7 @@ class SaltedTable:
                         if hi is not None:
                             filters.append((key_col, "<", hi))
                     t = pq.read_table(
-                        path, columns=read_cols, filters=filters or None
+                        path, columns=file_cols, filters=filters or None
                     )
                     # null keys are excluded by contract; drop them
                     # IN ARROW — through to_pandas an int64 key

@@ -51,6 +51,22 @@ def test_merged_unbounded_and_column_pruned(kv_table):
     assert got[0].__fields__ == ["key_long"]
 
 
+def test_merged_projection_excluding_the_key(kv_table):
+    """columns= that drops the key still merges in key order: the key
+    (and tiebreaks) are read internally for the sort and projected away
+    before the output (round-6 fix: this crashed in the worker)."""
+    got = kv_table.scan_merged(
+        start=KEY_PREFIX + 100, stop=KEY_PREFIX + 200, columns=["val"]
+    ).collect()
+    ref = (
+        kv_table.scan(start=KEY_PREFIX + 100, stop=KEY_PREFIX + 200, ordered=True)
+        .select("val")
+        .collect()
+    )
+    assert [r.val for r in got] == [r.val for r in ref]
+    assert got[0].__fields__ == ["val"]
+
+
 def test_merged_empty_range_returns_empty_with_schema(kv_table):
     out = kv_table.scan_merged(start=KEY_PREFIX + 10**9, stop=KEY_PREFIX + 2 * 10**9)
     assert out.count() == 0
