@@ -1307,6 +1307,13 @@ class SaltedTable:
         )
         out_fields = [f for f in data_schema.fields]
         if columns:
+            known = {f.name for f in out_fields}
+            missing = [c for c in columns if c not in known]
+            if missing:
+                raise ValueError(
+                    f"scan_merged: unknown column(s) {missing}; table has "
+                    f"{sorted(known)}"
+                )
             keep = set(columns)
             out_fields = [f for f in out_fields if f.name in keep]
         out_schema = StructType(out_fields)
