@@ -1341,12 +1341,26 @@ class SaltedTable:
             return spark.createDataFrame([], out_schema)
 
         chunk = self.MERGED_SCAN_CHUNK_ROWS
-        # mapInPandas hands timestamps to Python as SESSION-naive; the
-        # parquet field may carry any tz. Capture the session zone on
-        # the driver so norm_bound localizes descriptor bounds through
-        # the right wall clock (a non-UTC session would otherwise shift
-        # every shard seam by the UTC offset).
+        # Timestamp semantics across the three boundaries (pinned by
+        # test_merged_timestamp_seams_under_non_utc_session):
+        #  * descriptor -> Python: Spark hands TimestampType naive in
+        #    the SESSION tz — capture it for norm_bound;
+        #  * file -> Python: Spark-written INT96/NTZ-annotated columns
+        #    arrive tz-NAIVE in pyarrow but hold UTC-normalized
+        #    instants for Spark's TimestampType;
+        #  * Python -> Spark: naive output is reinterpreted as SESSION
+        #    wall clock, so instant columns must leave tz-AWARE (UTC)
+        #    or every value shifts by the UTC offset off-UTC sessions.
+        # TimestampNTZType columns are wall clocks end to end and pass
+        # through untouched.
+        from pyspark.sql.types import TimestampType
+
         session_tz = spark.conf.get("spark.sql.session.timeZone")
+        key_is_instant = isinstance(data_schema[key_col].dataType, TimestampType)
+        instant_cols = [
+            f.name for f in out_schema.fields
+            if isinstance(f.dataType, TimestampType)
+        ]
 
         def merge_shards(batches):
             import pyarrow as pa
@@ -1356,19 +1370,21 @@ class SaltedTable:
             def norm_bound(v, field_type):
                 """Bound value -> the file column's exact comparison
                 domain: nullable descriptor ints arrive as float
-                (pandas NaN widening) and timestamps arrive
-                session-naive while the file field is tz-aware."""
+                (pandas NaN widening); instant (TimestampType) bounds
+                arrive session-naive while the file holds either
+                tz-aware values or naive UTC-normalized instants."""
                 if v is None or pd.isna(v):
                     return None
                 if key_is_int:
                     return int(v)
-                if pa.types.is_timestamp(field_type) and field_type.tz:
+                if key_is_instant:
                     ts = pd.Timestamp(v)
-                    return (
-                        ts.tz_localize(session_tz)
-                        if ts.tzinfo is None
-                        else ts
-                    ).tz_convert(field_type.tz)
+                    if ts.tzinfo is None:
+                        ts = ts.tz_localize(session_tz)
+                    if pa.types.is_timestamp(field_type) and field_type.tz:
+                        return ts.tz_convert(field_type.tz)
+                    # naive file values (INT96-class) are UTC instants
+                    return ts.tz_convert("UTC").tz_localize(None)
                 return v
 
             # The range partitioner may co-locate two descriptors in
@@ -1417,6 +1433,11 @@ class SaltedTable:
                 merged = merged.sort_values(
                     sort_cols, kind="stable", ignore_index=True
                 )[read_cols]
+                # instant columns must leave tz-aware: a naive value
+                # would be reinterpreted as SESSION wall clock
+                for c in instant_cols:
+                    if pd.api.types.is_datetime64_dtype(merged[c]):
+                        merged[c] = merged[c].dt.tz_localize("UTC")
                 for off in range(0, len(merged), chunk):
                     yield merged.iloc[off : off + chunk]
 

@@ -272,6 +272,39 @@ def test_auto_plan_routes_to_spark_past_threshold(spark, kv, tmp_path, monkeypat
     assert [r.key_long for r in got2] == [r.key_long for r in ref]
 
 
+def test_merged_timestamp_seams_under_non_utc_session(spark, sf_dir, tmp_path):
+    """ADVICE r5 lock: descriptor bounds are session-naive while the
+    parquet field is tz-aware; with a non-UTC session each shard seam
+    used to shift by the UTC offset, dropping/duplicating rows. Pin
+    exact parity between merged and ordered scans on timestamp keys
+    while the session runs in America/New_York (UTC-4/-5)."""
+    from hbasewd_spark.sources.loaders import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL '12' HOUR")).alias("lo"),
+        (F.min("ts") + F.expr("INTERVAL '36' HOUR")).alias("hi"),
+    ).collect()[0]
+
+    class _D(Hash31Distributor):
+        def salt_expr(self, key):
+            return self.salt_expr_long(key)
+
+    t = SaltedTable.write(ev, str(tmp_path / "tz"), _D(8), "ts")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        cols = ["event_id", "ts", "value"]
+        ref = t.scan(start=b.lo, stop=b.hi, ordered=True, columns=cols).collect()
+        got = t.scan_merged(
+            start=b.lo, stop=b.hi, shards=5, columns=cols, tiebreak=["event_id"]
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+        assert [r.ts for r in got] == [r.ts for r in ref]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_merged_null_keys_are_excluded_by_contract(spark, tmp_path):
     df = spark.createDataFrame(
         [(i if i % 7 else None, f"v{i}") for i in range(50)],
