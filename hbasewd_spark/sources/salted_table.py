@@ -38,11 +38,18 @@ META_FILE = "_wd_distributor.json"
 SALT_COL = "salt"
 
 
-def sql_literal(v: Any) -> str:
+def sql_literal(v: Any, session_tz: str = "UTC") -> str:
     """Render a Python value as an ANSI-SQL literal for the plain-SQL
     scan path (:meth:`SaltedTable.salted_where`). Covers every key
     type the engine salts on: ints, floats, strings, dates,
-    timestamps, binary."""
+    timestamps, binary.
+
+    ``session_tz``: a TIMESTAMP literal is interpreted by Spark in the
+    SESSION timezone, so a tz-aware datetime must render as that zone's
+    wall clock to denote the same instant F.lit() denotes on the typed
+    path (plan-parity contract). Callers with a live session pass
+    ``spark.conf.get("spark.sql.session.timeZone")``; the default
+    matches the engine's pinned UTC (session.py)."""
     import datetime
 
     if isinstance(v, bool):
@@ -52,12 +59,10 @@ def sql_literal(v: Any) -> str:
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, datetime.datetime):
-        # tz-aware datetimes convert to the engine session zone (UTC,
-        # session.py) before rendering — F.lit() on the typed scan path
-        # does the same conversion, so SQL and facade users see the
-        # same [start, stop) rows (plan-parity contract)
         if v.tzinfo is not None:
-            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            import zoneinfo
+
+            v = v.astimezone(zoneinfo.ZoneInfo(session_tz)).replace(tzinfo=None)
         return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
     if isinstance(v, datetime.date):
         return f"DATE '{v.isoformat()}'"
@@ -1500,11 +1505,12 @@ class SaltedTable:
         additionally prune to ONE bucket through the view's salt
         invariant — use plain equality SQL for those; no helper needed.
         """
+        tz = self.spark.conf.get("spark.sql.session.timeZone")
         parts = []
         if start is not None:
-            parts.append(f"{self.key_col} >= {sql_literal(start)}")
+            parts.append(f"{self.key_col} >= {sql_literal(start, tz)}")
         if stop is not None:
-            parts.append(f"{self.key_col} < {sql_literal(stop)}")
+            parts.append(f"{self.key_col} < {sql_literal(stop, tz)}")
         return " AND ".join(parts) if parts else "TRUE"
 
     def parallel_read(self, start: Any = None, stop: Any = None) -> DataFrame:

@@ -105,3 +105,20 @@ def test_salted_where_renders_timestamp_and_string_literals(spark, tmp_path):
         f"SELECT count(*) c FROM ts_view WHERE {t.salted_where(start=hi)}"
     ).first().c
     assert n_tail == 48 - 18
+
+
+def test_sql_literal_tz_aware_under_non_utc_session():
+    """A tz-aware datetime must render as the SESSION zone's wall clock
+    (Spark interprets TIMESTAMP literals session-locally): the same
+    instant renders differently per zone, same instant either way."""
+    import datetime
+
+    inst = datetime.datetime(2024, 6, 1, 12, 0, 0, tzinfo=datetime.timezone.utc)
+    assert sql_literal(inst) == "TIMESTAMP '2024-06-01 12:00:00.000000'"
+    assert (
+        sql_literal(inst, "America/New_York")
+        == "TIMESTAMP '2024-06-01 08:00:00.000000'"
+    )
+    # naive input is already session wall clock: passes through
+    naive = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    assert sql_literal(naive, "America/New_York") == sql_literal(naive)
