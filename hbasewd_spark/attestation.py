@@ -1,151 +1,95 @@
-"""GENERATED by tools/gen_priority.py — do not edit by hand.
+"""Runtime attestation-history loader (VERDICT r6 item 1).
 
-Latest driver-attested round per query, derived from the
-CORRECTNESS_r*.json files present at generation time (CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r04.json, CORRECTNESS_r05.json).
-Queries absent here have never had a successful driver row and sort
-first in the correctness window. Regenerate after every round:
+``LAST_ATTESTED`` maps each registry query to the latest round in
+which the grading driver attested it, computed AT IMPORT TIME from the
+``CORRECTNESS_r*.json`` files committed at the repo root. Rounds 5-6
+used a generated snapshot module instead; that snapshot went stale the
+moment the driver wrote the current round's CORRECTNESS file *after*
+the final commit, reddening HEAD with a staleness guard two rounds
+running. Loading at runtime makes that race impossible: a newer
+CORRECTNESS file simply feeds the next rotation, and the suite stays
+green at any HEAD.
 
-    python tools/gen_priority.py
+"Attested" means a three-green driver row (rows + schema + value-hash
+all match) — or, for the by-design rows-only queries (no SQL oracle
+exists), a successful rows-only run (``err == "no_oracle"`` or a
+null-oracle row with real ``spark_rows``): that row IS that query's
+maximal attainable attestation, so it participates in the rotation
+like any other.
+
+The registry (hbasewd_spark/queries.py ``_ordered_names``) sorts
+oldest-attested-first over this table, so the driver's 50-slot window
+is always exactly the stalest 50 hash-attestable queries — no
+curation, no regeneration step, no end-of-round race.
 """
 
-LAST_ATTESTED = {
-    'ext_bpe_merge_candidates': 5,
-    'ext_centroid_drift': 5,
-    'ext_code_detect': 5,
-    'ext_dataset_manifest': 4,
-    'ext_dedup_clusters': 3,
-    'ext_dedup_exact': 3,
-    'ext_dedup_incremental': 5,
-    'ext_dedup_minhash_pairs': 3,
-    'ext_dedup_ngram_jaccard': 3,
-    'ext_dedup_simhash': 3,
-    'ext_dedup_simhash_pairs': 3,
-    'ext_deterministic_sample': 3,
-    'ext_domain_mixture': 4,
-    'ext_embed_dim_stats': 5,
-    'ext_embed_lsh_neardup': 3,
-    'ext_embed_neardup_pairs': 3,
-    'ext_embed_outliers': 4,
-    'ext_hybrid_retrieval': 3,
-    'ext_kmeans_clusters': 3,
-    'ext_lang_confusion': 5,
-    'ext_length_buckets': 5,
-    'ext_multimodal_audio_segments': 3,
-    'ext_multimodal_frames': 4,
-    'ext_multimodal_stats': 4,
-    'ext_pack_sequences': 3,
-    'ext_passage_dedup': 4,
-    'ext_passage_scrub': 5,
-    'ext_pipeline_corpus_curation': 4,
-    'ext_quality_calibration': 5,
-    'ext_sample_stratified': 3,
-    'ext_semdedup': 4,
-    'ext_shard_plan': 5,
-    'ext_sim_brute_topk': 3,
-    'ext_sim_ivf_topk': 3,
-    'ext_sim_quantized_topk': 5,
-    'ext_temperature_mixture': 4,
-    'ext_text_bm25': 3,
-    'ext_text_chunking': 3,
-    'ext_text_contamination': 3,
-    'ext_text_fingerprint': 3,
-    'ext_text_gopher_repetition': 3,
-    'ext_text_heavy_hitters': 3,
-    'ext_text_inverted_index': 3,
-    'ext_text_keywords': 4,
-    'ext_text_language_id': 3,
-    'ext_text_oov_rate': 3,
-    'ext_text_pii_scrub': 4,
-    'ext_text_quality': 3,
-    'ext_text_stats': 3,
-    'ext_token_budget_sample': 5,
-    'ext_train_val_test_split': 4,
-    'ext_udtf_tokenize': 3,
-    'ext_unigram_familiarity': 5,
-    'ext_url_host_stats': 5,
-    'o1_roundrobin_salt_balance': 4,
-    'o2_hash31_salt_distribution': 4,
-    'o3_desalt_roundtrip': 4,
-    'o4_point_get_roundrobin_fanout': 4,
-    'o6_prefix_domain_counts': 4,
-    'o7_interval_fanout_counts': 4,
-    'o9_ordered_range_scan': 4,
-    'o9b_merged_ordered_scan': 5,
-    'p2_point_get_hash_pruned': 4,
-    'p5_filter_projection_passthrough': 4,
-    'p6_count_range': 4,
-    'p7_limit_dump': 4,
-    'p8_bytecompat_salted_keys': 4,
-    'p8_key_codec_hex': 4,
-    'p9_zonemap_pruned_scan': 3,
-    'perf_skew_salted_rollup': 5,
-    'rel_approx_stats': 3,
-    'rel_asof_join': 3,
-    'rel_asof_lag': 5,
-    'rel_cdc_upsert': 5,
-    'rel_cohort_retention': 5,
-    'rel_collections': 5,
-    'rel_cube': 4,
-    'rel_date_gallery': 5,
-    'rel_event_funnel': 5,
-    'rel_exact_stats': 4,
-    'rel_grouping_sets': 5,
-    'rel_incremental_mv': 4,
-    'rel_join_broadcast': 4,
-    'rel_join_full_outer': 3,
-    'rel_join_multiway': 4,
-    'rel_join_semi_anti': 4,
-    'rel_json_extract': 5,
-    'rel_lateral_topn': 3,
-    'rel_pivot': 5,
-    'rel_q10_returned_items': 5,
-    'rel_q11_important_parts': 4,
-    'rel_q12_priority_shipping': 5,
-    'rel_q13_order_distribution': 4,
-    'rel_q14_promo_revenue': 5,
-    'rel_q15_top_supplier': 5,
-    'rel_q16_supplier_variety': 4,
-    'rel_q17_small_qty_revenue': 4,
-    'rel_q18_large_orders': 5,
-    'rel_q19_disjunctive': 5,
-    'rel_q1_pricing_summary': 4,
-    'rel_q20_dominant_suppliers': 4,
-    'rel_q21_waiting_suppliers': 3,
-    'rel_q22_sales_opportunity': 4,
-    'rel_q2_min_cost_supplier': 4,
-    'rel_q3_shipping_priority': 5,
-    'rel_q4_order_priority': 5,
-    'rel_q5_local_supplier': 5,
-    'rel_q6_forecast': 5,
-    'rel_q7_volume_shipping': 5,
-    'rel_q8_market_share': 4,
-    'rel_q9_product_profit': 5,
-    'rel_range_frame': 5,
-    'rel_range_join': 5,
-    'rel_regression_agg': 4,
-    'rel_rolling_anomaly': 5,
-    'rel_rollup': 4,
-    'rel_scalar_gallery': 5,
-    'rel_sessionization': 4,
-    'rel_set_ops': 5,
-    'rel_string_agg': 5,
-    'rel_subqueries': 5,
-    'rel_table_stats': 3,
-    'rel_time_range_frame': 3,
-    'rel_time_rollup': 3,
-    'rel_time_weighted_avg': 5,
-    'rel_topk_per_group': 4,
-    'rel_ts_gapfill_locf': 3,
-    'rel_unpivot': 5,
-    'rel_value_histogram': 5,
-    'rel_window_analytics': 5,
-    'rel_window_running': 4,
-    'rel_window_tumbling': 5,
-    'rel_zorder_key': 3,
-    'stream_dedup_ingest': 5,
-    'stream_session_window': 4,
-    'stream_sliding_window': 4,
-    'stream_static_enrich': 4,
-    'stream_stream_join': 4,
-    'stream_windowed_agg': 4,
-}
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+__all__ = ["LAST_ATTESTED", "attested", "compute_last_attested", "latest_round"]
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def attested(row: dict) -> bool:
+    """One driver row counts as an attestation if it was three-green,
+    or — for oracle-less queries — a successful rows-only run."""
+    if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+        return True
+    # driver schema: err == "no_oracle"; check_oracles --json schema:
+    # rows_match True with schema/hash None. Both mean "rows-only by
+    # design, ran successfully".
+    if row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+        return True
+    return (
+        row.get("rows_match") is True
+        and row.get("schema_match") is None
+        and row.get("hash_match") is None
+        and row.get("spark_rows") is not None
+    )
+
+
+def compute_last_attested(repo_root: str) -> tuple[dict[str, int], list[str]]:
+    """(query -> latest attested round, correctness files used).
+
+    Scans ``CORRECTNESS_r*.json`` in ``repo_root``; malformed or
+    unreadable files are skipped (a half-written driver file must not
+    break imports mid-round)."""
+    last: dict[str, int] = {}
+    files = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
+    used: list[str] = []
+    for path in files:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        used.append(os.path.basename(path))
+        for name, row in rows.items():
+            if isinstance(row, dict) and attested(row):
+                last[name] = max(last.get(name, 0), rnd)
+    return last, used
+
+
+def latest_round(repo_root: str = _REPO_ROOT) -> int:
+    """Highest round number among the committed CORRECTNESS files
+    (0 if none exist)."""
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0)
+
+
+LAST_ATTESTED, _FILES = compute_last_attested(_REPO_ROOT)

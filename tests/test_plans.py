@@ -4,6 +4,10 @@ broadcast, aggregations are partial+final, and NO query in the
 registry ever degenerates into an unconditioned cartesian product.
 """
 
+import glob
+import os
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -494,28 +498,17 @@ def test_driver_window_has_no_wasted_slots():
 
 
 def test_driver_window_is_exactly_the_stalest_50():
-    """Round-5 policy (VERDICT r4 item 1): the 50-slot window is
-    DERIVED from attestation history, not hand-curated. Recompute the
-    history straight from the CORRECTNESS_r*.json files and assert
-    (a) the committed generated module matches them (regeneration
-    can't be forgotten), and (b) the window is exactly the 50
-    oldest-attested oracle-backed queries — every r2-only query leads,
-    nothing attested in the latest round sits inside the window while
-    a staler query waits outside."""
-    import os
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    import gen_priority
-
+    """Round-5 policy (VERDICT r4 item 1), round-7 mechanism
+    (VERDICT r6 item 1): the 50-slot window is DERIVED from
+    attestation history computed AT RUNTIME from the committed
+    CORRECTNESS_r*.json files — there is no generated snapshot to go
+    stale, so the driver writing the current round's file after the
+    final commit can never redden HEAD. Assert the window is exactly
+    the 50 oldest-attested oracle-backed queries — every
+    never-attested query leads, nothing attested in the latest round
+    sits inside the window while a staler query waits outside."""
     from hbasewd_spark.attestation import LAST_ATTESTED
     from hbasewd_spark.queries import REGISTRY, queries
-
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    recomputed, _files = gen_priority.compute_last_attested(repo_root)
-    assert recomputed == LAST_ATTESTED, (
-        "hbasewd_spark/attestation.py is stale — run python tools/gen_priority.py"
-    )
 
     names = list(queries())
     window, behind = names[:50], names[50:]
@@ -531,3 +524,81 @@ def test_driver_window_is_exactly_the_stalest_50():
             f"oracle-backed query attested r{min_oracle_behind} waits behind"
         )
     assert min_behind >= 0  # totality
+
+
+def test_newer_correctness_file_cannot_redden_the_suite(tmp_path):
+    """The exact race from the r5/r6 verdicts, as a fixture: the
+    driver writes CORRECTNESS_r{N}.json AFTER the round's final
+    commit. With the runtime loader, a repo root holding a synthetic
+    NEWER file (r99) must load cleanly and simply dominate the
+    rotation — never fail a staleness guard (there is none left)."""
+    import json
+    import shutil
+
+    from hbasewd_spark import attestation
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for f in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        shutil.copy(f, tmp_path / os.path.basename(f))
+    base, _ = attestation.compute_last_attested(str(tmp_path))
+    assert base, "expected committed CORRECTNESS files in the repo root"
+
+    some = sorted(base)[:3]
+    synthetic = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True,
+            "spark_rows": 1, "oracle_rows": 1, "err": None}
+        for n in some
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(synthetic))
+    # and a half-written file the driver could leave mid-crash:
+    (tmp_path / "CORRECTNESS_r98.json").write_text('{"truncated": ')
+
+    last, files = attestation.compute_last_attested(str(tmp_path))
+    assert "CORRECTNESS_r99.json" in files
+    assert "CORRECTNESS_r98.json" not in files  # malformed -> skipped, not fatal
+    for n in some:
+        assert last[n] == 99
+    for n in base:
+        if n not in some:
+            assert last[n] == base[n]
+    assert attestation.latest_round(str(tmp_path)) == 99
+
+
+def test_every_registry_query_attested_within_one_round():
+    """Registry staleness policy (VERDICT r6 item 5): every registry
+    query must have a row no older than one round behind the latest
+    driver round, in the union of driver CORRECTNESS files and the
+    committed SELFCHECK_r*.json full sweeps. Growing the registry
+    without refreshing the sweep fails here — the full-surface
+    attestation must keep up with the surface."""
+    import json
+
+    from hbasewd_spark.attestation import attested, latest_round
+    from hbasewd_spark.queries import REGISTRY
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = latest_round(repo_root)
+    assert latest >= 2
+
+    best: dict[str, int] = {}
+    pats = ["CORRECTNESS_r*.json", "SELFCHECK_r*.json"]
+    for pat in pats:
+        for path in glob.glob(os.path.join(repo_root, pat)):
+            m = re.search(r"_r(\d+)\.json$", path)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            try:
+                rows = json.load(open(path))
+            except (OSError, ValueError):
+                continue
+            for name, row in rows.items():
+                if isinstance(row, dict) and attested(row):
+                    best[name] = max(best.get(name, 0), rnd)
+
+    stale = {n: best.get(n, 0) for n in REGISTRY if best.get(n, 0) < latest - 1}
+    assert not stale, (
+        f"queries with no attestation newer than r{latest - 1} "
+        f"(latest driver round r{latest}): {stale} — run "
+        f"tools/check_oracles.py --json SELFCHECK_r{latest}.json and commit it"
+    )
