@@ -78,7 +78,14 @@ class Fs:
         try:
             out = self.fs.create(self.path(p), False)
         except Exception:
-            return False
+            # Only the lost-the-race outcome maps to False: the file
+            # exists, someone holds it. Any other failure (permissions,
+            # transient FS error) must propagate — reporting it as
+            # "another operation holds the lock" sends the operator
+            # chasing a sentinel that doesn't exist (ADVICE r6).
+            if self.exists(p):
+                return False
+            raise
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:

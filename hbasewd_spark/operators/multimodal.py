@@ -176,6 +176,14 @@ def _bmp_pixel_stats(b: bytes, bmp: dict) -> tuple[int, int]:
     return total, row_bytes * bmp["height"]
 
 
+# Hard ceiling on the inflated raster size parse_png will allocate per
+# image (ADVICE r6 bomb guard). 256 MiB covers a 8192x8192 RGBA-8
+# raster with filter tags; anything larger is not a unit-scale payload
+# this stdlib decoder should touch — a production pipeline swaps in a
+# real image lib (the documented seam) with its own limits.
+PNG_MAX_RAW_BYTES = 256 << 20
+
+
 def parse_png(b: bytes) -> dict | None:
     """REAL (stdlib-only) PNG parse: signature + chunk walk, IHDR
     geometry, zlib-inflated IDAT with an exact raw-scanline length
@@ -223,12 +231,22 @@ def parse_png(b: bytes) -> dict | None:
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
     if comp != 0 or filt != 0 or inter != 0 or w == 0 or h == 0 or channels is None:
         return None
+    # Bound the inflate BEFORE inflating (ADVICE r6): a crafted PNG —
+    # a zlib bomb, or a tiny stream declaring a huge w*h — must not
+    # allocate gigabytes on an executor before the length check runs.
+    # The expected size is known exactly from IHDR; cap the declared
+    # raster outright, then inflate at most expected+1 bytes so both
+    # overflow and truncation are caught without materializing more.
+    row_bytes = (w * channels * depth + 7) // 8
+    expected = h * (1 + row_bytes)
+    if expected > PNG_MAX_RAW_BYTES:
+        return None
     try:
-        raw = zlib.decompress(b"".join(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error:
         return None
-    row_bytes = (w * channels * depth + 7) // 8
-    if len(raw) != h * (1 + row_bytes):
+    if len(raw) != expected or not d.eof or d.unused_data:
         return None
     return {
         "width": w,

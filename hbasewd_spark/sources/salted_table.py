@@ -38,6 +38,40 @@ META_FILE = "_wd_distributor.json"
 SALT_COL = "salt"
 
 
+def _session_tzinfo(session_tz: str):
+    """Resolve a Spark session-timezone string to a tzinfo.
+
+    Spark accepts java.time.ZoneId forms zoneinfo cannot: bare offsets
+    ('+08:00', '-05:30', 'Z') and prefixed offsets ('UTC+8',
+    'GMT+08:00', 'UT-2'). Parse those into fixed-offset
+    datetime.timezone objects; region ids fall through to ZoneInfo."""
+    import datetime
+    import re as _re
+
+    s = session_tz.strip()
+    for prefix in ("UTC", "GMT", "UT"):
+        if s.upper().startswith(prefix) and len(s) > len(prefix) and s[len(prefix)] in "+-":
+            s = s[len(prefix):]
+            break
+    else:
+        if s.upper() in ("UTC", "GMT", "UT", "Z", ""):
+            return datetime.timezone.utc
+        if not (s and s[0] in "+-"):
+            import zoneinfo
+
+            return zoneinfo.ZoneInfo(session_tz)
+    m = _re.fullmatch(r"([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?", s)
+    if not m:
+        raise ValueError(f"unparseable session timezone {session_tz!r}")
+    sign = -1 if m.group(1) == "-" else 1
+    delta = datetime.timedelta(
+        hours=int(m.group(2)),
+        minutes=int(m.group(3) or 0),
+        seconds=int(m.group(4) or 0),
+    )
+    return datetime.timezone(sign * delta)
+
+
 def sql_literal(v: Any, session_tz: str = "UTC") -> str:
     """Render a Python value as an ANSI-SQL literal for the plain-SQL
     scan path (:meth:`SaltedTable.salted_where`). Covers every key
@@ -60,9 +94,7 @@ def sql_literal(v: Any, session_tz: str = "UTC") -> str:
         return repr(v)
     if isinstance(v, datetime.datetime):
         if v.tzinfo is not None:
-            import zoneinfo
-
-            v = v.astimezone(zoneinfo.ZoneInfo(session_tz)).replace(tzinfo=None)
+            v = v.astimezone(_session_tzinfo(session_tz)).replace(tzinfo=None)
         return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
     if isinstance(v, datetime.date):
         return f"DATE '{v.isoformat()}'"
@@ -253,6 +285,9 @@ class SaltedTable:
         self._zone_maps = None
         self._key_index = None
         self._index_fresh_memo = None
+        # the sidecar file-count memo steers _plan_shards_spark's
+        # auto-routing — a compaction/expire changes the count
+        self._zone_counts = None
 
     def scan(
         self,
@@ -1116,9 +1151,8 @@ class SaltedTable:
                 return None
             zdf = self.zone_map(key_col)  # explicit: one column-pruned scan
         elif auto:
-            counts = getattr(self, "_zone_counts", None)
-            if counts is None:
-                counts = self._zone_counts = {}
+            counts = getattr(self, "_zone_counts", None) or {}
+            self._zone_counts = counts
             if key_col not in counts:
                 counts[key_col] = zdf.count()  # parquet footer count, tiny
             if counts[key_col] <= self.ZONE_MAP_DRIVER_WARN_FILES:
@@ -1623,6 +1657,7 @@ def _staged_rewrite(table: SaltedTable, staged, op: str) -> SaltedTable:
             # carried stale (wrong file paths), then rebuilt below —
             # carrying it is what tells rebuild WHICH columns to index
             fs.copy(zm_src, tmp + "/" + SaltedTable.ZONE_MAP_DIR)
+        _carry_lock(fs, tmp, op)
         _swap_table_dirs(fs, tmp, base, op)
         table.refresh()
         # the rewrite replaced the data files: restamp the index
@@ -1706,8 +1741,26 @@ def rebucket(table: SaltedTable, new_distributor: KeyDistributor) -> SaltedTable
             data, tmp, new_distributor, table.key_col, fmt=table.fmt
         )
         del staged  # metadata already written into tmp by write()
+        _carry_lock(fs, tmp, "rebucket")
         _swap_table_dirs(fs, tmp, base, "rebucket")
         return SaltedTable.load(table.spark, base)
+
+
+def _carry_lock(fs: Fs, tmp: str, verb: str) -> None:
+    """Recreate the lifecycle lock sentinel inside the staged dir just
+    before the swap. The sentinel lives inside the table dir, so the
+    ``base -> base.old`` aside-rename would otherwise move the lock
+    aside (and ``delete(base.old)`` would release it) while the verb is
+    still restamping the index and rebuilding zone maps — a second verb
+    could then acquire the lock on the new base and stamp a fresh
+    watermark over a half-written sidecar (ADVICE r6). With the
+    sentinel pre-seeded in ``tmp``, the swap itself carries the lock
+    onto the new base, and the verb's ``_lifecycle_lock`` finally-block
+    deletes it at the true end of the verb."""
+    fs.write_text(
+        tmp + "/" + SaltedTable.LOCK_FILE,
+        json.dumps({"verb": verb, "pid": os.getpid(), "carried": True}),
+    )
 
 
 def _refuse_orphaned_old(fs: Fs, base: str, op: str) -> None:

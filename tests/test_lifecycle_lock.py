@@ -72,6 +72,63 @@ def test_create_atomic_is_create_if_absent(spark, tmp_path):
     assert fs.read_text(p) == "a"  # loser never overwrites
 
 
+def test_create_atomic_propagates_non_exists_failures(spark, tmp_path):
+    """ADVICE r6: only the lost-the-race outcome maps to False. A
+    create that fails for any other reason (here: the parent path is a
+    FILE, so no child can be created) must raise, not masquerade as
+    'another lifecycle operation holds the lock'."""
+    fs = Fs(spark, str(tmp_path))
+    blocker = str(tmp_path / "blocker")
+    fs.write_text(blocker, "i am a file")
+    with pytest.raises(Exception):
+        fs.create_atomic(blocker + "/child", "x")
+
+
+def test_lock_survives_staged_rewrite_swap(spark, tmp_path):
+    """ADVICE r6: the aside-rename in compact()'s swap used to carry
+    the in-dir lock away with base.old, releasing it mid-verb while
+    the sidecar rebuild was still running. Pin the fix: at
+    rebuild_zone_maps time (post-swap), the lock sentinel must still
+    exist on the NEW base and a second verb must still refuse; after
+    the verb returns the lock is gone."""
+    t = _table(spark, str(tmp_path / "t_swap"))
+    t.rebuild_zone_maps()
+    fs = Fs(spark, t.path)
+    observed = {}
+    real_rebuild = SaltedTable.rebuild_zone_maps
+
+    def spy(self):
+        observed["lock_exists_at_rebuild"] = fs.exists(_lock_path(self))
+        try:
+            self.expire(before=1)
+            observed["second_verb_refused"] = False
+        except RuntimeError as e:
+            observed["second_verb_refused"] = "another lifecycle" in str(e)
+        return real_rebuild(self)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(SaltedTable, "rebuild_zone_maps", spy):
+        compact(t)
+    assert observed["lock_exists_at_rebuild"] is True
+    assert observed["second_verb_refused"] is True
+    assert not fs.exists(_lock_path(t))  # released at true verb end
+    assert t.scan().count() == 400
+
+
+def test_lock_survives_rebucket_swap(spark, tmp_path):
+    """Same pin for rebucket(): the carried sentinel rides the swap
+    and is released only when the verb returns."""
+    from hbasewd_spark.sources.salted_table import rebucket
+
+    t = _table(spark, str(tmp_path / "t_rb"))
+    fs = Fs(spark, t.path)
+    t2 = rebucket(t, HashDistributor(8))
+    assert not fs.exists(_lock_path(t2))
+    assert t2.scan().count() == 400
+    assert t2.distributor.buckets == 8
+
+
 def test_reader_interleaved_with_expire_misses_surviving_rows(spark, tmp_path):
     """The documented expire() anomaly, pinned: a reader whose file
     listing predates the stage-swap silently misses surviving rows

@@ -272,6 +272,21 @@ def test_auto_plan_routes_to_spark_past_threshold(spark, kv, tmp_path, monkeypat
     assert [r.key_long for r in got2] == [r.key_long for r in ref]
 
 
+def test_refresh_clears_zone_count_memo(spark, kv, tmp_path):
+    """ADVICE r6: the _zone_counts memo steers auto-routing; after a
+    lifecycle verb changes the file count, refresh() must drop it so
+    the planner re-reads the sidecar instead of routing on the stale
+    count."""
+    t = SaltedTable.write(
+        kv, str(tmp_path / "memo"), HashDistributor(8), "key_long",
+        zone_map_cols=["key_long"],
+    )
+    t.scan_merged(start=KEY_PREFIX + 100, stop=KEY_PREFIX + 200).collect()
+    t._zone_counts = {"key_long": 10**6}  # simulate a stale memo
+    t.refresh()
+    assert t._zone_counts is None
+
+
 def test_merged_timestamp_seams_under_non_utc_session(spark, sf_dir, tmp_path):
     """ADVICE r5 lock: descriptor bounds are session-naive while the
     parquet field is tz-aware; with a non-UTC session each shard seam

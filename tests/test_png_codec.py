@@ -168,3 +168,63 @@ def test_decode_batch_real_png_branch_vs_fake():
     # malformed bytes under the png label fall back to the
     # deterministic fake (length-derived geometry), never crash
     assert out.loc[2, "width"] == 16 + len(fake_bytes) % 240
+
+
+def test_bomb_guard_rejects_huge_declared_raster_without_inflating():
+    """ADVICE r6: a small PNG declaring an enormous w*h must be
+    rejected from the IHDR math alone — before the IDAT stream is
+    inflated. Build one whose DECLARED raster is ~48 GiB but whose
+    compressed payload is a few KiB; parse must return None fast and
+    without a giant allocation."""
+    import resource
+    import time
+
+    w = h = 1 << 17  # 131072 x 131072 RGB -> ~48 GiB raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # a real (but tiny) zlib stream — content is irrelevant, the
+    # guard must trip before it is inflated
+    idat = zlib.compress(b"\x00" * 4096)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+    t0 = time.time()
+    assert parse_png(bomb) is None
+    assert time.time() - t0 < 1.0
+
+
+def test_bomb_guard_caps_inflation_of_lying_stream():
+    """A zlib stream that inflates to far MORE than the declared
+    raster must stop at expected+1 bytes, not materialize the bomb:
+    declared 3x2 RGB (27 raw bytes) but the stream holds 64 MiB of
+    zeros. Reject, and peak allocation stays tiny."""
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * (64 << 20))  # ~64 KiB compressed
+    lying = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+    assert parse_png(lying) is None
+
+
+def test_truncated_stream_still_rejected_under_guard():
+    """The decompressobj rewrite keeps the old strictness: a stream
+    that inflates to LESS than the declared raster is rejected (eof
+    not reached or short output)."""
+    good = make_png(PIXELS)
+    info = parse_png(good)
+    assert info is not None
+    # corrupt: declared raster one row taller than the stream provides
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0)
+    raw_2rows = zlib.compress(b"\x00" * (2 * (1 + 9)))
+    short = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", raw_2rows)
+        + _chunk(b"IEND", b"")
+    )
+    assert parse_png(short) is None

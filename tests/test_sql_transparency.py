@@ -122,3 +122,60 @@ def test_sql_literal_tz_aware_under_non_utc_session():
     # naive input is already session wall clock: passes through
     naive = datetime.datetime(2024, 6, 1, 12, 0, 0)
     assert sql_literal(naive, "America/New_York") == sql_literal(naive)
+
+
+def test_sql_literal_offset_style_session_zones():
+    """Spark accepts java.time offset-style session zones that
+    zoneinfo cannot resolve ('GMT+08:00', '+08:00', 'UTC+8', 'Z',
+    '-05:30') — ADVICE r6. Each must render the same instant at that
+    fixed offset's wall clock instead of raising."""
+    import datetime
+
+    inst = datetime.datetime(2024, 6, 1, 12, 0, 0, tzinfo=datetime.timezone.utc)
+    plus8 = "TIMESTAMP '2024-06-01 20:00:00.000000'"
+    for tz in ("GMT+08:00", "+08:00", "UTC+8", "UT+8", "+0800", "UTC+08:00"):
+        assert sql_literal(inst, tz) == plus8, tz
+    assert sql_literal(inst, "-05:30") == "TIMESTAMP '2024-06-01 06:30:00.000000'"
+    for tz in ("Z", "UTC", "GMT", "UT"):
+        assert sql_literal(inst, tz) == "TIMESTAMP '2024-06-01 12:00:00.000000'", tz
+    # region ids still resolve through ZoneInfo
+    assert (
+        sql_literal(inst, "Asia/Tokyo") == "TIMESTAMP '2024-06-01 21:00:00.000000'"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sql_literal(inst, "+25:99:x")
+
+
+def test_offset_session_zone_end_to_end(spark, tmp_path):
+    """salted_where with a tz-aware bound under an offset-style session
+    zone ('GMT+08:00') must agree with the typed scan path."""
+    import datetime
+
+    import pandas as pd
+
+    base = datetime.datetime(2024, 3, 1, tzinfo=datetime.timezone.utc)
+    pdf = pd.DataFrame(
+        {
+            "ts": [base + datetime.timedelta(hours=i) for i in range(48)],
+            "v": list(range(48)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    t = SaltedTable.write(
+        df, str(tmp_path / "ts_off"), HashDistributor(4), "ts"
+    )
+    lo = base + datetime.timedelta(hours=10)
+    hi = base + datetime.timedelta(hours=30)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "GMT+08:00")
+    try:
+        t.register_view("ts_off_view")
+        n_sql = spark.sql(
+            f"SELECT count(*) c FROM ts_off_view WHERE {t.salted_where(start=lo, stop=hi)}"
+        ).first().c
+        n_typed = t.scan(start=lo, stop=hi).count()
+        assert n_sql == n_typed == 20
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
