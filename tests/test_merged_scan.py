@@ -243,6 +243,70 @@ def test_spark_planning_holds_only_shards_on_the_driver(spark):
             assert 1000 <= r.lo < r.hi <= 90_000
 
 
+def test_spark_planning_string_keys_holds_only_shards_on_the_driver(spark):
+    """VERDICT r6 #2a: string-key tables used to bypass Spark planning
+    (returned None -> O(#files) driver collect). Plan a 150k-file
+    STRING-key zone relation with the driver collect booby-trapped:
+    boundaries are cut at sampled file-boundary values by a window over
+    the zone relation, the driver holds only O(#shards)."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql.types import StructType
+
+    t = SaltedTable(
+        spark, "/tmp/__no_such_table__", HashDistributor(8), "k", "parquet",
+        json.dumps(json.loads(
+            spark.range(1).select(SF.lit("x").alias("k")).schema.json()
+        )),
+    )
+    n_files = 150_000
+    # disjoint lexicographic slices: file i covers [w<i:07d>, w<i+1:07d>)
+    zone = spark.range(n_files).select(
+        SF.concat(SF.lit("f"), SF.col("id")).alias("file"),
+        SF.format_string("w%07d", SF.col("id")).alias("lo"),
+        SF.format_string("w%07d", SF.col("id") + 1).alias("hi"),
+        SF.lit(200).alias("n_rows"),
+        SF.lit(0).alias("n_nulls"),
+    )
+    t._zone_sidecar_df = lambda col: zone
+
+    def boom(col):
+        raise AssertionError("driver collected O(#files) zone rows")
+
+    t._zone_rows = boom
+    schema = StructType.fromJson(json.loads(t.data_schema_json))
+    desc = t._plan_shards_spark("w0001000", "w0100000", 16, schema, auto=True)
+    rows = sorted(desc.collect(), key=lambda r: r.shard_id)
+    assert 2 <= len(rows) <= 16
+    los = [r.lo for r in rows]
+    assert los == sorted(los, key=lambda x: (x is not None, x))
+    for r in rows:
+        assert len(r.files) > 0
+        if r.lo is not None and r.hi is not None:
+            assert "w0001000" <= r.lo < r.hi <= "w0100000"
+    # row balance: no shard holds more than ~3x its fair share of files
+    sizes = [len(r.files) for r in rows]
+    assert max(sizes) <= 3 * (sum(sizes) / len(sizes))
+
+
+def test_merged_string_key_spark_plan_parity(spark, tmp_path):
+    """End-to-end on a real string-key table: plan='spark' returns the
+    same rows in the same global order as the exchange sort."""
+    df = spark.range(500).select(
+        F.format_string("user%04d", (F.col("id") * 7919) % 500).alias("uid"),
+        F.col("id").alias("v"),
+    )
+    t = SaltedTable.write(
+        df, str(tmp_path / "su"), HashDistributor(8), "uid",
+        zone_map_cols=["uid"],
+    )
+    ref = t.scan(start="user0100", stop="user0400", ordered=True).collect()
+    got = t.scan_merged(
+        start="user0100", stop="user0400", shards=4, plan="spark"
+    ).collect()
+    assert [r.uid for r in got] == [r.uid for r in ref]
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+
+
 def test_auto_plan_routes_to_spark_past_threshold(spark, kv, tmp_path, monkeypatch):
     """plan='auto' switches to Spark planning when the FRESH sidecar
     reports more files than the driver threshold — exercised end to end
