@@ -1346,7 +1346,7 @@ class SaltedTable:
         2. A |shards|-row descriptor relation (shard key range + the
            files that intersect it) is range-partitioned by shard id —
            the only Exchange in the plan, moving kilobytes.
-        3. Each task ``mapInPandas``-merges ITS key range: pyarrow
+        3. Each task ``mapInArrow``-merges ITS key range: pyarrow
            opens only its descriptor's files, row-group stats skip
            everything outside the range (each file contributes one
            contiguous sorted run), and a stable vectorized sort merges
@@ -1426,36 +1426,42 @@ class SaltedTable:
         chunk = self.MERGED_SCAN_CHUNK_ROWS
         # Timestamp semantics across the three boundaries (pinned by
         # test_merged_timestamp_seams_under_non_utc_session):
-        #  * descriptor -> Python: Spark hands TimestampType naive in
-        #    the SESSION tz — capture it for norm_bound;
+        #  * descriptor -> Python: Arrow hands TimestampType bounds
+        #    tz-aware (epoch instants) or naive session wall clock —
+        #    norm_bound accepts both;
         #  * file -> Python: Spark-written INT96/NTZ-annotated columns
         #    arrive tz-NAIVE in pyarrow but hold UTC-normalized
         #    instants for Spark's TimestampType;
-        #  * Python -> Spark: naive output is reinterpreted as SESSION
-        #    wall clock, so instant columns must leave tz-AWARE (UTC)
-        #    or every value shifts by the UTC offset off-UTC sessions.
+        #  * Python -> Spark: the output batches are cast to the JVM's
+        #    expected Arrow schema, where instant columns are
+        #    timestamp[us, tz=UTC] — the naive->aware cast attaches the
+        #    zone to the same epoch int64s, so no session-zone shift.
         # TimestampNTZType columns are wall clocks end to end and pass
         # through untouched.
         from pyspark.sql.types import TimestampType
 
         session_tz = spark.conf.get("spark.sql.session.timeZone")
         key_is_instant = isinstance(data_schema[key_col].dataType, TimestampType)
-        instant_cols = [
-            f.name for f in out_schema.fields
-            if isinstance(f.dataType, TimestampType)
-        ]
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        # the exact Arrow schema the JVM expects back (timestamp_utc:
+        # instant columns leave as timestamp[us, tz=UTC] — epoch micros,
+        # unambiguous under any session zone)
+        target_schema = to_arrow_schema(out_schema)
 
         def merge_shards(batches):
+            import pandas as pd
             import pyarrow as pa
             import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
             def norm_bound(v, field_type):
-                """Bound value -> the file column's exact comparison
-                domain: nullable descriptor ints arrive as float
-                (pandas NaN widening); instant (TimestampType) bounds
-                arrive session-naive while the file holds either
-                tz-aware values or naive UTC-normalized instants."""
+                """Descriptor bound -> the file column's exact
+                comparison domain: instant (TimestampType) bounds may
+                arrive naive (session wall clock) or tz-aware while the
+                file holds either tz-aware values or naive
+                UTC-normalized instants."""
                 if v is None or pd.isna(v):
                     return None
                 if key_is_int:
@@ -1476,23 +1482,17 @@ class SaltedTable:
             # descriptor rows and process them in shard_id order so
             # the in-partition output honors the global-order contract
             # global_rank(presorted=True) consumes.
-            rows = [
-                row
-                for pdf in batches
-                for row in pdf.itertuples(index=False)
-            ]
-            rows.sort(key=lambda r: r.shard_id)
+            rows = [r for b in batches for r in b.to_pylist()]
+            rows.sort(key=lambda r: r["shard_id"])
             for row in rows:
-                runs, ftype = [], None
-                for path in row.files:
+                runs, ftype, filters = [], None, []
+                for path in row["files"]:
                     if ftype is None:
                         ftype = pq.read_schema(path).field(key_col).type
-                        lo = norm_bound(row.lo, ftype)
-                        hi = norm_bound(row.hi, ftype)
-                        # [lo, hi) half-open on every seam,
-                        # matching range_predicate; unbounded outer
-                        # edges stay open
-                        filters = []
+                        lo = norm_bound(row["lo"], ftype)
+                        hi = norm_bound(row["hi"], ftype)
+                        # [lo, hi) half-open on every seam, matching
+                        # range_predicate; unbounded outer edges open
                         if lo is not None:
                             filters.append((key_col, ">=", lo))
                         if hi is not None:
@@ -1500,31 +1500,30 @@ class SaltedTable:
                     t = pq.read_table(
                         path, columns=file_cols, filters=filters or None
                     )
-                    # null keys are excluded by contract; drop them
-                    # IN ARROW — through to_pandas an int64 key
-                    # column with nulls widens to float64 and
-                    # silently corrupts values past 2^53
+                    # null keys are excluded by contract; everything
+                    # stays in Arrow end to end — no pandas hop, so no
+                    # float64 widening, no Arrow->pandas->Arrow copies
+                    # (the measured Python-boundary tax, VERDICT r6 #3)
                     t = t.filter(pc.is_valid(t.column(key_col)))
                     if t.num_rows:
-                        runs.append(t.to_pandas())
+                        runs.append(t)
                 if not runs:
                     continue
-                merged = pd.concat(runs, ignore_index=True)
-                # stable sort over pre-sorted runs: timsort finds
-                # the runs and this is an O(n log k) merge, not a
-                # from-scratch sort
-                merged = merged.sort_values(
-                    sort_cols, kind="stable", ignore_index=True
-                )[read_cols]
-                # instant columns must leave tz-aware: a naive value
-                # would be reinterpreted as SESSION wall clock
-                for c in instant_cols:
-                    if pd.api.types.is_datetime64_dtype(merged[c]):
-                        merged[c] = merged[c].dt.tz_localize("UTC")
-                for off in range(0, len(merged), chunk):
-                    yield merged.iloc[off : off + chunk]
+                merged = pa.concat_tables(runs)
+                # Arrow sort_indices is a stable sort: each file
+                # contributes one pre-sorted run, so this is an
+                # O(n log k)-class merge over ~|files| runs
+                merged = merged.sort_by([(c, "ascending") for c in sort_cols])
+                # project + cast to the JVM's expected Arrow schema:
+                # naive UTC-instant file columns become
+                # timestamp[us, tz=UTC] (int64 unchanged — Arrow
+                # naive->aware cast attaches the zone to the same
+                # epoch values), decimals/ints land on declared widths
+                merged = merged.select(read_cols).cast(target_schema)
+                for b in merged.to_batches(max_chunksize=chunk):
+                    yield b
 
-        return desc.mapInPandas(merge_shards, out_schema)
+        return desc.mapInArrow(merge_shards, out_schema)
 
     def register_view(self, name: str, keep_salt: bool = False) -> None:
         """Plain-SQL access to the salted table: register a desalted

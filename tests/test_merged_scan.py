@@ -88,10 +88,10 @@ def test_merged_plan_is_exchange_free_over_data(kv_table):
     plan = _plan(kv_table.scan_merged(start=KEY_PREFIX + 100, stop=KEY_PREFIX + 900))
     # the ONLY exchange is the |shards|-row descriptor's range
     # partitioning; table bytes never cross a shuffle and no Sort node
-    # exists (merge happens inside mapInPandas)
+    # exists (merge happens inside mapInArrow)
     assert plan.count("Exchange") <= 1
     assert "Sort " not in plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
 
 
 def test_merged_rejects_interchange_formats(spark, kv, tmp_path):
