@@ -1,0 +1,63 @@
+"""Task-metrics audit: turn "no table byte crosses a shuffle" from
+prose into recorded data (VERDICT r6 #4).
+
+Spark's AppStatusStore already aggregates per-stage task metrics
+(shuffle bytes written/read, input/output bytes); :class:`ShuffleAudit`
+snapshots those totals before and after an action and reports the
+delta, so any claim of the form "path A moves X bytes through
+Exchange while path B moves ~0" is a measurement, not an argument.
+Works in local and cluster mode alike — the store is fed by the
+listener bus either way, no Spark UI required."""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+
+class ShuffleAudit:
+    """Snapshot-diff of cumulative stage metrics around an action.
+
+    >>> audit = ShuffleAudit(spark)
+    >>> result, m = audit.measure(lambda: df.collect())
+    >>> m["shuffle_write_bytes"], m["input_bytes"]
+
+    The diff is over the store's cumulative per-stage totals, so
+    concurrent foreign jobs on the same session would pollute it —
+    callers serialize their measurements (bench and the audit tool
+    run one action at a time)."""
+
+    FIELDS = (
+        "shuffle_write_bytes",
+        "shuffle_read_bytes",
+        "input_bytes",
+        "output_bytes",
+    )
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._store = spark.sparkContext._jsc.sc().statusStore()
+        jvm = spark.sparkContext._jvm
+        self._empty = jvm.java.util.ArrayList()
+        # Scala default-arg accessors (public in bytecode): stageList's
+        # full signature varies by minor version, the defaults don't lie
+        self._defaults = [
+            getattr(self._store, f"stageList$default${i}")() for i in (2, 3, 4, 5)
+        ]
+
+    def _totals(self) -> dict[str, int]:
+        t = dict.fromkeys(self.FIELDS, 0)
+        it = self._store.stageList(self._empty, *self._defaults).iterator()
+        while it.hasNext():
+            s = it.next()
+            t["shuffle_write_bytes"] += s.shuffleWriteBytes()
+            t["shuffle_read_bytes"] += s.shuffleReadBytes()
+            t["input_bytes"] += s.inputBytes()
+            t["output_bytes"] += s.outputBytes()
+        return t
+
+    def measure(self, fn: Callable[[], Any]) -> tuple[Any, dict[str, int]]:
+        """Run ``fn`` and return ``(fn(), metric deltas)``."""
+        before = self._totals()
+        out = fn()
+        after = self._totals()
+        return out, {k: after[k] - before[k] for k in self.FIELDS}
