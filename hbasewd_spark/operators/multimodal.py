@@ -10,14 +10,16 @@ and uncompressed BMP (:func:`parse_bmp`) are struct-described
 containers parsed with stdlib ``struct`` alone, and 8-bit
 non-interlaced PNG (:func:`parse_png` + :func:`_png_defilter`) is
 stdlib ``struct``+``zlib`` with full five-filter scanline
-reconstruction. Transform codecs (jpeg/webp) get a REAL header-only
-metadata parse (:func:`parse_jpeg_header` — T.81 SOF marker walk;
+reconstruction, and baseline-sequential JPEG is a full numpy codec
+(:mod:`.jpegcodec` — Huffman entropy decode, dequant, vectorized
+IDCT, chroma upsampling; encoder included for roundtrip proof).
+The remaining transform-codec territory gets a REAL header-only
+metadata parse (:func:`parse_jpeg_header` for progressive JPEG;
 :func:`parse_webp_header` — RIFF + VP8/VP8L/VP8X bitstream headers):
-true width/height/channels with no DCT/VP8 work. Their PIXEL decode
-remains a deterministic fake behind a loud ``NotImplementedError``
-seam, because no DCT/VP8 library ships in this container; swapping
-that branch of ``_decode_batch`` for PIL/ffmpeg is a one-function
-change — the distributed plumbing does not move.
+true width/height/channels with no entropy work. WebP/progressive
+PIXEL decode remains behind a loud ``NotImplementedError`` seam;
+swapping that branch of ``_decode_batch`` for PIL/ffmpeg is a
+one-function change — the distributed plumbing does not move.
 
 At 100 TB: payloads dominate bytes, so the rules are (a) never shuffle
 payload columns (project them away before joins/aggs — Spark's column
@@ -417,14 +419,15 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     + :func:`_png_defilter` — stdlib ``struct``+``zlib``, full filter
     reconstruction) emit genuine geometry (channels/bits for audio,
     pixel width/height for images) and payload-only byte stats (BMP
-    row padding and PNG filter tags excluded). jpeg/webp payloads with
-    a well-formed header get REAL geometry too
-    (:func:`parse_jpeg_header` SOF walk / :func:`parse_webp_header`
-    VP8/VP8L/VP8X bitstream headers) with payload-level byte stats;
-    only their PIXEL decode — and malformed bytes under any label —
-    falls back to the deterministic fake, because no DCT/VP8 library
-    ships in this container; ``fake=False`` makes that seam loud
-    instead of silently fake."""
+    row padding and PNG filter tags excluded). Baseline-sequential
+    JPEG is REAL end to end too (:mod:`.jpegcodec` — numpy
+    Huffman+IDCT decode, pixel stats over the raster). Remaining
+    header-only territory: webp (VP8/VP8L entropy decode) and
+    progressive JPEG emit real geometry from
+    :func:`parse_webp_header`/:func:`parse_jpeg_header` with
+    payload-level byte stats. Malformed bytes under any label fall
+    back to the deterministic fake; ``fake=False`` makes the remaining
+    pixel-decode seam loud instead of silently fake."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -432,9 +435,10 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
                 yield _decode_batch(pdf)
             else:
                 raise NotImplementedError(
-                    "real jpeg/webp decoding requires PIL/ffmpeg — not "
-                    "available in this container; use fake=True (WAV, BMP and "
-                    "PNG payloads are still really parsed on that path)"
+                    "webp / progressive-JPEG pixel decoding requires "
+                    "PIL/ffmpeg — not available in this container; use "
+                    "fake=True (WAV, BMP, PNG and baseline JPEG payloads "
+                    "are still really decoded on that path)"
                 )
 
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
@@ -460,6 +464,14 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             if f == "jpeg"
             else parse_webp_header(b) if f == "webp" else None
         )
+        jpx = None
+        if f == "jpeg" and hdr is not None and not hdr["progressive"]:
+            # REAL baseline-sequential pixel decode (jpegcodec.py:
+            # numpy Huffman+IDCT, stdlib-only); progressive keeps the
+            # header-only path
+            from hbasewd_spark.operators.jpegcodec import decode_baseline_jpeg
+
+            jpx = decode_baseline_jpeg(b)
         doc_id.append(did)
         fmt_o.append(f)
         n_bytes.append(len(b))
@@ -482,10 +494,18 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             height.append(bmp["height"])
             byte_sum.append(s)
             mean.append(s / max(n_px, 1))
+        elif jpx is not None:
+            # REAL decoded pixels: stats over the raster, like PNG/BMP
+            s = int(jpx.sum())
+            width.append(hdr["width"])
+            height.append(hdr["height"])
+            byte_sum.append(s)
+            mean.append(s / max(jpx.size, 1))
         elif hdr is not None:
             # real jpeg/webp HEADER geometry (marker/bitstream-header
-            # walk); byte stats stay payload-level — pixel decode is
-            # still behind the loud seam
+            # walk); byte stats stay payload-level — webp pixel decode
+            # (VP8 entropy) is still behind the loud seam, as is
+            # progressive JPEG
             s = sum(b)
             width.append(hdr["width"])
             height.append(hdr["height"])
