@@ -24,7 +24,10 @@ class ShuffleAudit:
     The diff is over the store's cumulative per-stage totals, so
     concurrent foreign jobs on the same session would pollute it —
     callers serialize their measurements (bench and the audit tool
-    run one action at a time)."""
+    run one action at a time). Long sessions can also evict retained
+    stages (spark.ui.retainedStages, default 1000), which would shrink
+    the "before" snapshot and inflate the delta — keep the measured
+    action adjacent to its snapshot, as measure() does."""
 
     FIELDS = (
         "shuffle_write_bytes",
