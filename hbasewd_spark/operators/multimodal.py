@@ -10,13 +10,15 @@ and uncompressed BMP (:func:`parse_bmp`) are struct-described
 containers parsed with stdlib ``struct`` alone, and 8-bit
 non-interlaced PNG (:func:`parse_png` + :func:`_png_defilter`) is
 stdlib ``struct``+``zlib`` with full five-filter scanline
-reconstruction, and baseline-sequential JPEG is a full numpy codec
+reconstruction, baseline-sequential JPEG is a full numpy codec
 (:mod:`.jpegcodec` — Huffman entropy decode, dequant, vectorized
-IDCT, chroma upsampling; encoder included for roundtrip proof).
-The remaining transform-codec territory gets a REAL header-only
-metadata parse (:func:`parse_jpeg_header` for progressive JPEG;
-:func:`parse_webp_header` — RIFF + VP8/VP8L/VP8X bitstream headers):
-true width/height/channels with no entropy work. WebP/progressive
+IDCT, chroma upsampling; encoder included for roundtrip proof), and
+WebP-lossless is a full VP8L codec (:mod:`.vp8lcodec` — canonical
+Huffman trees, LZ77 + 2-D distance map, color cache, meta-Huffman
+groups, all four transforms). The remaining transform-codec territory
+gets a REAL header-only metadata parse (:func:`parse_jpeg_header` for
+progressive JPEG; :func:`parse_webp_header` for lossy VP8/VP8X): true
+width/height/channels with no entropy work. Lossy-VP8/progressive
 PIXEL decode remains behind a loud ``NotImplementedError`` seam;
 swapping that branch of ``_decode_batch`` for PIL/ffmpeg is a
 one-function change — the distributed plumbing does not move.
@@ -420,10 +422,10 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     reconstruction) emit genuine geometry (channels/bits for audio,
     pixel width/height for images) and payload-only byte stats (BMP
     row padding and PNG filter tags excluded). Baseline-sequential
-    JPEG is REAL end to end too (:mod:`.jpegcodec` — numpy
-    Huffman+IDCT decode, pixel stats over the raster). Remaining
-    header-only territory: webp (VP8/VP8L entropy decode) and
-    progressive JPEG emit real geometry from
+    JPEG (:mod:`.jpegcodec`) and lossless WebP (:mod:`.vp8lcodec`)
+    are REAL end to end too — pixel stats over the decoded raster.
+    Remaining header-only territory: lossy-VP8 webp and progressive
+    JPEG emit real geometry from
     :func:`parse_webp_header`/:func:`parse_jpeg_header` with
     payload-level byte stats. Malformed bytes under any label fall
     back to the deterministic fake; ``fake=False`` makes the remaining
@@ -435,10 +437,11 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
                 yield _decode_batch(pdf)
             else:
                 raise NotImplementedError(
-                    "webp / progressive-JPEG pixel decoding requires "
-                    "PIL/ffmpeg — not available in this container; use "
-                    "fake=True (WAV, BMP, PNG and baseline JPEG payloads "
-                    "are still really decoded on that path)"
+                    "lossy-VP8 webp / progressive-JPEG pixel decoding "
+                    "requires PIL/ffmpeg — not available in this "
+                    "container; use fake=True (WAV, BMP, PNG, baseline "
+                    "JPEG and lossless-WebP payloads are still really "
+                    "decoded on that path)"
                 )
 
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
@@ -472,6 +475,12 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             from hbasewd_spark.operators.jpegcodec import decode_baseline_jpeg
 
             jpx = decode_baseline_jpeg(b)
+        elif f == "webp" and hdr is not None and hdr.get("lossless"):
+            # REAL VP8L lossless pixel decode (vp8lcodec.py); lossy
+            # VP8 keeps the header-only path
+            from hbasewd_spark.operators.vp8lcodec import decode_webp
+
+            jpx = decode_webp(b)
         doc_id.append(did)
         fmt_o.append(f)
         n_bytes.append(len(b))
