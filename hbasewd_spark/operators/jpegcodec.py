@@ -1,22 +1,26 @@
-"""Baseline-sequential JPEG codec — numpy + stdlib only.
+"""JPEG codec (baseline sequential + progressive) — numpy + stdlib.
 
 The r6 verdict scoped the multimodal seam to "header-only parse;
 DCT/VP8 entropy decode is not reasonable stdlib work". This module
-closes the JPEG half of that seam anyway: a complete ITU T.81
-baseline-sequential (SOF0) decoder — marker parse, DQT/DHT table
-build, Huffman entropy decode with byte-unstuffing and restart
-markers, dequant + inverse zigzag, vectorized 8x8 IDCT as two numpy
-matmuls, chroma upsampling for arbitrary sampling factors, YCbCr->RGB
-— plus the matching encoder (used by tests for roundtrips and by
-anyone who needs to WRITE images from the engine without PIL).
+closes the JPEG side of that seam anyway: a complete ITU T.81 decoder
+— marker parse, DQT/DHT table build, Huffman entropy decode with
+byte-unstuffing and restart markers, dequant + inverse zigzag,
+vectorized 8x8 IDCT as two numpy matmuls, chroma upsampling for
+arbitrary sampling factors, YCbCr->RGB — plus matching encoders (used
+by tests for roundtrips and by anyone who needs to WRITE images from
+the engine without PIL).
 
 Scope, stated loudly:
-- baseline sequential DCT, 8-bit precision, grayscale or YCbCr
-  (1 or 3 components), any h/v sampling factors up to 2 (covers
-  4:4:4, 4:2:2, 4:2:0), restart intervals: DECODED;
-- progressive (SOF2), arithmetic coding, 12-bit, CMYK/4-component:
-  NOT decoded — :func:`decode_baseline_jpeg` returns ``None`` and the
-  caller keeps the header-only metadata path
+- baseline/extended sequential DCT (SOF0/SOF1), 8-bit, grayscale or
+  YCbCr, any h/v sampling factors up to 4, restart intervals: DECODED;
+- PROGRESSIVE (SOF2, T.81 Annex G): spectral selection AND successive
+  approximation — multi-scan coefficient accumulation, DC/AC first +
+  refinement passes, EOB runs, correction bits: DECODED
+  (:func:`encode_progressive_jpeg` emits both scan-script shapes with
+  per-scan optimal Huffman tables for roundtrip proof);
+- arithmetic coding, 12-bit, CMYK/4-component, hierarchical:
+  NOT decoded — :func:`decode_jpeg` returns ``None`` and the caller
+  keeps the header-only metadata path
   (:func:`multimodal.parse_jpeg_header`).
 
 The hot path is numpy: entropy decode is the only per-symbol Python
@@ -194,15 +198,11 @@ def _magnitude(v: int) -> tuple[int, str]:
     return cat, format(bits, f"0{cat}b")
 
 
-def encode_baseline_jpeg(
-    pixels: np.ndarray, subsample: bool = False, restart_interval: int = 0
-) -> bytes:
-    """Encode an ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8 array
-    as a baseline-sequential JFIF JPEG (Annex K tables, quality ~50).
-    ``subsample=True`` uses 4:2:0 chroma; default 4:4:4.
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs (the error-resilience feature real encoders use for
-    parallel-decodable strips)."""
+def _prepare_blocks(pixels: np.ndarray, subsample: bool):
+    """Shared encoder front end: color convert, subsample, pad, DCT,
+    quantize. Returns (gray, h, w, sampling, tsel, qts, mcus_x,
+    mcus_y, qblocks) where qblocks[ci] is an (bh, bw, 8, 8) int32
+    array of quantized coefficients."""
     px = np.asarray(pixels)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -248,12 +248,6 @@ def encode_baseline_jpeg(
         )
 
     qts = [QUANT_LUMA] + ([] if gray else [QUANT_CHROMA])
-    dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)] + (
-        [] if gray else [_build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
-    )
-    ac_codes = [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS)] + (
-        [] if gray else [_build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
-    )
     tsel = [0] + [1] * (len(comps) - 1)  # component -> table index
 
     # quantized coefficient blocks per component, vectorized
@@ -264,9 +258,31 @@ def encode_baseline_jpeg(
         coef = np.einsum("ij,xyjk,lk->xyil", DCT_A, blocks, DCT_A)
         q = np.round(coef / qts[tsel[ci]]).astype(np.int32)
         qblocks.append(q)
+    return gray, h, w, sampling, tsel, qts, mcus_x, mcus_y, qblocks
+
+
+def encode_baseline_jpeg(
+    pixels: np.ndarray, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """Encode an ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8 array
+    as a baseline-sequential JFIF JPEG (Annex K tables, quality ~50).
+    ``subsample=True`` uses 4:2:0 chroma; default 4:4:4.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (the error-resilience feature real encoders use for
+    parallel-decodable strips)."""
+    gray, h, w, sampling, tsel, qts, mcus_x, mcus_y, qblocks = _prepare_blocks(
+        pixels, subsample
+    )
+    n_comps = len(qblocks)
+    dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)] + (
+        [] if gray else [_build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    )
+    ac_codes = [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS)] + (
+        [] if gray else [_build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    )
 
     bw_ = _BitWriter()
-    pred = [0] * len(comps)
+    pred = [0] * n_comps
     mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -275,9 +291,9 @@ def encode_baseline_jpeg(
                 bw_.out += bytes(
                     [0xFF, 0xD0 + ((mcu_i // restart_interval - 1) % 8)]
                 )
-                pred = [0] * len(comps)
+                pred = [0] * n_comps
             mcu_i += 1
-            for ci in range(len(comps)):
+            for ci in range(n_comps):
                 sh, sv = sampling[ci]
                 for by in range(sv):
                     for bx in range(sh):
@@ -315,8 +331,8 @@ def encode_baseline_jpeg(
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for ti, qt in enumerate(qts):
         out += seg(0xDB, bytes([ti]) + bytes(qt.ravel()[ZIGZAG].astype(np.uint8)))
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
-    for ci in range(len(comps)):
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([n_comps])
+    for ci in range(n_comps):
         sof += bytes([ci + 1, (sampling[ci][0] << 4) | sampling[ci][1], tsel[ci]])
     out += seg(0xC0, sof)
     huffs = [
@@ -334,14 +350,315 @@ def encode_baseline_jpeg(
         out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([len(comps)])
-    for ci in range(len(comps)):
+    sos = bytes([n_comps])
+    for ci in range(n_comps):
         sos += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += bw_.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _optimal_jpeg_table(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
+    """(BITS[1..16], HUFFVAL) for the given symbol histogram — the
+    per-scan optimal-table step every real progressive encoder does
+    (the Annex K example tables lack the EOBn symbols progressive
+    scans emit). A dummy 256 symbol reserves the all-ones code, per
+    the T.81 prohibition (libjpeg does the same)."""
+    import heapq as _hq
+
+    freqs = dict(freqs)
+    freqs[256] = 1  # reserve the all-ones code
+    if len(freqs) == 1:
+        lengths = {next(iter(freqs)): 1}
+    else:
+        damp = 1
+        while True:
+            heap = [(max(f // damp, 1), s, (s,)) for s, f in freqs.items()]
+            _hq.heapify(heap)
+            depths = {s: 0 for s in freqs}
+            while len(heap) > 1:
+                fa, _, la = _hq.heappop(heap)
+                fb, tb, lb = _hq.heappop(heap)
+                for s in la + lb:
+                    depths[s] += 1
+                _hq.heappush(heap, (fa + fb, tb, la + lb))
+            if max(depths.values()) <= 16:
+                lengths = depths
+                break
+            damp *= 4
+    lengths.pop(256, None)
+    bits = [0] * 16
+    order = sorted(lengths, key=lambda s: (lengths[s], s))
+    for s in order:
+        bits[lengths[s] - 1] += 1
+    return bits, order
+
+
+class _ScanOps:
+    """Collects one scan's entropy stream abstractly (Huffman symbols
+    + raw bit strings), so the symbol histogram can drive an optimal
+    table BEFORE serialization."""
+
+    def __init__(self):
+        self.ops: list[tuple[str, object]] = []
+        self.freqs: dict[int, int] = {}
+
+    def sym(self, s: int) -> None:
+        self.ops.append(("s", s))
+        self.freqs[s] = self.freqs.get(s, 0) + 1
+
+    def bits(self, b: str) -> None:
+        if b:
+            self.ops.append(("b", b))
+
+    def serialize(self, table_id_class: list[tuple[int, dict]]) -> bytes:
+        """table_id_class: [(tc_th, codes dict)] — codes for this
+        scan's symbols (a single table in practice)."""
+        codes = table_id_class[0][1]
+        bw_ = _BitWriter()
+        for kind, v in self.ops:
+            if kind == "s":
+                bw_.write(codes[v])
+            else:
+                bw_.write(v)
+        bw_.flush()
+        return bytes(bw_.out)
+
+
+def encode_progressive_jpeg(
+    pixels: np.ndarray, subsample: bool = False, successive: bool = True
+) -> bytes:
+    """Encode as PROGRESSIVE JPEG (SOF2). Scan script with
+    ``successive=True`` (the common libjpeg shape): interleaved DC at
+    Al=1, DC refinement to Al=0, then per component a full AC band
+    (Ss=1..63) at Al=1 and its refinement to Al=0 — exercising
+    spectral selection, successive approximation, EOB runs, and
+    correction bits. ``successive=False`` emits spectral selection
+    only (Ah=Al=0 everywhere). Each entropy-coded scan carries its own
+    optimal Huffman table in a preceding DHT (the Annex K tables have
+    no EOBn symbols, so progressive REQUIRES per-scan tables — same as
+    libjpeg's forced optimal-table mode)."""
+    gray, h, w, sampling, tsel, qts, mcus_x, mcus_y, qblocks = _prepare_blocks(
+        pixels, subsample
+    )
+    n_comps = len(qblocks)
+    # zigzag-ordered coefficient vectors per component
+    zz = []
+    for ci in range(n_comps):
+        q = qblocks[ci]
+        flatblocks = q.reshape(q.shape[0], q.shape[1], 64)
+        zz.append(flatblocks[..., ZIGZAG])
+    # used (non-padded) grids: progressive non-interleaved scans walk
+    # only real blocks
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    used = []
+    for ci in range(n_comps):
+        sh, sv = sampling[ci]
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        used.append((-(-ch // 8), -(-cw // 8)))
+
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    used = []
+    for ci in range(n_comps):
+        sh, sv = sampling[ci]
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        used.append((-(-ch // 8), -(-cw // 8)))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, qt in enumerate(qts):
+        out += seg(0xDB, bytes([ti]) + bytes(qt.ravel()[ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([n_comps])
+    for ci in range(n_comps):
+        sof += bytes([ci + 1, (sampling[ci][0] << 4) | sampling[ci][1], tsel[ci]])
+    out += seg(0xC2, sof)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])  # all scans use table id 0
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    def emit_scan(ops: _ScanOps, comp_ids, ss, se, ah, al, tc) -> bytes:
+        """[DHT (optimal, id 0)] + [SOS] + entropy bytes."""
+        chunk = bytearray()
+        if ops.freqs:  # refinement-only scans may use no symbols
+            bits, vals = _optimal_jpeg_table(ops.freqs)
+            chunk += seg(0xC4, bytes([(tc << 4) | 0]) + bytes(bits) + bytes(vals))
+            codes = _build_codes(bits, vals)
+        else:
+            codes = {}
+        chunk += sos_header(comp_ids, ss, se, ah, al)
+        chunk += ops.serialize([(0, codes)])
+        return bytes(chunk)
+
+    def dc_first_scan(al):
+        ops = _ScanOps()
+        pred = [0] * n_comps
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(n_comps):
+                    sh, sv = sampling[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            dc = int(zz[ci][my * sv + by, mx * sh + bx, 0]) >> al
+                            diff = dc - pred[ci]
+                            pred[ci] = dc
+                            cat, mb = _magnitude(diff)
+                            ops.sym(cat)
+                            ops.bits(mb)
+        return ops
+
+    def dc_refine_scan(al):
+        ops = _ScanOps()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(n_comps):
+                    sh, sv = sampling[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            bit = (int(zz[ci][my * sv + by, mx * sh + bx, 0]) >> al) & 1
+                            ops.bits("1" if bit else "0")
+        return ops
+
+    def ac_first_scan(ci, al):
+        ops = _ScanOps()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                ops.sym(nbits << 4)
+                if nbits:
+                    ops.bits(format(eobrun - (1 << nbits), f"0{nbits}b"))
+                eobrun = 0
+
+        uh, uw = used[ci]
+        for by in range(uh):
+            for bx in range(uw):
+                blk = zz[ci][by, bx]
+                vals = [
+                    (1 if int(v) >= 0 else -1) * (abs(int(v)) >> al)
+                    for v in blk[1:64]
+                ]
+                nz = [k for k, v in enumerate(vals) if v]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(nz[-1] + 1):
+                    v = vals[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ops.sym(0xF0)
+                        run -= 16
+                    cat, mb = _magnitude(v)
+                    ops.sym((run << 4) | cat)
+                    ops.bits(mb)
+                    run = 0
+                if nz[-1] + 1 < 63:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return ops
+
+    def ac_refine_scan(ci, al):
+        # T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine. Two correction-
+        # bit buffers with DIFFERENT flush points: `be` (bits owed to
+        # the pending EOB run, flushed right after the EOBn symbol, in
+        # block order) and `br` (current block's bits since the last
+        # emitted symbol, flushed right after that symbol+sign — the
+        # decoder reads them while advancing over nonzero-history
+        # positions).
+        ops = _ScanOps()
+        eobrun = 0
+        be: list[str] = []
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                ops.sym(nbits << 4)
+                if nbits:
+                    ops.bits(format(eobrun - (1 << nbits), f"0{nbits}b"))
+                eobrun = 0
+                for bit in be:
+                    ops.bits(bit)
+                be.clear()
+
+        uh, uw = used[ci]
+        for by in range(uh):
+            for bx in range(uw):
+                blk = zz[ci][by, bx]
+                absv = [abs(int(v)) >> al for v in blk]
+                eob = 0
+                for k in range(1, 64):
+                    if absv[k] == 1:
+                        eob = k
+                run = 0
+                br: list[str] = []
+                for k in range(1, 64):
+                    t = absv[k]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eob:
+                        flush_eob()
+                        ops.sym(0xF0)
+                        for bit in br:
+                            ops.bits(bit)
+                        br = []
+                        run -= 16
+                    if t > 1:
+                        br.append("1" if t & 1 else "0")
+                        continue
+                    flush_eob()
+                    ops.sym((run << 4) | 1)
+                    ops.bits("0" if int(blk[k]) < 0 else "1")
+                    for bit in br:
+                        ops.bits(bit)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    eobrun += 1
+                    be.extend(br)
+                    if eobrun == 0x7FFF or len(be) > 900:
+                        flush_eob()
+        flush_eob()
+        return ops
+
+    all_ids = list(range(1, n_comps + 1))
+    if successive:
+        out += emit_scan(dc_first_scan(1), all_ids, 0, 0, 0, 1, tc=0)
+        out += emit_scan(dc_refine_scan(0), all_ids, 0, 0, 1, 0, tc=0)
+        for ci in range(n_comps):
+            out += emit_scan(ac_first_scan(ci, 1), [ci + 1], 1, 63, 0, 1, tc=1)
+        for ci in range(n_comps):
+            out += emit_scan(ac_refine_scan(ci, 0), [ci + 1], 1, 63, 1, 0, tc=1)
+    else:
+        out += emit_scan(dc_first_scan(0), all_ids, 0, 0, 0, 0, tc=0)
+        for ci in range(n_comps):
+            out += emit_scan(ac_first_scan(ci, 0), [ci + 1], 1, 63, 0, 0, tc=1)
+    out += b"\xff\xd9"
+    return bytes(out)
+
 
 
 # ------------------------------------------------------------- decoder
@@ -439,16 +756,22 @@ JPEG_MAX_PIXELS = 1 << 24
 def decode_baseline_jpeg(
     b: bytes, max_pixels: int = JPEG_MAX_PIXELS
 ) -> np.ndarray | None:
-    """Decode a baseline-sequential JPEG to an ``(h, w)`` grayscale or
-    ``(h, w, 3)`` RGB uint8 array. Returns ``None`` for anything
-    outside the supported envelope (progressive, arithmetic, 12-bit,
-    4 components, rasters past ``max_pixels``, malformed streams) —
+    """Decode a baseline-sequential OR progressive JPEG to an
+    ``(h, w)`` grayscale or ``(h, w, 3)`` RGB uint8 array. Returns
+    ``None`` for anything outside the supported envelope (arithmetic,
+    12-bit, 4 components, rasters past ``max_pixels``, malformed) —
     callers keep the header-only metadata path in that case, never
     crash."""
     try:
         return _decode(b, max_pixels)
     except (ValueError, EOFError, IndexError, KeyError, struct.error):
         return None
+
+
+# the decoder grew past its original name (it handles progressive
+# too); decode_jpeg is the honest public spelling, the old name stays
+# as an alias for the existing call sites
+decode_jpeg = decode_baseline_jpeg
 
 
 def _decode(b: bytes, max_pixels: int) -> np.ndarray | None:
@@ -459,7 +782,7 @@ def _decode(b: bytes, max_pixels: int) -> np.ndarray | None:
     frame = None
     restart = 0
     i = 2
-    while i + 4 <= len(b):
+    while i + 2 <= len(b):
         if b[i] != 0xFF:
             return None
         while i < len(b) and b[i] == 0xFF:
@@ -470,8 +793,10 @@ def _decode(b: bytes, max_pixels: int) -> np.ndarray | None:
         i += 1
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:
-            return None  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if frame is not None and frame.get("prog") and frame.get("scanned"):
+                return _reconstruct(frame, qts, frame["hmax"], frame["vmax"])
+            return None  # EOI before any (complete) scan
         seglen = int.from_bytes(b[i : i + 2], "big")
         if seglen < 2 or i + seglen > len(b):
             return None
@@ -501,7 +826,7 @@ def _decode(b: bytes, max_pixels: int) -> np.ndarray | None:
                 vals = list(body[j + 17 : j + 17 + n])
                 huff[(tc, th)] = _build_decode_map(bits, vals)
                 j += 17 + n
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             prec = body[0]
             if prec != 8:
                 return None
@@ -518,24 +843,212 @@ def _decode(b: bytes, max_pixels: int) -> np.ndarray | None:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            return None  # progressive/arithmetic/lossless: unsupported
+            frame = {"w": w, "h": h, "comps": comps, "prog": marker == 0xC2}
+            if frame["prog"]:
+                # progressive accumulates coefficients across scans:
+                # allocate the grids up front
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
+                    return None
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                frame.update(
+                    hmax=hmax, vmax=vmax, mcus_x=mcus_x, mcus_y=mcus_y
+                )
+                for c in comps:
+                    c["bw"] = mcus_x * c["h"]
+                    c["bh"] = mcus_y * c["v"]
+                    # non-interleaved scans walk only the USED grid
+                    cw = -(-w * c["h"] // hmax)
+                    ch = -(-h * c["v"] // vmax)
+                    c["uw"] = -(-cw // 8)
+                    c["uh"] = -(-ch // 8)
+                    c["coef"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int32)
+                    c["dc_pred"] = 0
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # arithmetic/lossless/hierarchical: unsupported
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
             ns = body[0]
-            sel = {}
+            if not frame["prog"]:
+                sel = {}
+                for s in range(ns):
+                    cs, tt = body[1 + 2 * s : 3 + 2 * s]
+                    sel[cs] = (tt >> 4, tt & 0x0F)
+                return _decode_scan(
+                    b, i + seglen, frame, sel, qts, huff, restart
+                )
+            by_id = {c["id"]: c for c in frame["comps"]}
+            scomps = []
             for s in range(ns):
                 cs, tt = body[1 + 2 * s : 3 + 2 * s]
-                sel[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(
-                b, i + seglen, frame, sel, qts, huff, restart
+                if cs not in by_id:
+                    return None
+                scomps.append((by_id[cs], tt >> 4, tt & 0x0F))
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            i = _progressive_scan(
+                b, i + seglen, frame, scomps, ss, se, a >> 4, a & 0x0F,
+                huff, restart,
             )
+            frame["scanned"] = True
+            continue
         i += seglen
     return None
+
+
+def _progressive_scan(b, pos, frame, scomps, ss, se, ah, al, huff, restart):
+    """One progressive scan (T.81 G.2): DC or AC band, first pass or
+    successive-approximation refinement. Updates the frame's
+    coefficient grids in place and returns the stream offset of the
+    terminating marker (the 0xFF byte)."""
+    br = _BitReader(b, pos)
+    interleaved = len(scomps) > 1
+    eobrun = 0
+
+    def check_restart(unit_i):
+        nonlocal eobrun
+        if restart and unit_i and unit_i % restart == 0:
+            br.sync_restart()
+            for c, _, _ in scomps:
+                c["dc_pred"] = 0
+            eobrun = 0
+
+    if ss == 0:  # ---------------------------------------- DC scan
+        if se != 0:
+            raise ValueError("DC scan must have Se == 0")
+        dmaps = {}
+        for c, td, _ in scomps:
+            if ah == 0:
+                if (0, td) not in huff:
+                    raise ValueError("missing DC table")
+                dmaps[c["id"]] = huff[(0, td)]
+            if ah == 0:
+                c["dc_pred"] = 0
+
+        def dc_block(c, by, bx):
+            blk = c["coef"][by, bx]
+            if ah == 0:
+                cat = _huff_decode(br, dmaps[c["id"]])
+                diff = _extend(br.read_bits(cat), cat) if cat else 0
+                c["dc_pred"] += diff
+                blk[0] = c["dc_pred"] << al
+            else:
+                if br.read_bits(1):
+                    blk[0] |= 1 << al
+
+        if interleaved:
+            unit = 0
+            for my in range(frame["mcus_y"]):
+                for mx in range(frame["mcus_x"]):
+                    check_restart(unit)
+                    for c, _, _ in scomps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(c, my * c["v"] + by, mx * c["h"] + bx)
+                    unit += 1
+        else:
+            c = scomps[0][0]
+            unit = 0
+            for by in range(c["uh"]):
+                for bx in range(c["uw"]):
+                    check_restart(unit)
+                    dc_block(c, by, bx)
+                    unit += 1
+        return _skip_to_marker(br)
+
+    # --------------------------------------------------- AC scan
+    if interleaved:
+        raise ValueError("AC scans must be non-interleaved")
+    c, _, ta = scomps[0]
+    if (1, ta) not in huff:
+        raise ValueError("missing AC table")
+    amap = huff[(1, ta)]
+    p1, m1 = 1 << al, -1 << al
+    unit = 0
+    for by in range(c["uh"]):
+        for bx in range(c["uw"]):
+            check_restart(unit)
+            unit += 1
+            blk = c["coef"][by, bx]
+            if ah == 0:  # ------------------------- AC first pass
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(br, amap)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index past band end")
+                    blk[k] = _extend(br.read_bits(s), s) << al
+                    k += 1
+                continue
+            # --------------------------- AC refinement (T.81 G.2.2)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(br, amap)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        # r == 15: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError("refinement magnitude != 1")
+                        val = p1 if br.read_bits(1) else m1
+                    while k <= se:
+                        if blk[k] != 0:
+                            if br.read_bits(1) and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val:
+                        if k > se:
+                            raise ValueError("refinement run past band")
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                # correction bits for the rest of the band, then this
+                # block consumes one unit of the EOB run
+                while k <= se:
+                    if blk[k] != 0:
+                        if br.read_bits(1) and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+    return _skip_to_marker(br)
+
+
+def _skip_to_marker(br: _BitReader) -> int:
+    """Offset of the 0xFF opening the next real marker after the
+    entropy data (skipping stuffed bytes and pad bits)."""
+    d, p = br.data, br.pos
+    while p < len(d):
+        if d[p] == 0xFF and p + 1 < len(d) and d[p + 1] != 0x00:
+            return p
+        p += 1
+    return p
 
 
 def _decode_scan(b, pos, frame, sel, qts, huff, restart):
@@ -593,7 +1106,14 @@ def _decode_scan(b, pos, frame, sel, qts, huff, restart):
                         c["coef"][my * c["v"] + by, mx * c["h"] + bx] = zz
             mcu_i += 1
 
-    # dequant + unzigzag + IDCT, vectorized per component
+    return _reconstruct(frame, qts, hmax, vmax)
+
+
+def _reconstruct(frame, qts, hmax, vmax):
+    """dequant + unzigzag + IDCT over each component's coefficient
+    grid, chroma upsampling, YCbCr->RGB — shared by the baseline and
+    progressive paths."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
     planes = []
     for c in comps:
         # c["coef"][..., k] is the k-th ZIGZAG coefficient; scatter to

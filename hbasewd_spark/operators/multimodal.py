@@ -15,11 +15,12 @@ reconstruction, baseline-sequential JPEG is a full numpy codec
 IDCT, chroma upsampling; encoder included for roundtrip proof), and
 WebP-lossless is a full VP8L codec (:mod:`.vp8lcodec` — canonical
 Huffman trees, LZ77 + 2-D distance map, color cache, meta-Huffman
-groups, all four transforms). The remaining transform-codec territory
-gets a REAL header-only metadata parse (:func:`parse_jpeg_header` for
-progressive JPEG; :func:`parse_webp_header` for lossy VP8/VP8X): true
-width/height/channels with no entropy work. Lossy-VP8/progressive
-PIXEL decode remains behind a loud ``NotImplementedError`` seam;
+groups, all four transforms). JPEG covers baseline AND
+progressive (spectral selection + successive approximation). The one
+remaining transform codec, lossy VP8, gets a REAL header-only
+metadata parse (:func:`parse_webp_header`): true
+width/height/channels with no entropy work. Its PIXEL decode remains
+behind a loud ``NotImplementedError`` seam;
 swapping that branch of ``_decode_batch`` for PIL/ffmpeg is a
 one-function change — the distributed plumbing does not move.
 
@@ -437,11 +438,11 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
                 yield _decode_batch(pdf)
             else:
                 raise NotImplementedError(
-                    "lossy-VP8 webp / progressive-JPEG pixel decoding "
-                    "requires PIL/ffmpeg — not available in this "
-                    "container; use fake=True (WAV, BMP, PNG, baseline "
-                    "JPEG and lossless-WebP payloads are still really "
-                    "decoded on that path)"
+                    "lossy-VP8 webp pixel decoding requires PIL/ffmpeg "
+                    "— not available in this container; use fake=True "
+                    "(WAV, BMP, PNG, baseline+progressive JPEG and "
+                    "lossless-WebP payloads are still really decoded "
+                    "on that path)"
                 )
 
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
@@ -468,13 +469,12 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             else parse_webp_header(b) if f == "webp" else None
         )
         jpx = None
-        if f == "jpeg" and hdr is not None and not hdr["progressive"]:
-            # REAL baseline-sequential pixel decode (jpegcodec.py:
-            # numpy Huffman+IDCT, stdlib-only); progressive keeps the
-            # header-only path
-            from hbasewd_spark.operators.jpegcodec import decode_baseline_jpeg
+        if f == "jpeg" and hdr is not None:
+            # REAL pixel decode, baseline AND progressive
+            # (jpegcodec.py: numpy Huffman+IDCT, stdlib-only)
+            from hbasewd_spark.operators.jpegcodec import decode_jpeg
 
-            jpx = decode_baseline_jpeg(b)
+            jpx = decode_jpeg(b)
         elif f == "webp" and hdr is not None and hdr.get("lossless"):
             # REAL VP8L lossless pixel decode (vp8lcodec.py); lossy
             # VP8 keeps the header-only path
@@ -511,10 +511,9 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             byte_sum.append(s)
             mean.append(s / max(jpx.size, 1))
         elif hdr is not None:
-            # real jpeg/webp HEADER geometry (marker/bitstream-header
-            # walk); byte stats stay payload-level — webp pixel decode
-            # (VP8 entropy) is still behind the loud seam, as is
-            # progressive JPEG
+            # real HEADER geometry (lossy-VP8 webp — the one codec
+            # whose pixel decode stays behind the loud seam); byte
+            # stats stay payload-level
             s = sum(b)
             width.append(hdr["width"])
             height.append(hdr["height"])

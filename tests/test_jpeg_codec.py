@@ -1,5 +1,5 @@
-"""Baseline JPEG codec (jpegcodec.py): roundtrip proofs, envelope
-rejections, and the _decode_batch real-pixel branch.
+"""JPEG codec (jpegcodec.py), baseline + progressive: roundtrip
+proofs, envelope rejections, and the _decode_batch real-pixel branch.
 
 No image library exists in this container, so correctness is
 established the same way the PNG codec's was: a matching encoder,
@@ -120,7 +120,9 @@ def test_envelope_rejections_return_none():
     assert decode_baseline_jpeg(good[:60]) is None  # truncated pre-SOS
     assert decode_baseline_jpeg(good[:-20]) is None  # truncated entropy
     prog = bytearray(good)
-    prog[prog.find(b"\xff\xc0") + 1] = 0xC2  # progressive: unsupported
+    # flipping SOF0->SOF2 makes the baseline scan MALFORMED progressive
+    # (a DC scan must have Se == 0, this one declares Se = 63)
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
     assert decode_baseline_jpeg(bytes(prog)) is None
     twelve = bytearray(good)
     i = twelve.find(b"\xff\xc0")
@@ -161,3 +163,82 @@ def test_decode_batch_uses_real_jpeg_pixels():
     assert out.loc[1, "byte_sum"] == int(ref.sum())
     assert out.loc[1, "mean_luma"] == pytest.approx(ref.sum() / ref.size)
     assert out.loc[1, "byte_sum"] != sum(b)  # pixels, not payload bytes
+
+
+# ------------------------------------------------- progressive (SOF2)
+def test_progressive_decodes_identical_to_baseline():
+    """Progressive transmission reorders the SAME quantized
+    coefficients — decode must be bit-identical to the baseline
+    encoding of the same image, for both scan-script shapes."""
+    from hbasewd_spark.operators.jpegcodec import encode_progressive_jpeg
+
+    img = gradient(24, 33)
+    base = decode_baseline_jpeg(encode_baseline_jpeg(img))
+    for successive in (False, True):
+        b = encode_progressive_jpeg(img, successive=successive)
+        hdr = parse_jpeg_header(b)
+        assert hdr["progressive"] is True
+        out = decode_baseline_jpeg(b)
+        assert out is not None and (out == base).all(), f"successive={successive}"
+
+
+def test_progressive_successive_approximation_paths():
+    """Noise maximizes refinement traffic (every AC magnitude parity
+    is a correction bit); 4:2:0 adds non-interleaved chroma grids;
+    grayscale covers the single-component script."""
+    from hbasewd_spark.operators.jpegcodec import encode_progressive_jpeg
+
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    assert (
+        decode_baseline_jpeg(encode_progressive_jpeg(noise))
+        == decode_baseline_jpeg(encode_baseline_jpeg(noise))
+    ).all()
+    img = gradient(35, 50)
+    assert (
+        decode_baseline_jpeg(encode_progressive_jpeg(img, subsample=True))
+        == decode_baseline_jpeg(encode_baseline_jpeg(img, subsample=True))
+    ).all()
+    gray = (np.mgrid[0:20, 0:31][0] * 255 // 19).astype(np.uint8)
+    assert (
+        decode_baseline_jpeg(encode_progressive_jpeg(gray))
+        == decode_baseline_jpeg(encode_baseline_jpeg(gray))
+    ).all()
+
+
+def test_progressive_sparse_and_flat_eob_runs():
+    """Images whose AC bands are almost all zero drive long EOB runs
+    (the (1<<r)+extra accumulation) through both encoder and decoder."""
+    from hbasewd_spark.operators.jpegcodec import encode_progressive_jpeg
+
+    flat = np.full((40, 48, 3), 128, np.uint8)
+    assert (
+        decode_baseline_jpeg(encode_progressive_jpeg(flat))
+        == decode_baseline_jpeg(encode_baseline_jpeg(flat))
+    ).all()
+    sparse = np.full((40, 48), 100, np.uint8)
+    sparse[8, 8] = 255  # one impulse -> one busy block among many EOBs
+    assert (
+        decode_baseline_jpeg(encode_progressive_jpeg(sparse))
+        == decode_baseline_jpeg(encode_baseline_jpeg(sparse))
+    ).all()
+
+
+def test_progressive_decode_batch_branch():
+    """decode_media's jpeg branch decodes progressive payloads for
+    real now (the r6 header-only fallback is gone for SOF2)."""
+    from hbasewd_spark.operators.jpegcodec import decode_jpeg, encode_progressive_jpeg
+
+    img = gradient(16, 21)
+    b = encode_progressive_jpeg(img)
+    ref = decode_jpeg(b)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "payload": [b],
+            "meta": [{"format": "jpeg", "n_bytes": len(b), "source": "t"}],
+        }
+    )
+    out = _decode_batch(pdf).set_index("doc_id")
+    assert (out.loc[1, "width"], out.loc[1, "height"]) == (21, 16)
+    assert out.loc[1, "byte_sum"] == int(ref.sum())
