@@ -35,6 +35,10 @@ from hbasewd_spark.sources.salted_table import (
 
 import contextlib
 
+# stage-integrity manifest, written into the staging dir after the
+# epoch's files land and verified under the commit lock (ADVICE r7)
+STAGE_MANIFEST = "_stage_manifest.json"
+
 
 @contextlib.contextmanager
 def _epoch_commit_lock(
@@ -54,12 +58,27 @@ def _epoch_commit_lock(
     dir is preserved and foreachBatch's replay makes the retry safe.
     A dest without table metadata (bare salt-dir sink, nothing a
     lifecycle verb could target) runs unlocked, same rule as
-    ``SaltedTable._lifecycle_lock``."""
+    ``SaltedTable._lifecycle_lock``.
+
+    Two windows the poll loop must NOT race through (ADVICE r7):
+    the table may be MID-SWAP (a verb renamed ``base`` aside and has
+    not yet renamed its staged replacement in). In that window the
+    metadata file is absent — but treating it like a bare sink and
+    running unlocked (or recreating the lock path, which would
+    resurrect an empty ``base`` dir under the verb's feet) corrupts
+    the swap. So: the bare-sink classification happens ONCE up front,
+    and only when no ``base.old`` aside-copy exists; and every poll
+    iteration re-checks that the metadata file still exists before
+    retrying the create — if the table vanished mid-wait, keep
+    polling until the swap completes (meta reappears) or the deadline
+    raises."""
     import json as _json
     import time as _time
 
     base = dest_path.rstrip("/")
-    if not fs.exists(base + "/" + META_FILE):
+    meta = base + "/" + META_FILE
+    aside = base + ".old"
+    if not fs.exists(meta) and not fs.exists(aside):
         yield
         return
     lock = base + "/" + SaltedTable.LOCK_FILE
@@ -67,12 +86,19 @@ def _epoch_commit_lock(
         {"verb": f"stream-epoch-{epoch_id}", "pid": os.getpid()}
     )
     deadline = _time.monotonic() + timeout_s
-    while not fs.create_atomic(lock, holder):
+
+    def _acquire() -> bool:
+        # creating the lock while the table dir is mid-swap would
+        # recreate an empty base the verb then renames INTO — only
+        # attempt the create while the table metadata is live
+        return fs.exists(meta) and fs.create_atomic(lock, holder)
+
+    while not _acquire():
         if _time.monotonic() >= deadline:
             try:
                 who = fs.read_text(lock)
             except Exception:
-                who = "<unreadable>"
+                who = "<mid-swap: no table metadata>"
             raise RuntimeError(
                 f"epoch {epoch_id}: lifecycle lock still held after "
                 f"{timeout_s}s ({who}); stage preserved — the epoch replay "
@@ -140,20 +166,58 @@ def idempotent_salted_batch_write(
 
     All path operations go through Hadoop's FileSystem (works on any
     scheme Spark can write to, not just the local disk). Staging dirs
-    start with '.' so Spark's file listing never sees partial output."""
+    start with '.' so Spark's file listing never sees partial output.
+
+    The stage dir lives INSIDE the table dir, and the staging write
+    runs OUTSIDE the lifecycle lock — so a lifecycle verb (compact /
+    expire / rebucket) that wins the lock between the stage write and
+    this commit can swap ``base -> base.old`` and delete the aside
+    copy, destroying the stage (ADVICE r7, medium). The commit
+    therefore verifies a stage MANIFEST (written at stage time, listing
+    every staged file) after acquiring the lock: if the stage or any
+    staged file is gone, it raises so foreachBatch REPLAYS the epoch —
+    a silent zero-file commit would lose the epoch's data with no
+    replay, since Spark's checkpoint considers the epoch done."""
     out = (
         salted(batch_df, distributor, key_col)
         .repartition(distributor.buckets, F.col(SALT_COL))
         .sortWithinPartitions(SALT_COL, key_col)
     )
+    import json as _json
+
     fs = _Fs(batch_df.sparkSession, dest_path)
     stage = dest_path.rstrip("/") + f"/.staging-epoch-{epoch_id}"
     fs.delete(stage, recursive=True)
     out.write.mode("overwrite").partitionBy(SALT_COL).parquet(stage)
+    staged_files = sorted(fs.glob(f"{stage}/{SALT_COL}=*/*.parquet"))
+    fs.write_text(
+        stage + "/" + STAGE_MANIFEST, _json.dumps({"files": staged_files})
+    )
     # COMMIT phase under the lifecycle lock: purge + renames are
     # all-metadata (milliseconds) — the expensive write above stays
     # outside the critical section
     with _epoch_commit_lock(fs, dest_path, epoch_id, lock_timeout_s):
+        # the lock is held NOW — but a verb may have held it first and
+        # swapped the table dir (taking the stage with it): verify the
+        # manifest and every staged file survived before touching the
+        # live tree, else raise so the epoch replays
+        try:
+            manifest = _json.loads(fs.read_text(stage + "/" + STAGE_MANIFEST))
+        except Exception:
+            raise RuntimeError(
+                f"epoch {epoch_id}: stage manifest {stage}/{STAGE_MANIFEST} "
+                f"is missing or unreadable — a lifecycle verb swapped the "
+                f"table dir between stage and commit; raising so the epoch "
+                f"replays"
+            )
+        gone = [f for f in manifest["files"] if not fs.exists(f)]
+        if gone:
+            raise RuntimeError(
+                f"epoch {epoch_id}: {len(gone)} staged file(s) vanished "
+                f"before commit (first: {gone[0]}) — a lifecycle verb "
+                f"swapped the table dir between stage and commit; raising "
+                f"so the epoch replays"
+            )
         for stale in fs.glob(
             f"{dest_path.rstrip('/')}/{SALT_COL}=*/epoch-{epoch_id:010d}-*.parquet"
         ):
