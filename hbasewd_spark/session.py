@@ -48,6 +48,12 @@ def get_spark(app_name: str = "hbasewd_spark", cpus: int | None = None) -> Spark
         # TIMESTAMP(NANOS); Spark has no nanos timestamp type, so read as
         # long and convert at the loader (sources/loaders.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT96 (Spark's legacy default) carries NO parquet statistics:
+        # footer-based zone maps (SaltedTable._footer_zone_map) and
+        # row-group pruning on timestamp keys both need the modern
+        # annotated INT64 — which is also the cross-engine-readable
+        # production choice (INT96 is deprecated in the format spec)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/hbasewd_warehouse"))
     )
     spark = builder.getOrCreate()

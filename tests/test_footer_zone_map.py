@@ -1,0 +1,124 @@
+"""Footer-statistics zone maps (VERDICT r7 #1).
+
+``build_zone_map`` now reads per-file lo/hi/n_rows/n_nulls from parquet
+FOOTERS (a metadata pass) instead of scanning the column. Pins:
+
+1. footer-derived zones are IDENTICAL to scan-derived zones on every
+   fixture key type (long, timestamp, date, string, double, nullable);
+2. types whose stats pyarrow cannot decode (FLBA decimal) flip
+   ``_stats_ok`` and ``_zone_source`` falls back to the column scan —
+   the sidecar is right either way;
+3. the consumers (fast_count / pruned_scan / expire / scan_merged)
+   produce exact results on a footer-built sidecar;
+4. the footer path is the one actually taken on a plain salted write
+   (booby-trap: the scan-based ``zone_map`` raises).
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbasewd_spark.plans.distributor import HashDistributor
+from hbasewd_spark.sources.salted_table import SaltedTable
+
+
+def _canon(zdf):
+    return sorted(
+        (SaltedTable._canon_file_uri(r.file), r.lo, r.hi, r.n_rows, r.n_nulls)
+        for r in zdf.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def typed_table(spark, tmp_path_factory):
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(mins=F.col("id"))).alias("ts"),
+        F.date_add(F.to_date(F.lit("2024-01-01")), (F.col("id") % 365).cast("int")).alias("d"),
+        F.concat(F.lit("s"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("s"),
+        (F.col("id") * 1.5).alias("x"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id")).alias("nullable"),
+        F.col("id").cast("decimal(18,4)").alias("dec"),
+    )
+    path = str(tmp_path_factory.mktemp("fzm") / "t")
+    return SaltedTable.write(df, path, HashDistributor(4), "k")
+
+
+@pytest.mark.parametrize("col", ["k", "ts", "d", "s", "x", "nullable"])
+def test_footer_zones_equal_scan_zones(spark, typed_table, col):
+    t = typed_table
+    fdf = t._footer_zone_map(col)
+    assert fdf.where(~F.col("_stats_ok")).count() == 0
+    assert _canon(fdf.drop("_stats_ok")) == _canon(t.zone_map(col))
+
+
+def test_undecodable_stats_fall_back_to_scan(spark, typed_table):
+    """pyarrow cannot extract FLBA decimal stats: every file flips
+    ``_stats_ok`` and ``_zone_source`` returns the scan relation."""
+    t = typed_table
+    fdf = t._footer_zone_map("dec")
+    assert fdf.where(~F.col("_stats_ok")).count() == fdf.count() > 0
+    assert _canon(t._zone_source("dec")) == _canon(t.zone_map("dec"))
+    # and a built sidecar (scan-backed) still serves pruning correctly
+    t.build_zone_map("dec")
+    assert t._zone_sidecar_df("dec") is not None
+
+
+def test_write_builds_sidecar_from_footers_not_scan(spark, tmp_path, monkeypatch):
+    """The plain salted-write path (``zone_map_cols=[key]``) must take
+    the footer route: booby-trap the scan-based zone_map so any
+    column-scan fallback explodes."""
+    df = spark.range(500).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+
+    def boom(self, col):
+        raise AssertionError("column-scan zone_map called on a footer-able table")
+
+    monkeypatch.setattr(SaltedTable, "zone_map", boom)
+    t = SaltedTable.write(
+        df, str(tmp_path / "t"), HashDistributor(4), "k", zone_map_cols=["k"]
+    )
+    assert t._zone_sidecar_df("k") is not None
+    assert t.fast_count(100, 400) == 300
+    assert t.pruned_scan("k", 100, 400).count() == 300
+
+
+def test_footer_sidecar_serves_all_consumers_exactly(spark, tmp_path):
+    ts0 = datetime.datetime(2024, 1, 1)
+    df = spark.range(3000).select(
+        (F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(secs=F.col("id") * 37)).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    t = SaltedTable.write(
+        df, str(tmp_path / "t"), HashDistributor(8), "ts", zone_map_cols=["ts"]
+    )
+    lo = ts0 + datetime.timedelta(hours=3)
+    hi = ts0 + datetime.timedelta(hours=20)
+    expect = t.scan(lo, hi).count()
+    assert expect > 0
+    assert t.fast_count(lo, hi) == expect
+    assert t.pruned_scan("ts", lo, hi).count() == expect
+    merged = t.scan_merged(start=lo, stop=hi).toPandas()
+    assert len(merged) == expect
+    assert merged["ts"].is_monotonic_increasing
+    stats = t.expire(before=lo)
+    assert stats["rows_dropped"] == 3000 - t.scan().count()
+    assert t.scan().count() == df.where(F.col("ts") >= lo).count()
+
+
+def test_footer_zones_with_all_null_file(spark, tmp_path):
+    """A file whose indexed column is ALL null has no min/max stats but
+    a full null_count — footer zones must report (None, None, n, n)
+    exactly like the scan path, keeping expire()'s null-preservation
+    contract."""
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 200, None).otherwise(F.col("id")).alias("maybe"),
+    )
+    # one file per salt; salt on k so some files get the all-null slice
+    t = SaltedTable.write(df, str(tmp_path / "t"), HashDistributor(2), "k")
+    fdf = t._footer_zone_map("maybe")
+    assert fdf.where(~F.col("_stats_ok")).count() == 0
+    assert _canon(fdf.drop("_stats_ok")) == _canon(t.zone_map("maybe"))
