@@ -780,6 +780,86 @@ class SaltedTable:
             self.build_zone_map(c)
         return cols
 
+    def maintain_sidecars_incremental(
+        self,
+        pre_sig: list,
+        removed_files: list[str],
+        added_files: list[str],
+    ) -> list[str]:
+        """Keep zone-map sidecars ALIVE across an in-place append or
+        file replacement — the streaming epoch commit (VERDICT r7 #2):
+        without this, every epoch restamps ``_data_signature`` and the
+        watermark silently bypasses the sidecar forever, so a
+        continuously-streaming table loses the fast_count / scan_merged
+        metadata path until someone runs a lifecycle verb.
+
+        For each persisted sidecar that was FRESH against ``pre_sig``
+        (the signature before the mutation — freshness is what proves
+        the sidecar covers exactly the pre-mutation files): drop the
+        rows of ``removed_files``, append footer stats
+        (:meth:`_footer_zone_map`) for ``added_files``, and restamp the
+        watermark with the post-mutation signature. Cost is O(new files
+        × footer) — metadata, never a table scan. Sidecars that were
+        already stale, or whose column stats footers cannot supply,
+        are left stale (the watermark keeps them safely bypassed).
+
+        Caller must hold the table lock: the read-modify-write of the
+        sidecar and the restamp are not atomic against a concurrent
+        verb. Returns the updated column names."""
+        fs = Fs(self.spark, self.path)
+        zm_root = f"{self.path.rstrip('/')}/{self.ZONE_MAP_DIR}"
+        removed = {self._canon_file_uri(p) for p in removed_files}
+        post_sig = None
+        updated: list[str] = []
+        for zm_dir in fs.glob(f"{zm_root}/*"):
+            if not fs.is_dir(zm_dir):
+                continue
+            col = zm_dir.rsplit("/", 1)[1]
+            try:
+                meta = json.loads(fs.read_text(zm_dir + "/" + self.ZONE_META_FILE))
+            except Exception:
+                continue  # unstamped/corrupt: leave for rebuild
+            if meta.get("data_sig") != pre_sig:
+                continue  # was already stale before this mutation
+            fdf = self._footer_zone_map(col, paths=added_files)
+            if fdf is None:
+                continue
+            new_rows = fdf.persist()
+            try:
+                if new_rows.where(~F.col("_stats_ok")).limit(1).count() > 0:
+                    continue  # footer can't speak for this column type
+                new_rows = new_rows.drop("_stats_ok")
+                if removed:
+                    tmp = zm_dir + ".tmp"
+                    fs.delete(tmp, recursive=True)
+                    (
+                        self.spark.read.parquet(zm_dir)
+                        .where(~F.col("file").isin(list(removed)))
+                        .unionByName(new_rows)
+                        .write.mode("overwrite")
+                        .parquet(tmp)
+                    )
+                    fs.delete(zm_dir, recursive=True)
+                    if not fs.rename(tmp, zm_dir):
+                        # sidecar now missing -> safe bypass, rebuilt by
+                        # the next lifecycle verb or build_zone_map
+                        continue
+                else:
+                    new_rows.write.mode("append").parquet(zm_dir)
+            finally:
+                fdf.unpersist()
+            if post_sig is None:
+                post_sig = self._data_signature(fs)
+            fs.write_text(
+                zm_dir + "/" + self.ZONE_META_FILE,
+                json.dumps({"data_sig": post_sig}),
+            )
+            updated.append(col)
+        if updated:
+            self._zone_maps = None
+            self._zone_counts = None
+        return updated
+
     def _zone_sidecar_df(self, col: str) -> DataFrame | None:
         """The persisted zone-map sidecar for ``col`` as a (lazy)
         DataFrame — only when present, watermark-fresh, and

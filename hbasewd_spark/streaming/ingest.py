@@ -218,10 +218,24 @@ def idempotent_salted_batch_write(
                 f"swapped the table dir between stage and commit; raising "
                 f"so the epoch replays"
             )
+        # sidecar continuity (VERDICT r7 #2): capture the pre-commit
+        # data signature so fresh zone-map sidecars can be maintained
+        # incrementally after the renames instead of going stale on
+        # every epoch (which would cost a continuously-streaming table
+        # its fast_count/scan_merged metadata path permanently)
+        tbl = None
+        pre_sig = None
+        try:
+            tbl = SaltedTable.load(batch_df.sparkSession, dest_path)
+            pre_sig = tbl._data_signature(fs)
+        except Exception:
+            tbl = None  # bare sink / unreadable meta: nothing to maintain
+        purged: list[str] = []
         for stale in fs.glob(
             f"{dest_path.rstrip('/')}/{SALT_COL}=*/epoch-{epoch_id:010d}-*.parquet"
         ):
             fs.delete(stale)
+            purged.append(stale)
         for salt_dir in fs.glob(f"{stage}/{SALT_COL}=*"):
             target_dir = dest_path.rstrip("/") + "/" + salt_dir.rsplit("/", 1)[1]
             fs.mkdirs(target_dir)
@@ -236,6 +250,27 @@ def idempotent_salted_batch_write(
                         f"stage {stage} preserved for the retry"
                     )
         fs.delete(stage, recursive=True)
+        if tbl is not None:
+            import warnings
+
+            # re-glob rather than collecting the rename destinations:
+            # the glob renders paths in the filesystem's own URI form
+            # (the same spelling the purge glob and the data-signature
+            # listing use), so sidecar rows match across replays
+            landed = fs.glob(
+                f"{dest_path.rstrip('/')}/{SALT_COL}=*/"
+                f"epoch-{epoch_id:010d}-*.parquet"
+            )
+            try:
+                tbl.maintain_sidecars_incremental(pre_sig, purged, landed)
+            except Exception as e:
+                # a failed maintenance leaves the sidecar stale -> the
+                # watermark bypasses it (safe, just slower); say so
+                warnings.warn(
+                    f"epoch {epoch_id}: zone-map sidecar maintenance "
+                    f"failed ({e}); sidecars go stale until the next "
+                    f"lifecycle verb rebuilds them"
+                )
 
 
 def salted_stream_ingest(

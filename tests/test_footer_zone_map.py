@@ -122,3 +122,77 @@ def test_footer_zones_with_all_null_file(spark, tmp_path):
     fdf = t._footer_zone_map("maybe")
     assert fdf.where(~F.col("_stats_ok")).count() == 0
     assert _canon(fdf.drop("_stats_ok")) == _canon(t.zone_map("maybe"))
+
+
+def test_streaming_epochs_keep_sidecar_alive(spark, tmp_path, monkeypatch):
+    """VERDICT r7 #2: the epoch commit maintains fresh zone-map
+    sidecars incrementally (footer stats of the epoch's files appended
+    under the commit lock), so a continuously-streaming table keeps
+    its metadata path. Three epochs land, then an epoch REPLAY (purge
+    + re-append); after each, fast_count and scan_merged must run with
+    the live column scan booby-trapped."""
+    from hbasewd_spark.streaming.ingest import idempotent_salted_batch_write
+
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = SaltedTable.write(
+        base, str(tmp_path / "t"), HashDistributor(4), "k", zone_map_cols=["k"]
+    )
+
+    def boom(self, col):
+        raise AssertionError("sidecar went stale: live zone scan invoked")
+
+    monkeypatch.setattr(SaltedTable, "zone_map", boom)
+
+    hi = 1000
+    for epoch in (1, 2, 3):
+        batch = spark.range(hi, hi + 500).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        idempotent_salted_batch_write(batch, epoch, t.path, t.distributor, "k")
+        hi += 500
+        t.refresh()
+        assert t._zone_sidecar_df("k") is not None, f"stale after epoch {epoch}"
+        assert t.fast_count(0, hi) == hi
+        assert t.fast_count(700, 1600) == min(hi, 1600) - 700
+    # replay epoch 2: purge (sidecar rows dropped) + re-append, exact
+    batch2 = spark.range(1500, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    idempotent_salted_batch_write(batch2, 2, t.path, t.distributor, "k")
+    t.refresh()
+    assert t._zone_sidecar_df("k") is not None
+    assert t.fast_count(0, 10**9) == 2500  # exactly-once after replay
+    merged = t.scan_merged(start=900, stop=1800).toPandas()
+    assert len(merged) == 900
+    assert merged["k"].is_monotonic_increasing
+
+
+def test_epoch_on_stale_sidecar_leaves_it_stale(spark, tmp_path):
+    """An epoch landing on a sidecar that was ALREADY stale must not
+    restamp it fresh — that would vouch for files the sidecar never
+    saw. The watermark keeps it bypassed; results stay exact via the
+    live path."""
+    from hbasewd_spark.fsutil import Fs
+    from hbasewd_spark.streaming.ingest import idempotent_salted_batch_write
+
+    base = spark.range(500).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    t = SaltedTable.write(
+        base, str(tmp_path / "t"), HashDistributor(4), "k", zone_map_cols=["k"]
+    )
+    # out-of-band append (no sidecar maintenance) -> sidecar goes stale
+    extra = spark.range(500, 600).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    from hbasewd_spark.sources.salted_table import salted
+
+    salted(extra, t.distributor, "k").write.mode("append").partitionBy(
+        "salt"
+    ).parquet(t.path)
+    t.refresh()
+    assert t._zone_sidecar_df("k") is None  # stale as expected
+    # epoch commit on top: maintenance must SKIP (pre_sig mismatch)
+    batch = spark.range(600, 700).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    idempotent_salted_batch_write(batch, 1, t.path, t.distributor, "k")
+    t.refresh()
+    assert t._zone_sidecar_df("k") is None  # still stale, never lied
+    assert t.fast_count(0, 10**9) == 700  # live path stays exact
