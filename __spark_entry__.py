@@ -34,3 +34,13 @@ def oracle_sql() -> dict[str, str]:
     from hbasewd_spark.queries import oracle_sql as _oracle_sql
 
     return _oracle_sql()
+
+
+def tolerance_gates() -> dict[str, dict]:
+    """Value gates for by-design oracle-less queries (sketches): exact
+    DuckDB [lo, hi] envelopes per value, consumed by
+    tools/check_oracles.py. Not part of the driver contract — the
+    driver ignores it; the committed SELFCHECK carries the results."""
+    from hbasewd_spark.queries import tolerance_gates as _tg
+
+    return _tg()

@@ -35,14 +35,25 @@ __all__ = ["LAST_ATTESTED", "attested", "compute_last_attested", "latest_round"]
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def attested(row: dict) -> bool:
+def attested(row: dict, rows_only_ok: bool = False) -> bool:
     """One driver row counts as an attestation if it was three-green,
-    or — for oracle-less queries — a successful rows-only run."""
+    or — ONLY for queries explicitly designated oracle-less
+    (``rows_only_ok``) — a successful rows-only / tolerance-gated run.
+
+    The designation is the caller's, from the registry's own
+    oracle-less set — never inferred from the row shape (ADVICE r7: a
+    hash-capable query whose oracle comparison was skipped for any
+    other reason produces the same null-schema/hash shape, and counting
+    it would rotate the query out of the driver window with its values
+    never verified)."""
     if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
         return True
+    if not rows_only_ok:
+        return False
     # driver schema: err == "no_oracle"; check_oracles --json schema:
-    # rows_match True with schema/hash None. Both mean "rows-only by
-    # design, ran successfully".
+    # rows_match True with schema/hash None (err may carry a
+    # tolerance-gate record). All mean "no exact oracle by design, ran
+    # successfully" — maximal attainable attestation for these queries.
     if row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
         return True
     return (
@@ -53,12 +64,18 @@ def attested(row: dict) -> bool:
     )
 
 
-def compute_last_attested(repo_root: str) -> tuple[dict[str, int], list[str]]:
+def compute_last_attested(
+    repo_root: str, no_oracle: set[str] | None = None
+) -> tuple[dict[str, int], list[str]]:
     """(query -> latest attested round, correctness files used).
 
     Scans ``CORRECTNESS_r*.json`` in ``repo_root``; malformed or
     unreadable files are skipped (a half-written driver file must not
-    break imports mid-round)."""
+    break imports mid-round). ``no_oracle``: the queries designated
+    rows-only by the registry (no SQL oracle exists) — only those may
+    attest via a rows-only row; with the default ``None`` no query
+    may (strict)."""
+    no_oracle = no_oracle or set()
     last: dict[str, int] = {}
     files = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
     used: list[str] = []
@@ -76,7 +93,7 @@ def compute_last_attested(repo_root: str) -> tuple[dict[str, int], list[str]]:
             continue
         used.append(os.path.basename(path))
         for name, row in rows.items():
-            if isinstance(row, dict) and attested(row):
+            if isinstance(row, dict) and attested(row, name in no_oracle):
                 last[name] = max(last.get(name, 0), rnd)
     return last, used
 

@@ -716,6 +716,34 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tolerance gate for approx_stats (VERDICT r7 #4): the sketches cannot
+# hash-match across engines, but their DOCUMENTED error bounds can be
+# asserted against exact DuckDB values — upgrading the registry's one
+# rows-only query to a real value gate. Bounds:
+#  * approx_count_distinct: default rsd = 0.05 (5% relative standard
+#    deviation) -> gate at 3*rsd = +-15% (a ~99.7% envelope; HLL++ is
+#    unbiased, so a systematic bug lands far outside it);
+#  * percentile_approx(accuracy=10000): guaranteed RANK error
+#    <= 1/accuracy = 1e-4 in quantile space -> gate between the exact
+#    discrete percentiles at q -+ 5e-4 (the documented bound plus
+#    boundary slack for the two engines' rank-rounding conventions);
+#  * n: exact count, gate is equality.
+APPROX_STATS_GATE_SQL = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_orderkey) * 0.85 AS DOUBLE) AS approx_orders_lo,
+       CAST(count(DISTINCT l_orderkey) * 1.15 AS DOUBLE) AS approx_orders_hi,
+       percentile_disc(0.4995) WITHIN GROUP (ORDER BY l_extendedprice) AS p50_lo,
+       percentile_disc(0.5005) WITHIN GROUP (ORDER BY l_extendedprice) AS p50_hi,
+       percentile_disc(0.8995) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_lo,
+       percentile_disc(0.9005) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_hi,
+       percentile_disc(0.9895) WITHIN GROUP (ORDER BY l_extendedprice) AS p99_lo,
+       percentile_disc(0.9905) WITHIN GROUP (ORDER BY l_extendedprice) AS p99_hi,
+       count(*) AS n_lo,
+       count(*) AS n_hi
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 EXACT_STATS_SQL = """
 SELECT l_returnflag,
        count(DISTINCT l_orderkey) AS n_orders,

@@ -2541,15 +2541,19 @@ def rel_ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # With this, "the window is exactly the stalest 50 hash-attestable
 # queries" holds by construction every round, no curation needed.
 def _ordered_names() -> list[str]:
-    from hbasewd_spark.attestation import LAST_ATTESTED
+    from hbasewd_spark.attestation import _REPO_ROOT, compute_last_attested
 
     names = list(REGISTRY)
+    # rows-only attestations count ONLY for queries the registry itself
+    # designates oracle-less (ADVICE r7: never inferred from row shape)
+    no_oracle = {n for n in names if not REGISTRY[n].oracle}
+    last, _ = compute_last_attested(_REPO_ROOT, no_oracle)
     idx = {n: i for i, n in enumerate(names)}
     return sorted(
         names,
         key=lambda n: (
             0 if REGISTRY[n].oracle else 1,
-            LAST_ATTESTED.get(n, 0),
+            last.get(n, 0),
             idx[n],
         ),
     )
@@ -2565,3 +2569,29 @@ def oracle_sql() -> dict[str, str]:
         for name in _ordered_names()
         if REGISTRY[name].oracle
     }
+
+
+# Tolerance gates (VERDICT r7 #4) for queries whose values cannot
+# hash-match across engines BY DESIGN (engine-specific sketches) but
+# whose documented error bounds can be asserted against exact DuckDB
+# values. Consumed by tools/check_oracles.py: the gate SQL yields
+# per-group [lo, hi] envelopes; every Spark value must land inside its
+# envelope. The driver itself still records these rows-only (it only
+# knows oracle_sql), but the committed SELFCHECK carries the value gate.
+TOLERANCE_GATES: dict[str, dict] = {
+    "rel_approx_stats": {
+        "keys": ["l_returnflag"],
+        "sql": R.APPROX_STATS_GATE_SQL,
+        "checks": [
+            ("approx_orders", "approx_orders_lo", "approx_orders_hi"),
+            ("p50", "p50_lo", "p50_hi"),
+            ("p90", "p90_lo", "p90_hi"),
+            ("p99", "p99_lo", "p99_hi"),
+            ("n", "n_lo", "n_hi"),
+        ],
+    },
+}
+
+
+def tolerance_gates() -> dict[str, dict]:
+    return dict(TOLERANCE_GATES)
