@@ -59,7 +59,11 @@ def test_undecodable_stats_fall_back_to_scan(spark, typed_table):
     t = typed_table
     fdf = t._footer_zone_map("dec")
     assert fdf.where(~F.col("_stats_ok")).count() == fdf.count() > 0
-    assert _canon(t._zone_source("dec")) == _canon(t.zone_map("dec"))
+    src, done = t._zone_source("dec")
+    try:
+        assert _canon(src) == _canon(t.zone_map("dec"))
+    finally:
+        done()
     # and a built sidecar (scan-backed) still serves pruning correctly
     t.build_zone_map("dec")
     assert t._zone_sidecar_df("dec") is not None
@@ -196,3 +200,24 @@ def test_epoch_on_stale_sidecar_leaves_it_stale(spark, tmp_path):
     t.refresh()
     assert t._zone_sidecar_df("k") is None  # still stale, never lied
     assert t.fast_count(0, 10**9) == 700  # live path stays exact
+
+
+def test_zone_source_footer_branch_is_single_pass(spark, typed_table):
+    """VERDICT r8 #1: the footer relation must be persist()-ed so the
+    ``_stats_ok`` probe and the caller's write/collect share ONE
+    O(#files x footer) job. Pin: the returned DataFrame reads from the
+    cached relation (InMemoryRelation in its plan), and ``done()``
+    releases it."""
+    t = typed_table
+    src, done = t._zone_source("k")
+    try:
+        plan = src._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan, plan
+        # consuming it twice hits the cache, not two footer jobs
+        assert src.count() == src.count() > 0
+    finally:
+        done()
+    # done() unpersisted the backing relation: a fresh plan of the same
+    # lineage no longer reads from cache
+    fdf = t._footer_zone_map("k")
+    assert "InMemoryRelation" not in fdf._jdf.queryExecution().optimizedPlan().toString()

@@ -154,6 +154,39 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return errs
 
 
+def eval_tolerance_gate(
+    gate: dict, spark_pdf: pd.DataFrame, con: duckdb.DuckDBPyConnection
+) -> tuple[bool, str]:
+    """Evaluate one tolerance gate (VERDICT r7 #4 / r8 #2): run the
+    gate SQL on DuckDB to get per-group exact [lo, hi] envelopes, and
+    assert EVERY Spark value lands inside its envelope. Returns
+    (passed, record) where record is the human-readable outcome stored
+    in the result row's ``err`` field (the gate-attested shape
+    ``attested()`` recognizes for designated oracle-less queries)."""
+    env = con.sql(gate["sql"]).df()
+    keys = gate["keys"]
+    if sorted(spark_pdf[keys].itertuples(index=False)) != sorted(
+        env[keys].itertuples(index=False)
+    ):
+        return False, (
+            f"gate: group keys differ: spark={sorted(map(tuple, spark_pdf[keys].values))} "
+            f"envelope={sorted(map(tuple, env[keys].values))}"
+        )
+    merged = spark_pdf.merge(env, on=keys, how="inner", validate="one_to_one")
+    checked, fails = 0, []
+    for val_col, lo_col, hi_col in gate["checks"]:
+        for _, r in merged.iterrows():
+            checked += 1
+            v, lo, hi = float(r[val_col]), float(r[lo_col]), float(r[hi_col])
+            if not (lo <= v <= hi) or math.isnan(v):
+                fails.append(
+                    f"{val_col}@{tuple(r[k] for k in keys)}: {v!r} outside [{lo!r}, {hi!r}]"
+                )
+    if fails:
+        return False, f"gate: {len(fails)}/{checked} values OUTSIDE envelope: " + "; ".join(fails[:3])
+    return True, f"gate: pass ({checked}/{checked} values in exact DuckDB envelopes)"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -176,6 +209,7 @@ def main() -> int:
     con = duck_con(args.sf)
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    gates = getattr(entry_mod, "tolerance_gates", dict)() or {}
     only = set(args.only.split(",")) if args.only else None
 
     n_fail = n_rows_only = n_ran = 0
@@ -199,6 +233,31 @@ def main() -> int:
             }
             continue
         if name not in oracles:
+            if name in gates:
+                # by-design oracle-less (engine-specific sketch) but
+                # value-GATED: exact DuckDB envelopes, every Spark
+                # value inside (VERDICT r8 #2 — previously dead plumbing)
+                try:
+                    ok, record = eval_tolerance_gate(gates[name], spark_pdf, con)
+                except Exception as e:
+                    ok, record = False, f"gate: raised {type(e).__name__}: {e}"[:300]
+                if ok:
+                    print(f"gate  {name}: {record} [{time.time()-t0:.1f}s]")
+                    n_rows_only += 1
+                    results[name] = {
+                        "rows_match": True, "schema_match": None, "hash_match": None,
+                        "spark_rows": len(spark_pdf), "oracle_rows": None,
+                        "err": record[:300],
+                    }
+                else:
+                    print(f"FAIL  {name}: {record} [{time.time()-t0:.1f}s]")
+                    n_fail += 1
+                    results[name] = {
+                        "rows_match": False, "schema_match": None, "hash_match": False,
+                        "spark_rows": len(spark_pdf), "oracle_rows": None,
+                        "err": record[:300],
+                    }
+                continue
             print(f"rows  {name}: {len(spark_pdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
             results[name] = {

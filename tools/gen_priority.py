@@ -26,15 +26,21 @@ def main() -> int:
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
 
-    from hbasewd_spark.attestation import LAST_ATTESTED, _FILES, latest_round
+    from hbasewd_spark.attestation import _FILES, _REPO_ROOT, compute_last_attested, latest_round
     from hbasewd_spark.queries import REGISTRY, queries
 
     names = list(queries())
+    # the REGISTRY's designated oracle-less set, mirroring _ordered_names
+    # (ADVICE r8: the strict module-level LAST_ATTESTED printed
+    # designated rows-only queries as never-attested, inconsistent with
+    # the rotation order actually used)
+    no_oracle = {n for n in names if not REGISTRY[n].oracle}
+    last, _ = compute_last_attested(_REPO_ROOT, no_oracle)
     print(f"files: {', '.join(_FILES)} (latest round r{latest_round()})")
-    print(f"attested queries: {len(LAST_ATTESTED)} / registry {len(REGISTRY)}")
+    print(f"attested queries: {len(last)} / registry {len(REGISTRY)}")
     print("\ndriver window (first 50, oldest-attested-first):")
     for n in names[:50]:
-        print(f"  r{LAST_ATTESTED.get(n, 0)}  {n}")
+        print(f"  r{last.get(n, 0)}  {n}")
     if args.check:
         print("\nok: attestation is computed at runtime — nothing can go stale")
     return 0
