@@ -77,13 +77,33 @@ class Fs:
         non-racing double-invocation."""
         try:
             out = self.fs.create(self.path(p), False)
-        except Exception:
+        except Exception as e:
             # Only the lost-the-race outcome maps to False: the file
             # exists, someone holds it. Any other failure (permissions,
             # transient FS error) must propagate — reporting it as
             # "another operation holds the lock" sends the operator
             # chasing a sentinel that doesn't exist (ADVICE r6).
-            if self.exists(p):
+            # Classify by the JAVA exception type, not an exists()
+            # re-probe: a holder releasing between the failed create
+            # and the probe would turn "lost the race" (retryable)
+            # into a raised error under a live poll loop.
+            jexc = getattr(e, "java_exception", None)
+            already = jexc is not None and (
+                "AlreadyExists" in jexc.getClass().getName()
+                or "already exists" in (jexc.getMessage() or "")
+            )
+            if already:
+                # Hadoop raises the SAME exception class when a PARENT
+                # component is a file ("destination exists and is not a
+                # directory") — that is a real misconfiguration, not a
+                # lost race; only that sub-case propagates.
+                parent = p.rstrip("/").rsplit("/", 1)[0]
+                parent_is_file = self.exists(parent) and not self.is_dir(
+                    parent
+                )
+                if not parent_is_file:
+                    return False
+            elif self.exists(p):
                 return False
             raise
         try:

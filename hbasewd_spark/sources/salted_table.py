@@ -510,20 +510,33 @@ class SaltedTable:
             return self
 
     # ------------------------------------------------------ lifecycle lock
-    LOCK_FILE = "_wd_lock"
+    LOCK_SUFFIX = ".wd_lock"
+
+    @staticmethod
+    def lock_path(base: str) -> str:
+        """The lifecycle lock sentinel for the table at ``base`` — a
+        SIBLING file (``<base>.wd_lock``), deliberately OUTSIDE the
+        table directory (ADVICE r8): an in-dir sentinel meant that any
+        create-if-absent racing a verb's ``base -> base.old`` aside-
+        rename could recreate an empty ``base`` the verb then renamed
+        its staged table INTO (Hadoop rename-into-existing-dir
+        semantics), stranding the table one level deep. A sibling file
+        cannot resurrect ``base``, and the swap's renames never touch
+        it — so the lock is held continuously from acquire to the
+        verb's finally-block with no carry step."""
+        return base.rstrip("/") + SaltedTable.LOCK_SUFFIX
 
     def _lifecycle_lock(self, verb: str):
         """Mutual exclusion between lifecycle verbs (expire / compact /
-        rebucket / cluster / upsert_rows): each acquires the
-        ``_wd_lock`` sentinel via atomic create-if-absent before
-        touching files. Two verbs interleaving would race the same
-        delete/stage/rename swaps and can strand or lose files — the
-        failure the per-verb docstrings previously only warned about.
-        The sentinel names the holder; a crashed holder leaves it
-        behind by design (a lock that auto-expires can't protect a
-        stalled-but-alive job) — the error message says what to delete
-        after verifying the holder is dead. Underscore prefix keeps it
-        invisible to table scans, like the metadata file."""
+        rebucket / cluster / upsert_rows): each acquires the sibling
+        ``<base>.wd_lock`` sentinel (:meth:`lock_path`) via atomic
+        create-if-absent before touching files. Two verbs interleaving
+        would race the same delete/stage/rename swaps and can strand or
+        lose files — the failure the per-verb docstrings previously
+        only warned about. The sentinel names the holder; a crashed
+        holder leaves it behind by design (a lock that auto-expires
+        can't protect a stalled-but-alive job) — the error message says
+        what to delete after verifying the holder is dead."""
         import contextlib
 
         table = self
@@ -532,14 +545,7 @@ class SaltedTable:
         def _lock():
             fs = Fs(table.spark, table.path)
             base = table.path.rstrip("/")
-            if not fs.exists(base + "/" + META_FILE):
-                # no live table here (e.g. moved aside by a crashed
-                # swap): creating the sentinel would RECREATE the base
-                # dir and mask the verb's orphaned-.old refusal — run
-                # unlocked and let that refusal speak
-                yield
-                return
-            lock = base + "/" + table.LOCK_FILE
+            lock = table.lock_path(base)
             holder = json.dumps({"verb": verb, "pid": os.getpid()})
             if not fs.create_atomic(lock, holder):
                 try:
@@ -2074,7 +2080,7 @@ def _staged_rewrite(table: SaltedTable, staged, op: str) -> SaltedTable:
     metadata and the key->salt index (no row crosses a salt
     partition, so the index mapping survives), aside-rename swap, and
     restamp the index watermark against the new data files. Runs under
-    the table lifecycle lock (``_wd_lock``) so two verbs can't
+    the table lifecycle lock (sibling ``<base>.wd_lock``) so two verbs can't
     interleave the swap."""
     with table._lifecycle_lock(op):
         fs = Fs(table.spark, table.path)
@@ -2092,7 +2098,8 @@ def _staged_rewrite(table: SaltedTable, staged, op: str) -> SaltedTable:
             # carried stale (wrong file paths), then rebuilt below —
             # carrying it is what tells rebuild WHICH columns to index
             fs.copy(zm_src, tmp + "/" + SaltedTable.ZONE_MAP_DIR)
-        _carry_lock(fs, tmp, op)
+        # the sibling lock (lock_path) is untouched by the swap's renames:
+        # it stays held until _lifecycle_lock's finally-block (ADVICE r6/r8)
         _swap_table_dirs(fs, tmp, base, op)
         table.refresh()
         # the rewrite replaced the data files: restamp the index
@@ -2176,26 +2183,8 @@ def rebucket(table: SaltedTable, new_distributor: KeyDistributor) -> SaltedTable
             data, tmp, new_distributor, table.key_col, fmt=table.fmt
         )
         del staged  # metadata already written into tmp by write()
-        _carry_lock(fs, tmp, "rebucket")
         _swap_table_dirs(fs, tmp, base, "rebucket")
         return SaltedTable.load(table.spark, base)
-
-
-def _carry_lock(fs: Fs, tmp: str, verb: str) -> None:
-    """Recreate the lifecycle lock sentinel inside the staged dir just
-    before the swap. The sentinel lives inside the table dir, so the
-    ``base -> base.old`` aside-rename would otherwise move the lock
-    aside (and ``delete(base.old)`` would release it) while the verb is
-    still restamping the index and rebuilding zone maps — a second verb
-    could then acquire the lock on the new base and stamp a fresh
-    watermark over a half-written sidecar (ADVICE r6). With the
-    sentinel pre-seeded in ``tmp``, the swap itself carries the lock
-    onto the new base, and the verb's ``_lifecycle_lock`` finally-block
-    deletes it at the true end of the verb."""
-    fs.write_text(
-        tmp + "/" + SaltedTable.LOCK_FILE,
-        json.dumps({"verb": verb, "pid": os.getpid(), "carried": True}),
-    )
 
 
 def _refuse_orphaned_old(fs: Fs, base: str, op: str) -> None:
@@ -2245,8 +2234,23 @@ def _swap_table_dirs(fs: Fs, tmp: str, base: str, op: str) -> None:
             f"({base} -> {old}); nothing was changed — the live table is "
             f"intact at {base} and the rewrite is intact at {tmp}"
         )
+    if fs.exists(base):
+        # a concurrent streaming epoch STAGED into base between our
+        # aside-rename and this point (the stage write runs outside
+        # the lifecycle lock by design): the resurrected dir holds
+        # only .staging-* dirs — the real table is safe at `old` — but
+        # renaming tmp onto an existing dir would move the staged
+        # table INSIDE it (Hadoop rename-into-dir semantics), one
+        # level deep. Delete the resurrected dir: the epoch's
+        # stage-manifest check sees its stage vanished and REPLAYS —
+        # the exact contract the manifest was added for (ADVICE r7).
+        fs.delete(base, recursive=True)
     if not fs.rename(tmp, base):
-        # roll the original back so `base` stays loadable
+        # roll the original back so `base` stays loadable (same
+        # resurrected-base guard: never nest the original into a
+        # stager-recreated dir)
+        if fs.exists(base):
+            fs.delete(base, recursive=True)
         restored = fs.rename(old, base)
         raise IOError(
             f"{op}(): swap rename {tmp} -> {base} failed; the rewrite is "

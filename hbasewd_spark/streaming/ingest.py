@@ -60,18 +60,19 @@ def _epoch_commit_lock(
     lifecycle verb could target) runs unlocked, same rule as
     ``SaltedTable._lifecycle_lock``.
 
-    Two windows the poll loop must NOT race through (ADVICE r7):
-    the table may be MID-SWAP (a verb renamed ``base`` aside and has
-    not yet renamed its staged replacement in). In that window the
-    metadata file is absent — but treating it like a bare sink and
-    running unlocked (or recreating the lock path, which would
-    resurrect an empty ``base`` dir under the verb's feet) corrupts
-    the swap. So: the bare-sink classification happens ONCE up front,
-    and only when no ``base.old`` aside-copy exists; and every poll
-    iteration re-checks that the metadata file still exists before
-    retrying the create — if the table vanished mid-wait, keep
-    polling until the swap completes (meta reappears) or the deadline
-    raises."""
+    The lock sentinel is the SIBLING ``<base>.wd_lock`` file
+    (``SaltedTable.lock_path``, ADVICE r8): it lives outside the
+    directory the verbs swap, so acquiring it can never resurrect an
+    empty ``base`` under a mid-swap verb's feet (the in-dir sentinel
+    had an exists-then-create window where exactly that happened,
+    stranding the staged table one level deep). A verb holds the
+    sibling lock continuously across its swap, so an epoch arriving
+    mid-swap simply waits on create_atomic until the verb's
+    finally-block releases — no metadata re-checking needed.
+
+    Bare-sink classification (no table metadata and no aside copy —
+    nothing a lifecycle verb could target) happens ONCE up front and
+    runs unlocked."""
     import json as _json
     import time as _time
 
@@ -81,24 +82,18 @@ def _epoch_commit_lock(
     if not fs.exists(meta) and not fs.exists(aside):
         yield
         return
-    lock = base + "/" + SaltedTable.LOCK_FILE
+    lock = SaltedTable.lock_path(base)
     holder = _json.dumps(
         {"verb": f"stream-epoch-{epoch_id}", "pid": os.getpid()}
     )
     deadline = _time.monotonic() + timeout_s
 
-    def _acquire() -> bool:
-        # creating the lock while the table dir is mid-swap would
-        # recreate an empty base the verb then renames INTO — only
-        # attempt the create while the table metadata is live
-        return fs.exists(meta) and fs.create_atomic(lock, holder)
-
-    while not _acquire():
+    while not fs.create_atomic(lock, holder):
         if _time.monotonic() >= deadline:
             try:
                 who = fs.read_text(lock)
             except Exception:
-                who = "<mid-swap: no table metadata>"
+                who = "<unreadable>"
             raise RuntimeError(
                 f"epoch {epoch_id}: lifecycle lock still held after "
                 f"{timeout_s}s ({who}); stage preserved — the epoch replay "

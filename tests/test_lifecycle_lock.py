@@ -1,10 +1,11 @@
 """Lifecycle concurrency (VERDICT r5 next-round #7).
 
 Two pins:
-1. the ``_wd_lock`` sentinel: two lifecycle verbs (expire / compact /
-   rebucket / upsert_rows) cannot interleave silently — the second
-   acquirer fails loudly, and the lock is released on both success and
-   in-verb failure;
+1. the lock sentinel — since ADVICE r8 a SIBLING ``<base>.wd_lock``
+   file, never inside the swapped dir: two lifecycle verbs (expire /
+   compact / rebucket / upsert_rows) cannot interleave silently — the
+   second acquirer fails loudly, and the lock is released on both
+   success and in-verb failure;
 2. the documented reader anomaly: a reader whose file listing predates
    an ``expire()`` stage-swap MISSES surviving rows — the "run in the
    ingest-quiescent window" contract was prose-only; this makes it a
@@ -28,7 +29,7 @@ def _table(spark, path, n=400, buckets=4):
 
 
 def _lock_path(t):
-    return t.path.rstrip("/") + "/" + SaltedTable.LOCK_FILE
+    return SaltedTable.lock_path(t.path)
 
 
 def test_second_lifecycle_verb_fails_loudly_while_locked(spark, tmp_path):
@@ -85,12 +86,12 @@ def test_create_atomic_propagates_non_exists_failures(spark, tmp_path):
 
 
 def test_lock_survives_staged_rewrite_swap(spark, tmp_path):
-    """ADVICE r6: the aside-rename in compact()'s swap used to carry
-    the in-dir lock away with base.old, releasing it mid-verb while
-    the sidecar rebuild was still running. Pin the fix: at
-    rebuild_zone_maps time (post-swap), the lock sentinel must still
-    exist on the NEW base and a second verb must still refuse; after
-    the verb returns the lock is gone."""
+    """ADVICE r6/r8: the lock must remain HELD across compact()'s
+    aside-rename swap (the in-dir sentinel used to ride away with
+    base.old, releasing it mid-verb; the sibling sentinel is untouched
+    by the swap's renames). Pin: at rebuild_zone_maps time
+    (post-swap), the lock sentinel must still exist and a second verb
+    must still refuse; after the verb returns the lock is gone."""
     t = _table(spark, str(tmp_path / "t_swap"))
     t.rebuild_zone_maps()
     fs = Fs(spark, t.path)
@@ -224,8 +225,92 @@ def test_epoch_commit_unlocked_on_bare_sink_dir(spark, tmp_path):
     )
     idempotent_salted_batch_write(batch, 1, dest, HashDistributor(4), "k")
     fs = Fs(spark, dest)
-    assert not fs.exists(dest + "/" + SaltedTable.LOCK_FILE)
+    assert not fs.exists(SaltedTable.lock_path(dest))
     assert spark.read.parquet(dest).count() == 10
+
+
+def test_lock_acquisition_cannot_resurrect_mid_swap_base(spark, tmp_path):
+    """ADVICE r8 (the race this round's redesign closes): with the
+    table MID-SWAP (base renamed aside, staged replacement not yet in
+    place), acquiring/polling the commit lock must not recreate
+    ``base`` — the in-dir sentinel's create could do exactly that,
+    making the verb's rename land the staged table INSIDE the
+    resurrected dir. With the sibling sentinel, an epoch commit
+    arriving mid-swap just waits; once the verb completes and
+    releases, the waiting commit acquires cleanly."""
+    import threading
+    import time
+
+    from hbasewd_spark.streaming.ingest import _epoch_commit_lock
+
+    t = _table(spark, str(tmp_path / "t_midswap"), n=100)
+    fs = Fs(spark, t.path)
+    base = t.path.rstrip("/")
+    # simulate a verb mid-swap HOLDING the sibling lock: base is aside,
+    # replacement not yet renamed in
+    assert fs.create_atomic(_lock_path(t), '{"verb": "compact", "pid": 1}')
+    assert fs.rename(base, base + ".old")
+    assert not fs.exists(base)
+
+    state = {}
+
+    def epoch_commit():
+        try:
+            with _epoch_commit_lock(fs, t.path, 4, timeout_s=8, poll_s=0.05):
+                state["acquired_with_base_present"] = fs.exists(base)
+        except Exception as e:  # pragma: no cover - surfaced below
+            state["err"] = e
+
+    th = threading.Thread(target=epoch_commit)
+    th.start()
+    time.sleep(1.0)  # the commit is inside its poll loop now
+    # THE pin: polling on the lock never recreated base
+    assert not fs.exists(base), "lock acquisition resurrected the base dir"
+    # verb completes its swap and releases; the waiting commit acquires
+    assert fs.rename(base + ".old", base)
+    fs.delete(_lock_path(t))
+    th.join(timeout=30)
+    assert not th.is_alive() and "err" not in state, state.get("err")
+    assert state.get("acquired_with_base_present") is True
+    assert not fs.exists(_lock_path(t))  # released on exit
+    t.refresh()
+    assert t.scan().count() == 100  # table intact at base, not nested
+
+
+def test_swap_clears_base_resurrected_by_racing_stage_write(spark, tmp_path):
+    """The dual hazard: a streaming epoch's STAGE write (outside the
+    lock by design) recreates ``base`` while a verb is mid-swap. The
+    verb's rename onto the existing dir would nest the staged table
+    one level deep. Pin the defense: the swap deletes the resurrected
+    (staging-only) dir — forcing the epoch's manifest-replay — and the
+    compacted table lands AT base, not inside it."""
+    import unittest.mock as mock
+
+    t = _table(spark, str(tmp_path / "t_stager"), n=400)
+    fs = Fs(spark, t.path)
+    base = t.path.rstrip("/")
+    real_rename = Fs.rename
+    state = {"injected": False}
+
+    def inject(self, src, dst):
+        r = real_rename(self, src, dst)
+        if dst.endswith(".old") and not state["injected"]:
+            state["injected"] = True
+            # the racing stager lands its stage inside a fresh base
+            fs.mkdirs(base + "/.staging-epoch-9/salt=0")
+            fs.write_text(
+                base + "/.staging-epoch-9/salt=0/part-0.parquet", "x"
+            )
+        return r
+
+    with mock.patch.object(Fs, "rename", inject):
+        compact(t)
+    assert state["injected"]
+    t2 = SaltedTable.load(spark, base)
+    assert t2.scan().count() == 400  # table AT base, nothing nested
+    assert not fs.glob(base + "/*/.staging-epoch-*")  # no nesting
+    assert not fs.glob(base + "/.staging-epoch-*")  # stage cleared -> replay
+    assert not fs.exists(base + ".old")
 
 
 def test_verb_destroying_stage_forces_epoch_replay(spark, tmp_path, monkeypatch):
