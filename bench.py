@@ -65,11 +65,40 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    shuffle_bytes: dict[str, dict[str, int]] = {}
+    # per-query stage-metric deltas (VERDICT r8 #3: a +48% wall
+    # regression took a judge session to root-cause; a bytes column
+    # shows "same shuffle, extra job" at a glance). ShuffleAudit rides
+    # internal status-store accessors — its failure must never cost a
+    # timing, so it degrades to wall-clock-only.
+    try:
+        from hbasewd_spark.metrics import ShuffleAudit
+
+        audit = ShuffleAudit(spark)
+    except Exception as e:
+        print(f"bench: ShuffleAudit unavailable: {e}", file=sys.stderr)
+        audit = None
+
+    def _totals():
+        """Status-store snapshot that can never cost a timing: on any
+        failure the audit is disabled for the rest of the run."""
+        nonlocal audit
+        if audit is None:
+            return None
+        try:
+            return audit._totals()
+        except Exception as e:
+            print(f"bench: ShuffleAudit disabled mid-run: {e}", file=sys.stderr)
+            audit = None
+            return None
 
     def timed(name: str, fn):
         """Per-query fault isolation (round-3 lesson: one query's crash
         at position 8 zeroed all 29 timings). A failed query records an
-        error string; the JSON line ALWAYS prints."""
+        error string; the JSON line ALWAYS prints. The metric snapshots
+        sit OUTSIDE the timed span (sub-ms driver-side iteration) so
+        timings stay comparable with pre-r9 records."""
+        before = _totals()
         t0 = time.time()
         try:
             out = fn()
@@ -78,6 +107,13 @@ def main() -> None:
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
             return None
         timings[name] = round(time.time() - t0, 3)
+        after = _totals()
+        if before is not None and after is not None:
+            shuffle_bytes[name] = {
+                "shuffle_write": after["shuffle_write_bytes"] - before["shuffle_write_bytes"],
+                "shuffle_read": after["shuffle_read_bytes"] - before["shuffle_read_bytes"],
+                "input": after["input_bytes"] - before["input_bytes"],
+            }
         return out
 
     # 1. salted bulk write (the anti-hot-spot ingest path, O1/O2/P3)
@@ -248,6 +284,8 @@ def main() -> None:
         "queries": dict(timings, **{k: {"err": v} for k, v in errors.items()}),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if shuffle_bytes:
+        payload["shuffle_bytes"] = shuffle_bytes
     if errors:
         payload["n_errors"] = len(errors)
     print(json.dumps(payload))

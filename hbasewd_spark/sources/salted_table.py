@@ -112,6 +112,84 @@ def salted(df: DataFrame, distributor: KeyDistributor, key_col: str) -> DataFram
     return df.withColumn(SALT_COL, distributor.salt_expr(key_col))
 
 
+def _local_fs_path(p: str) -> str:
+    """Strip a ``file:``/``file://`` scheme down to the plain local
+    path non-JVM writers (pyarrow) understand. Callers only reach this
+    after the driver-route gate proved the table is local."""
+    if p.startswith("file://"):
+        return p[7:]
+    if p.startswith("file:"):
+        return p[5:]
+    return p
+
+
+def _footer_stats_batch(files: list, col_name: str, target):
+    """Per-file (lo, hi, n_rows, n_nulls, _stats_ok) parquet-footer
+    stats as one ``pa.RecordBatch`` in the ``target`` arrow schema —
+    the SINGLE extraction routine behind both footer zone-map routes
+    (driver-side for small local file sets, ``mapInArrow`` on
+    executors at scale), so the two produce identical sidecars by
+    construction. Any per-file failure records ``_stats_ok=False``
+    (the caller falls back to the column scan), never raises."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def one_file(path):
+        """(lo, hi, n_rows, n_nulls, ok) from the footer."""
+        md = pq.ParquetFile(path).metadata
+        n_rows = md.num_rows
+        idx = None
+        if md.num_row_groups:
+            rg0 = md.row_group(0)
+            for i in range(rg0.num_columns):
+                if rg0.column(i).path_in_schema == col_name:
+                    idx = i
+                    break
+        if idx is None:
+            return None, None, n_rows, 0, n_rows == 0
+        mins, maxs, nulls = [], [], 0
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            if rg.num_rows == 0:
+                continue
+            st = rg.column(idx).statistics
+            if st is None or not st.has_null_count:
+                return None, None, n_rows, 0, False
+            nulls += st.null_count
+            if st.has_min_max:
+                # .min/.max raise ArrowNotImplementedError for
+                # stat types pyarrow cannot decode (caught below)
+                mins.append(st.min)
+                maxs.append(st.max)
+            elif st.null_count != rg.num_rows:
+                return None, None, n_rows, 0, False
+        lo = min(mins) if mins else None
+        hi = max(maxs) if maxs else None
+        return lo, hi, n_rows, nulls, True
+
+    def typed(vals, field):
+        a = pa.array(vals)
+        return a if a.type == field.type else a.cast(field.type)
+
+    rows = []
+    for path in files:
+        try:
+            rows.append(one_file(path))
+        except Exception:
+            rows.append((None, None, 0, 0, False))
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(list(files), pa.string()),
+            typed([r[0] for r in rows], target.field("lo")),
+            typed([r[1] for r in rows], target.field("hi")),
+            pa.array([r[2] for r in rows], pa.int64()),
+            pa.array([r[3] for r in rows], pa.int64()),
+            pa.array([r[4] for r in rows], pa.bool_()),
+        ],
+        schema=target,
+    )
+
+
 class SaltedTable:
     """Handle over a salted, key-sorted, salt-partitioned parquet table."""
 
@@ -572,6 +650,11 @@ class SaltedTable:
     # deserves a metastore — warn so the operator knows (SCALE.md §
     # driver-side metadata)
     ZONE_MAP_DRIVER_WARN_FILES = 100_000
+    # below this many files (and only for local file: paths), footer
+    # zone maps are read driver-side with zero Spark jobs — the job
+    # launch + Arrow-worker round trip (~1-2 s) dwarfs reading a few
+    # hundred footers; past it, the mapInArrow executor route runs
+    FOOTER_DRIVER_MAX_FILES = 256
 
     def build_zone_map(self, col: str) -> None:
         """Persist the per-file zone map for ``col`` into the table
@@ -591,18 +674,61 @@ class SaltedTable:
         #1: the scan made every ``write(zone_map_cols=…)`` and verb
         rebuild re-read a full column of the table)."""
         zm_dir = self._zone_dir(col)
-        src, done = self._zone_source(col)
-        try:
-            src.write.mode("overwrite").parquet(zm_dir)
-        finally:
-            done()
         fs = Fs(self.spark, self.path)
+        local = self._footer_stats_local(col)
+        if local is not None:
+            # driver route end-to-end: footers read on the driver and
+            # the O(#files)-row sidecar written with pyarrow — ZERO
+            # Spark jobs for a small local table's zone-map build
+            # (each job costs ~0.3-1 s of launch latency, which was
+            # the whole salted_write bench regression, VERDICT r9)
+            import pyarrow.parquet as pq
+
+            fs.delete(zm_dir, recursive=True)
+            fs.mkdirs(zm_dir)
+            pq.write_table(
+                local, _local_fs_path(zm_dir) + "/part-00000.parquet"
+            )
+        else:
+            src, done = self._zone_source(col)
+            try:
+                src.write.mode("overwrite").parquet(zm_dir)
+            finally:
+                done()
         fs.write_text(
             zm_dir + "/" + self.ZONE_META_FILE,
             json.dumps({"data_sig": self._data_signature(fs)}),
         )
         if isinstance(getattr(self, "_zone_maps", None), dict):
             self._zone_maps.pop(col, None)
+
+    def _footer_stats_local(self, col: str):
+        """The driver footer route as a ``pa.Table`` (``_stats_ok``
+        verified driver-side and dropped), or ``None`` when the route
+        does not apply — non-parquet, unmappable column/type, remote
+        or too-many files, or any file whose stats are unusable (the
+        caller falls back through :meth:`_zone_source`'s scan path)."""
+        if self.fmt != "parquet":
+            return None
+        resolved = self._zone_stats_schemas(col)
+        if resolved is None:
+            return None
+        out_schema, target = resolved
+        fs = Fs(self.spark, self.path)
+        paths = [
+            self._canon_file_uri(t[0]) for t in self._data_signature(fs)
+        ]
+        if not paths or len(paths) > self.FOOTER_DRIVER_MAX_FILES or not all(
+            p.startswith("file:") for p in paths
+        ):
+            return None
+        import pyarrow as pa
+
+        batch = _footer_stats_batch(paths, col, target)
+        if not all(batch.column("_stats_ok").to_pylist()):
+            return None
+        tbl = pa.Table.from_batches([batch])
+        return tbl.drop_columns(["_stats_ok"])
 
     def _zone_source(self, col: str) -> tuple[DataFrame, "Callable[[], None]"]:
         """Best available zone-map source for ``col``: the footer-stats
@@ -612,11 +738,24 @@ class SaltedTable:
         would hold scan-exact rows next to possibly-conservative footer
         rows with no record of which is which.
 
-        Returns ``(df, done)``: the footer relation is ``persist()``-ed
-        so the ``_stats_ok`` probe and the caller's write/collect share
-        ONE footer pass (VERDICT r8 #1: the uncached relation ran the
-        whole O(#files × footer) job twice on every build). The caller
-        MUST invoke ``done()`` once finished consuming ``df``."""
+        Returns ``(df, done)``: on the driver footer route the rows are
+        already materialized (a LocalRelation — single-pass and
+        job-free by construction); on the executor route the relation
+        is ``persist()``-ed so the ``_stats_ok`` probe and the caller's
+        write/collect share ONE footer pass (VERDICT r8 #1: the
+        uncached relation ran the whole O(#files × footer) job twice on
+        every build). The caller MUST invoke ``done()`` once finished
+        consuming ``df``."""
+        local = self._footer_stats_local(col)
+        if local is not None:
+            resolved = self._zone_stats_schemas(col)
+            out_schema, _ = resolved
+            from pyspark.sql.types import StructType
+
+            df = self.spark.createDataFrame(local).to(
+                StructType(out_schema.fields[:-1])  # minus _stats_ok
+            )
+            return df, lambda: None
         fdf = self._footer_zone_map(col)
         if fdf is not None:
             fdf = fdf.persist()
@@ -643,6 +782,46 @@ class SaltedTable:
         if p.startswith("file:/") and not p.startswith("file://"):
             return "file://" + p[5:]
         return p
+
+    def _zone_stats_schemas(self, col: str):
+        """``(out_schema, arrow_target)`` for ``col``'s zone-stats rows
+        (``out_schema`` carries the trailing ``_stats_ok`` flag), or
+        ``None`` when the column is unknown or its type has no arrow
+        mapping — shared by the driver and executor footer routes so
+        both produce identically-typed relations."""
+        from pyspark.sql.types import (
+            BooleanType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        try:
+            data_schema = (
+                StructType.fromJson(json.loads(self.data_schema_json))
+                if self.data_schema_json
+                else self.df().drop(SALT_COL).schema
+            )
+            col_type = data_schema[col].dataType
+        except Exception:
+            return None  # unknown column/schema: let the scan path speak
+        out_schema = StructType(
+            [
+                StructField("file", StringType()),
+                StructField("lo", col_type),
+                StructField("hi", col_type),
+                StructField("n_rows", LongType()),
+                StructField("n_nulls", LongType()),
+                StructField("_stats_ok", BooleanType()),
+            ]
+        )
+        try:
+            target = to_arrow_schema(out_schema)
+        except Exception:
+            return None  # no arrow mapping for this key type
+        return out_schema, target
 
     def _footer_zone_map(
         self, col: str, paths: list[str] | None = None
@@ -673,109 +852,46 @@ class SaltedTable:
         point."""
         if self.fmt != "parquet":
             return None
-        from pyspark.sql.types import (
-            BooleanType,
-            LongType,
-            StringType,
-            StructField,
-            StructType,
-        )
-        from pyspark.sql.pandas.types import to_arrow_schema
-
+        resolved = self._zone_stats_schemas(col)
+        if resolved is None:
+            return None  # unknown column / no arrow mapping
+        out_schema, target = resolved
         if paths is None:
             fs = Fs(self.spark, self.path)
             paths = [t[0] for t in self._data_signature(fs)]
         paths = [self._canon_file_uri(p) for p in paths]
-        try:
-            data_schema = (
-                StructType.fromJson(json.loads(self.data_schema_json))
-                if self.data_schema_json
-                else self.df().drop(SALT_COL).schema
-            )
-            col_type = data_schema[col].dataType
-        except Exception:
-            return None  # unknown column/schema: let the scan path speak
-        out_schema = StructType(
-            [
-                StructField("file", StringType()),
-                StructField("lo", col_type),
-                StructField("hi", col_type),
-                StructField("n_rows", LongType()),
-                StructField("n_nulls", LongType()),
-                StructField("_stats_ok", BooleanType()),
-            ]
-        )
         spark = self.spark
         if not paths:
             return spark.createDataFrame([], out_schema)
-        try:
-            target = to_arrow_schema(out_schema)
-        except Exception:
-            return None  # no arrow mapping for this key type
+        col_name = col
+        if len(paths) <= self.FOOTER_DRIVER_MAX_FILES and all(
+            p.startswith("file:") for p in paths
+        ):
+            # Small LOCAL file sets: read the footers on the driver.
+            # O(#files) metadata I/O does not justify a Spark job —
+            # the job launch + Arrow-worker round trip costs ~1-2 s
+            # per build regardless of data size (measured r9: the
+            # whole salted_write bench regression). The executor path
+            # below remains the scale route (object stores, large
+            # file counts) and shares this exact extraction code, so
+            # both produce byte-identical sidecars.
+            import pyarrow as pa
+
+            batch = _footer_stats_batch(paths, col_name, target)
+            return spark.createDataFrame(
+                pa.Table.from_batches([batch])
+            ).to(out_schema)
         n_tasks = max(1, min(len(paths), spark.sparkContext.defaultParallelism))
         paths_df = spark.createDataFrame(
             [(p,) for p in paths], "file string"
         ).repartition(n_tasks)
-        col_name = col
 
         def read_footers(batches):
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            def one_file(path):
-                """(lo, hi, n_rows, n_nulls, ok) from the footer."""
-                md = pq.ParquetFile(path).metadata
-                n_rows = md.num_rows
-                idx = None
-                if md.num_row_groups:
-                    rg0 = md.row_group(0)
-                    for i in range(rg0.num_columns):
-                        if rg0.column(i).path_in_schema == col_name:
-                            idx = i
-                            break
-                if idx is None:
-                    return None, None, n_rows, 0, n_rows == 0
-                mins, maxs, nulls = [], [], 0
-                for g in range(md.num_row_groups):
-                    rg = md.row_group(g)
-                    if rg.num_rows == 0:
-                        continue
-                    st = rg.column(idx).statistics
-                    if st is None or not st.has_null_count:
-                        return None, None, n_rows, 0, False
-                    nulls += st.null_count
-                    if st.has_min_max:
-                        # .min/.max raise ArrowNotImplementedError for
-                        # stat types pyarrow cannot decode (caught below)
-                        mins.append(st.min)
-                        maxs.append(st.max)
-                    elif st.null_count != rg.num_rows:
-                        return None, None, n_rows, 0, False
-                lo = min(mins) if mins else None
-                hi = max(maxs) if maxs else None
-                return lo, hi, n_rows, nulls, True
-
-            def typed(vals, field):
-                a = pa.array(vals)
-                return a if a.type == field.type else a.cast(field.type)
+            from hbasewd_spark.sources.salted_table import _footer_stats_batch
 
             for b in batches:
-                files, rows = b.column(0).to_pylist(), []
-                for path in files:
-                    try:
-                        rows.append(one_file(path))
-                    except Exception:
-                        rows.append((None, None, 0, 0, False))
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(files, pa.string()),
-                        typed([r[0] for r in rows], target.field("lo")),
-                        typed([r[1] for r in rows], target.field("hi")),
-                        pa.array([r[2] for r in rows], pa.int64()),
-                        pa.array([r[3] for r in rows], pa.int64()),
-                        pa.array([r[4] for r in rows], pa.bool_()),
-                    ],
-                    schema=target,
+                yield _footer_stats_batch(
+                    b.column(0).to_pylist(), col_name, target
                 )
 
         return paths_df.mapInArrow(read_footers, out_schema)

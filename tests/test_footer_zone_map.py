@@ -202,13 +202,21 @@ def test_epoch_on_stale_sidecar_leaves_it_stale(spark, tmp_path):
     assert t.fast_count(0, 10**9) == 700  # live path stays exact
 
 
-def test_zone_source_footer_branch_is_single_pass(spark, typed_table):
-    """VERDICT r8 #1: the footer relation must be persist()-ed so the
-    ``_stats_ok`` probe and the caller's write/collect share ONE
-    O(#files x footer) job. Pin: the returned DataFrame reads from the
-    cached relation (InMemoryRelation in its plan), and ``done()``
-    releases it."""
+def test_zone_source_footer_branch_is_single_pass(spark, typed_table, monkeypatch):
+    """VERDICT r8 #1: the footer pass must run ONCE per build. On the
+    default (driver) route the rows are already materialized in a
+    LocalRelation — single-pass and job-free by construction. On the
+    executor route (forced here) the relation must be persist()-ed so
+    the ``_stats_ok`` probe and the caller's write/collect share ONE
+    O(#files x footer) job, and ``done()`` releases it."""
     t = typed_table
+    src, done = t._zone_source("k")
+    try:
+        plan = src._jdf.queryExecution().optimizedPlan().toString()
+        assert "LocalRelation" in plan, plan
+    finally:
+        done()
+    monkeypatch.setattr(SaltedTable, "FOOTER_DRIVER_MAX_FILES", 0)
     src, done = t._zone_source("k")
     try:
         plan = src._jdf.queryExecution().optimizedPlan().toString()
@@ -221,3 +229,36 @@ def test_zone_source_footer_branch_is_single_pass(spark, typed_table):
     # lineage no longer reads from cache
     fdf = t._footer_zone_map("k")
     assert "InMemoryRelation" not in fdf._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.mark.parametrize("col", ["k", "ts", "s", "nullable"])
+def test_driver_and_executor_footer_routes_identical(
+    spark, typed_table, col, monkeypatch
+):
+    """r9: small local file sets read footers ON THE DRIVER (zero
+    Spark jobs — the job launch dominated salted_write at bench
+    scale); large/remote sets take the mapInArrow executor route. Both
+    call the same `_footer_stats_batch`, and must yield identical
+    rows AND identical Spark schemas (the sidecar parquet files they
+    write are interchangeable)."""
+    t = typed_table
+    drv = t._footer_zone_map(col)
+    monkeypatch.setattr(SaltedTable, "FOOTER_DRIVER_MAX_FILES", 0)
+    exe = t._footer_zone_map(col)
+    assert "mapInArrow" not in drv._jdf.queryExecution().analyzed().toString()
+    assert drv.schema == exe.schema
+    assert _canon(drv.drop("_stats_ok")) == _canon(exe.drop("_stats_ok"))
+
+
+def test_driver_footer_route_launches_no_jobs(spark, typed_table):
+    """The whole point of the driver route: building the footer
+    relation and collecting it must not run a single Spark job (a
+    LocalRelation collect is driver-side in classic mode)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    fdf = typed_table._footer_zone_map("k")
+    rows = fdf.collect()
+    assert len(rows) > 0
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after, "driver footer route launched Spark jobs"
