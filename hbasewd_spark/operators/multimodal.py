@@ -448,6 +448,15 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+def _byte_sum(b) -> int:
+    """Sum of a byte payload via numpy (VERDICT r8 #4: the pure-Python
+    sum(bytes) in the header-only and fallback branches was the one
+    O(payload) Python loop left in the decode path)."""
+    import numpy as np
+
+    return int(np.frombuffer(bytes(b), dtype=np.uint8).sum(dtype=np.int64))
+
+
 def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """One Arrow batch of decodes. Genuine PCM WAV payloads take the
     REAL parse (feature columns reinterpreted for audio:
@@ -485,14 +494,14 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         fmt_o.append(f)
         n_bytes.append(len(b))
         if px is not None:
-            s = sum(px)
+            s = _byte_sum(px)
             width.append(png["width"])
             height.append(png["height"])
             byte_sum.append(s)
             mean.append(s / max(len(px), 1))
         elif wav is not None:
             data = b[wav["data_offset"] : wav["data_offset"] + wav["data_bytes"]]
-            s = sum(data)
+            s = _byte_sum(data)
             width.append(wav["channels"])
             height.append(wav["bits_per_sample"])
             byte_sum.append(s)
@@ -514,13 +523,13 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             # real HEADER geometry (lossy-VP8 webp — the one codec
             # whose pixel decode stays behind the loud seam); byte
             # stats stay payload-level
-            s = sum(b)
+            s = _byte_sum(b)
             width.append(hdr["width"])
             height.append(hdr["height"])
             byte_sum.append(s)
             mean.append(s / max(len(b), 1))
         else:
-            s = sum(b)
+            s = _byte_sum(b)
             width.append(16 + len(b) % 240)
             height.append(16 + (len(b) * 7) % 240)
             byte_sum.append(s)
