@@ -277,18 +277,50 @@ def main() -> None:
         _report_vs_history(total, timings)
     except Exception as e:  # stderr reporting must never block the JSON line
         print(f"bench: history report FAILED: {e}", file=sys.stderr)
+    # shuffle_bytes goes to a SIDECAR, never stdout: round 9 appended it
+    # to the stdout JSON line, growing it to 4.8 KB — past the driver's
+    # ~2 KB tail-capture window — and BENCH_r09.json recorded
+    # `parsed: null` (VERDICT r9 item #1). Stdout is the driver contract
+    # and must stay compact; the audit map lands in SHUFFLE_LAST.json
+    # next to the repo plus a stderr echo for interactive runs.
+    if shuffle_bytes:
+        try:
+            side = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "SHUFFLE_LAST.json"
+            )
+            with open(side, "w") as f:
+                json.dump({"sf": sf, "shuffle_bytes": shuffle_bytes}, f, indent=1)
+            print(f"bench: shuffle audit -> {side}", file=sys.stderr)
+        except Exception as e:
+            print(f"bench: shuffle sidecar FAILED: {e}", file=sys.stderr)
+    print(json.dumps(build_payload(total, timings, errors, sf)))
+
+
+def build_payload(total: float, timings: dict, errors: dict, sf: str) -> dict:
+    """The single driver-contract stdout line. Keep it COMPACT: the
+    driver captures only the tail of stdout (~2000 chars observed); a
+    45-query payload with float timings is ~1.1 KB and proven parseable
+    through r8. tests/test_bench_contract.py pins the serialized length
+    under 1800 chars so an accidental field addition fails loudly
+    instead of silently blinding the driver again."""
     payload = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
-        "queries": dict(timings, **{k: {"err": v} for k, v in errors.items()}),
+        "queries": dict(timings, **{k: {"err": v[:60]} for k, v in errors.items()}),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    if shuffle_bytes:
-        payload["shuffle_bytes"] = shuffle_bytes
     if errors:
         payload["n_errors"] = len(errors)
-    print(json.dumps(payload))
+    # Hard backstop: if many queries error, even 60-char messages can
+    # push past the tail window — degrade to error NAMES only, then to
+    # timings only. A lean parsed line always beats a rich unparsed one.
+    if len(json.dumps(payload)) >= 1800 and errors:
+        payload["queries"] = dict(timings, **{k: {"err": "see stderr"} for k in errors})
+        if len(json.dumps(payload)) >= 1800:
+            payload["queries"] = timings
+            payload["error_names"] = sorted(errors)[:10]
+    return payload
 
 
 def _report_vs_history(total: float, timings: dict) -> None:

@@ -88,9 +88,23 @@ class Fs:
             # and the probe would turn "lost the race" (retryable)
             # into a raised error under a live poll loop.
             jexc = getattr(e, "java_exception", None)
+            cls = jexc.getClass().getName() if jexc is not None else ""
+            msg = (jexc.getMessage() or "") if jexc is not None else ""
+            # ADVICE r9: classify by exception CLASS, not a message
+            # substring — "already exists" appearing anywhere in an
+            # unrelated failure's message must not be read as "lock
+            # held" (that misreport sends the epoch poll loop into a
+            # full-timeout wait). The one message check kept is for
+            # pre-FileAlreadyExistsException Hadoop local-FS builds
+            # that raise bare IOException — anchored to Hadoop's exact
+            # create-failure phrasing at the START of the message.
             already = jexc is not None and (
-                "AlreadyExists" in jexc.getClass().getName()
-                or "already exists" in (jexc.getMessage() or "")
+                "AlreadyExists" in cls.rsplit(".", 1)[-1]
+                or cls.endswith(".PathExistsException")
+                or (
+                    cls == "java.io.IOException"
+                    and msg.startswith("File already exists")
+                )
             )
             if already:
                 # Hadoop raises the SAME exception class when a PARENT

@@ -675,7 +675,7 @@ class SaltedTable:
         rebuild re-read a full column of the table)."""
         zm_dir = self._zone_dir(col)
         fs = Fs(self.spark, self.path)
-        local = self._footer_stats_local(col)
+        status, local = self._footer_stats_local(col)
         if local is not None:
             # driver route end-to-end: footers read on the driver and
             # the O(#files)-row sidecar written with pyarrow — ZERO
@@ -690,7 +690,12 @@ class SaltedTable:
                 local, _local_fs_path(zm_dir) + "/part-00000.parquet"
             )
         else:
-            src, done = self._zone_source(col)
+            # thread the already-known driver-route verdict through so
+            # the fallback never re-reads the same footers (ADVICE r9:
+            # the bad-stats path read every footer 3x — once here, once
+            # in _zone_source's own probe, once in _footer_zone_map's
+            # driver branch — before finally falling back to the scan)
+            src, done = self._zone_source(col, _local_status=status)
             try:
                 src.write.mode("overwrite").parquet(zm_dir)
             finally:
@@ -703,16 +708,22 @@ class SaltedTable:
             self._zone_maps.pop(col, None)
 
     def _footer_stats_local(self, col: str):
-        """The driver footer route as a ``pa.Table`` (``_stats_ok``
-        verified driver-side and dropped), or ``None`` when the route
-        does not apply — non-parquet, unmappable column/type, remote
-        or too-many files, or any file whose stats are unusable (the
-        caller falls back through :meth:`_zone_source`'s scan path)."""
+        """The driver footer route, as ``(status, table)``:
+
+        - ``("ok", pa.Table)`` — route applies and EVERY file's stats
+          are usable (``_stats_ok`` verified driver-side and dropped);
+        - ``("bad_stats", None)`` — route applies but some file's
+          stats are missing/un-decodable. The executor footer route
+          would re-read the SAME footers and reach the same verdict,
+          so the only correct fallback is the column scan — callers
+          branch on the status instead of re-reading (ADVICE r9);
+        - ``("na", None)`` — route does not apply (non-parquet,
+          unmappable column/type, remote or too-many files)."""
         if self.fmt != "parquet":
-            return None
+            return "na", None
         resolved = self._zone_stats_schemas(col)
         if resolved is None:
-            return None
+            return "na", None
         out_schema, target = resolved
         fs = Fs(self.spark, self.path)
         paths = [
@@ -721,16 +732,18 @@ class SaltedTable:
         if not paths or len(paths) > self.FOOTER_DRIVER_MAX_FILES or not all(
             p.startswith("file:") for p in paths
         ):
-            return None
+            return "na", None
         import pyarrow as pa
 
         batch = _footer_stats_batch(paths, col, target)
         if not all(batch.column("_stats_ok").to_pylist()):
-            return None
+            return "bad_stats", None
         tbl = pa.Table.from_batches([batch])
-        return tbl.drop_columns(["_stats_ok"])
+        return "ok", tbl.drop_columns(["_stats_ok"])
 
-    def _zone_source(self, col: str) -> tuple[DataFrame, "Callable[[], None]"]:
+    def _zone_source(
+        self, col: str, _local_status: str | None = None
+    ) -> tuple[DataFrame, "Callable[[], None]"]:
         """Best available zone-map source for ``col``: the footer-stats
         relation when EVERY file's column chunk has usable stats, else
         the column-pruned scan. The all-or-nothing rule keeps the two
@@ -745,9 +758,17 @@ class SaltedTable:
         write/collect share ONE footer pass (VERDICT r8 #1: the
         uncached relation ran the whole O(#files × footer) job twice on
         every build). The caller MUST invoke ``done()`` once finished
-        consuming ``df``."""
-        local = self._footer_stats_local(col)
-        if local is not None:
+        consuming ``df``.
+
+        ``_local_status``: a caller that already ran
+        :meth:`_footer_stats_local` passes its status (``"bad_stats"``
+        or ``"na"``) so the driver footers are never re-read here
+        (ADVICE r9: the bad-stats fallback cost 3 full footer passes)."""
+        if _local_status is None:
+            _local_status, local = self._footer_stats_local(col)
+        else:
+            local = None
+        if _local_status == "ok" and local is not None:
             resolved = self._zone_stats_schemas(col)
             out_schema, _ = resolved
             from pyspark.sql.types import StructType
@@ -756,6 +777,11 @@ class SaltedTable:
                 StructType(out_schema.fields[:-1])  # minus _stats_ok
             )
             return df, lambda: None
+        if _local_status == "bad_stats":
+            # the driver route already read every footer and found
+            # unusable stats; the executor route reads the same footers
+            # — go straight to the column-pruned scan
+            return self.zone_map(col), lambda: None
         fdf = self._footer_zone_map(col)
         if fdf is not None:
             fdf = fdf.persist()
@@ -2371,6 +2397,38 @@ def _swap_table_dirs(fs: Fs, tmp: str, base: str, op: str) -> None:
         raise IOError(
             f"{op}(): swap rename {tmp} -> {base} failed; the rewrite is "
             f"intact at {tmp} and the original table is "
+            + (f"restored at {base}" if restored else f"preserved at {old}")
+        )
+    # ADVICE r9 (TOCTOU): a racing epoch stage can recreate `base`
+    # BETWEEN the resurrected-base delete above and the rename — Hadoop
+    # rename onto an existing dir then nests tmp INSIDE base and still
+    # returns True. Verify the swap actually landed flat (the table
+    # metadata file must sit directly under base) before touching the
+    # aside copy; if it nested, un-nest and only then proceed.
+    if not fs.exists(base.rstrip("/") + "/" + META_FILE):
+        nested = base.rstrip("/") + "/" + tmp.rstrip("/").rsplit("/", 1)[-1]
+        if fs.exists(nested.rstrip("/") + "/" + META_FILE):
+            # the rewrite is intact one level deep: lift it to a
+            # sibling, clear the stager-recreated shell, rename flat.
+            hoist = base + ".hoist"
+            if fs.exists(hoist):
+                fs.delete(hoist, recursive=True)
+            if fs.rename(nested, hoist):
+                fs.delete(base, recursive=True)
+                if fs.rename(hoist, base) and fs.exists(
+                    base.rstrip("/") + "/" + META_FILE
+                ):
+                    fs.delete(old, recursive=True)
+                    return
+        # could not repair in place: restore the aside copy rather
+        # than deleting the only complete table.
+        if fs.exists(base):
+            fs.delete(base, recursive=True)
+        restored = fs.rename(old, base)
+        raise IOError(
+            f"{op}(): swap rename nested the rewrite inside a "
+            f"stager-recreated {base} (no {META_FILE} at the top level) "
+            f"and the un-nest failed; the original table is "
             + (f"restored at {base}" if restored else f"preserved at {old}")
         )
     fs.delete(old, recursive=True)

@@ -1,0 +1,187 @@
+"""Round-10 regression locks for the ADVICE.md r9 findings.
+
+1. ``_swap_table_dirs`` TOCTOU: a racing epoch stage write (which runs
+   outside the lifecycle lock by design) can recreate ``base`` between
+   the swap's resurrected-base delete and ``rename(tmp, base)``.
+   Hadoop's rename onto an existing dir NESTS tmp inside base and
+   returns True (empirically confirmed on the local FS), after which
+   the old protocol deleted the aside copy and stranded the table one
+   level deep with no error. The swap must now verify the table
+   metadata file landed at the top level, un-nest if it did not, and
+   never delete the aside copy until a flat loadable table exists at
+   ``base``.
+2. ``_footer_stats_local`` status threading: the bad-stats fallback
+   used to re-read every parquet footer three times (build → source
+   probe → footer relation) before reaching the column scan. The
+   status tuple lets callers branch without re-reading.
+3. ``create_atomic`` classifies lost-the-race by Java exception CLASS;
+   a non-race failure whose message merely contains "already exists"
+   must propagate, not map to "lock held".
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbasewd_spark.fsutil import Fs
+from hbasewd_spark.plans.distributor import HashDistributor
+from hbasewd_spark.sources.salted_table import SaltedTable, compact, rebucket
+
+
+def _race_stage_recreation(monkeypatch, tmp_suffix, base):
+    """Patch Fs.rename so the tmp->base swap rename finds base
+    resurrected by a concurrent stage write (a lone .staging-* dir),
+    reproducing the nest-and-return-True TOCTOU."""
+    real = Fs.rename
+    fired = {"n": 0}
+
+    def racing(self, src, dst):
+        if src.rstrip("/").endswith(tmp_suffix) and dst.rstrip("/") == base:
+            if fired["n"] == 0:  # race once; repair renames run clean
+                fired["n"] += 1
+                self.mkdirs(dst + "/.staging-racer")
+        return real(self, src, dst)
+
+    monkeypatch.setattr(Fs, "rename", racing)
+    return fired
+
+
+def test_compact_swap_survives_stage_resurrection_race(
+    spark, kv, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "swapnest")
+    t = SaltedTable.write(kv, path, HashDistributor(4), "key_long")
+    n = t.df().count()
+    fired = _race_stage_recreation(monkeypatch, ".compact_tmp", path)
+    compact(t)
+    assert fired["n"] == 1  # the race actually happened
+    fs = Fs(spark, path)
+    # flat, loadable, complete — and no stranded copies anywhere
+    reloaded = SaltedTable.load(spark, path)
+    assert reloaded.df().count() == n
+    assert not fs.exists(path + ".old")
+    assert not fs.exists(path + ".hoist")
+    assert not fs.exists(path + "/swapnest.compact_tmp")
+
+
+def test_rebucket_swap_survives_stage_resurrection_race(
+    spark, kv, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "rbnest")
+    t = SaltedTable.write(kv, path, HashDistributor(4), "key_long")
+    n = t.df().count()
+    fired = _race_stage_recreation(monkeypatch, ".rebucket_tmp", path)
+    rebucket(t, HashDistributor(8))
+    assert fired["n"] == 1
+    reloaded = SaltedTable.load(spark, path)
+    assert reloaded.df().count() == n
+    assert reloaded.distributor.buckets == 8
+
+
+def test_nested_swap_with_failed_hoist_restores_original(
+    spark, kv, tmp_path, monkeypatch
+):
+    """If the un-nest itself cannot land (hoist rename fails), the
+    aside copy must be RESTORED to base — never deleted — and the
+    failure must raise instead of silently stranding the rewrite."""
+    path = str(tmp_path / "hoistfail")
+    t = SaltedTable.write(kv, path, HashDistributor(4), "key_long")
+    n = t.df().count()
+    real = Fs.rename
+
+    def racing(self, src, dst):
+        if src.rstrip("/").endswith(".compact_tmp") and dst.rstrip("/") == path:
+            self.mkdirs(dst + "/.staging-racer")
+        if dst.rstrip("/").endswith(".hoist"):
+            return False  # the repair's first rename fails
+        return real(self, src, dst)
+
+    monkeypatch.setattr(Fs, "rename", racing)
+    with pytest.raises(IOError, match="nested"):
+        compact(t)
+    reloaded = SaltedTable.load(spark, path)
+    assert reloaded.df().count() == n
+
+
+def test_footer_stats_local_status_tuple(spark, tmp_path):
+    """(status, table) contract: 'ok' carries the table; a decimal
+    column whose footer stats pyarrow cannot decode reports
+    'bad_stats' with no table; a non-parquet table reports 'na'."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        # decimal(18,4): parquet FLBA-backed, stats undecodable by
+        # pyarrow (precision 38 lands as ok — it decodes fine)
+        F.col("id").cast("decimal(18,4)").alias("dec"),
+    )
+    t = SaltedTable.write(
+        df, str(tmp_path / "st"), HashDistributor(4), "k"
+    )
+    status, tbl = t._footer_stats_local("k")
+    assert status == "ok" and tbl is not None
+    status, tbl = t._footer_stats_local("dec")
+    assert status == "bad_stats" and tbl is None
+
+
+def test_bad_stats_fallback_reads_footers_once(spark, tmp_path, monkeypatch):
+    """ADVICE r9: build_zone_map on a bad-stats column must run the
+    driver footer pass exactly ONCE before falling back to the scan —
+    not three times."""
+    import hbasewd_spark.sources.salted_table as st
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("decimal(18,4)").alias("dec"),
+    )
+    t = SaltedTable.write(df, str(tmp_path / "once"), HashDistributor(4), "k")
+    calls = {"n": 0}
+    real = st._footer_stats_batch
+
+    def counting(paths, col, target):
+        calls["n"] += 1
+        return real(paths, col, target)
+
+    monkeypatch.setattr(st, "_footer_stats_batch", counting)
+    t.build_zone_map("dec")  # bad-stats column -> scan fallback
+    assert calls["n"] == 1, f"footer pass ran {calls['n']}x, want 1"
+    # and the sidecar it wrote via the scan is exact
+    rows = {r["file"]: r for r in t._zone_rows("dec")}
+    assert rows and all(r["lo"] is not None for r in rows.values())
+
+
+def test_create_atomic_propagates_nonrace_already_exists_message(
+    spark, tmp_path, monkeypatch
+):
+    """A failure whose MESSAGE contains 'already exists' but whose
+    class is not an AlreadyExists/PathExists exception (and not
+    Hadoop's anchored local-FS IOException phrasing) must raise, not
+    report 'lock held'."""
+    fs = Fs(spark, str(tmp_path))
+    target = str(tmp_path / "lockdir" / "sentinel")
+
+    class FakeJExc:
+        class _Cls:
+            def getName(self):
+                return "org.apache.hadoop.ipc.RemoteException"
+
+        def getClass(self):
+            return self._Cls()
+
+        def getMessage(self):
+            return "server error: snapshot already exists on namenode"
+
+    class FakeErr(Exception):
+        java_exception = FakeJExc()
+
+    def boom(*a, **k):
+        raise FakeErr("wrapped")
+
+    monkeypatch.setattr(type(fs.fs), "create", boom, raising=False)
+    with pytest.raises(FakeErr):
+        fs.create_atomic(target, "x")
+
+
+def test_create_atomic_still_detects_real_race(spark, tmp_path):
+    """The genuine lost-the-race outcome still maps to False."""
+    fs = Fs(spark, str(tmp_path))
+    target = str(tmp_path / "sentinel.lock")
+    assert fs.create_atomic(target, "a") is True
+    assert fs.create_atomic(target, "b") is False
