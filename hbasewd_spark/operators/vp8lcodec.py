@@ -811,7 +811,11 @@ def _fwd_color_transform(flat, w, h, g2r, g2b, r2b, bits):
         ch[pos, 3] = nb
     sub_w = -(-w // (1 << bits))
     sub_h = -(-h // (1 << bits))
-    cte = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+    # multipliers are signed 3.5 fixed-point BYTES: mask before packing
+    # so callers may spell them signed (-25) or unsigned (231) — a
+    # negative int OR'd unmasked corrupts every higher field of the
+    # cte word (caught by the r10 differential suite)
+    cte = 0xFF000000 | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8) | (g2r & 0xFF)
     return _from_argb_channels(ch), np.full(sub_w * sub_h, cte, dtype=np.uint32)
 
 

@@ -1,0 +1,264 @@
+"""Differential conformance: production VP8L decoder vs the
+spec-literal naive reference (tests/naive_vp8l_ref.py — independent
+bit reader, RFC-1951-style canonical code construction, generated
+distance map, scalar transform inverses; VERDICT r9 #4).
+
+VP8L is LOSSLESS, so every comparison is EXACT equality — any
+single-bit disagreement in tree building, LZ77, cache hashing, or a
+transform inverse fails loudly. Fixtures cover the production
+encoder's whole option surface (it is the only VP8L writer in the
+container), plus hand-assembled bitstreams with worked-out pixels
+that check both decoders against spec arithmetic directly.
+"""
+
+import numpy as np
+import pytest
+
+from hbasewd_spark.operators.vp8lcodec import DIST_MAP, decode_webp, encode_vp8l
+from naive_vp8l_ref import decode_webp_naive, dist_map_spec
+
+
+def _rgba(img):
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if img.shape[2] == 3:
+        a = np.full((*img.shape[:2], 1), 255, np.uint8)
+        img = np.concatenate([img, a], axis=-1)
+    return img
+
+
+def _differential(img, **enc_kw):
+    data = encode_vp8l(img, **enc_kw)
+    prod = decode_webp(data)
+    assert prod is not None, f"production decode failed for {enc_kw}"
+    naive = np.array(decode_webp_naive(data), dtype=np.uint8)
+    assert naive.shape == prod.shape, f"{enc_kw}: {naive.shape} vs {prod.shape}"
+    assert (naive == prod).all(), (
+        f"{enc_kw}: {int((naive != prod).any(axis=-1).sum())} pixels differ"
+    )
+    # and both equal the source (encoder is lossless)
+    assert (prod == _rgba(img)).all(), f"{enc_kw}: lossy roundtrip?!"
+
+
+def _images():
+    rng = np.random.default_rng(42)
+    yy, xx = np.mgrid[0:13, 0:17]
+    grad = np.stack(
+        [xx * 15 % 256, yy * 19 % 256, (xx + yy) * 7 % 256], axis=-1
+    ).astype(np.uint8)
+    noise = rng.integers(0, 256, (9, 11, 4), dtype=np.uint8)
+    # repetitive rows: LZ77-friendly, exercises 2-D distances
+    reps = np.tile(rng.integers(0, 256, (1, 16, 3), dtype=np.uint8), (12, 1, 1))
+    return grad, noise, reps
+
+
+def test_distance_map_derivation_matches_production_literal():
+    """The geometric generation rule reproduces the 120-entry spec
+    table the production codec carries as a literal — two independent
+    statements of §4.2.2 agreeing entry for entry."""
+    assert dist_map_spec() == list(DIST_MAP)
+
+
+def test_plain_literals():
+    grad, noise, _ = _images()
+    _differential(grad, use_lz77=False)
+    _differential(noise, use_lz77=False)
+
+
+def test_lz77_paths():
+    _, _, reps = _images()
+    _differential(reps, use_lz77=True)
+    _differential(reps, use_lz77=True, map_dist=True)
+
+
+def test_color_cache():
+    grad, noise, reps = _images()
+    _differential(reps, use_lz77=False, cache_bits=4)
+    _differential(reps, use_lz77=True, cache_bits=6)
+    _differential(noise, use_lz77=True, cache_bits=2)
+
+
+def test_subtract_green():
+    grad, noise, _ = _images()
+    _differential(grad, subtract_green=True)
+    _differential(noise, subtract_green=True, cache_bits=3)
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13])
+def test_predictor_modes(mode):
+    grad, noise, _ = _images()
+    _differential(grad, predictor_mode=mode)
+    _differential(noise, predictor_mode=mode, transform_bits=2)
+
+
+def test_color_transform():
+    grad, noise, _ = _images()
+    _differential(grad, color_transform=(37, -11, 94))
+    _differential(noise, color_transform=(-128, 127, -1), transform_bits=3)
+
+
+@pytest.mark.parametrize("n_colors", [2, 3, 4, 9, 16, 17, 93])
+def test_palette_bundling(n_colors):
+    """Each palette size class has a distinct pixel-bundling width
+    (wbits 3/2/1/0) — the unpack geometry is where off-by-ones live."""
+    rng = np.random.default_rng(n_colors)
+    colors = rng.integers(0, 256, (n_colors, 4), dtype=np.uint8)
+    colors[:, 3] = 255
+    idx = rng.integers(0, n_colors, (11, 23))
+    img = colors[idx]
+    _differential(img, palette=True)
+
+
+def test_meta_huffman_groups():
+    grad, noise, _ = _images()
+    _differential(grad, meta_groups=2)
+    _differential(noise, meta_groups=2)
+
+
+def test_stacked_transforms():
+    grad, noise, reps = _images()
+    _differential(
+        grad, predictor_mode=7, subtract_green=True, cache_bits=4, use_lz77=True
+    )
+    _differential(
+        noise, predictor_mode=11, color_transform=(25, -25, 50), use_lz77=True
+    )
+    rng = np.random.default_rng(5)
+    pal_img = rng.integers(0, 4, (10, 31)).astype(np.uint8) * 80
+    _differential(pal_img, palette=True, use_lz77=True)
+
+
+def test_translucent_alpha():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (7, 7, 4), dtype=np.uint8)  # alpha varies
+    _differential(img)
+    _differential(img, subtract_green=True, predictor_mode=2)
+
+
+# ------------------------------------------------------ hand-assembled
+class _HandBits:
+    """Minimal LSB-first writer for hand-built fixtures (local to the
+    test on purpose — independent of both codecs' writers)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def put(self, v, n):
+        for i in range(n):
+            self.bits.append((v >> i) & 1)
+
+    def bytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i : i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def _container(payload):
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def _simple_code_1sym(bw, sym8):
+    """simple prefix code, one symbol, 8-bit spelling"""
+    bw.put(1, 1)  # simple
+    bw.put(0, 1)  # num_symbols - 1 = 0
+    bw.put(1, 1)  # 8-bit first symbol
+    bw.put(sym8, 8)
+
+
+def test_hand_stream_single_pixel():
+    """1x1 image, five single-symbol codes, zero data bits: the pixel
+    IS the code symbols. Worked out: (R,G,B,A) = (77, 200, 3, 255)."""
+    bw = _HandBits()
+    bw.put(0, 14)  # w-1
+    bw.put(0, 14)  # h-1
+    bw.put(0, 1)  # alpha hint
+    bw.put(0, 3)  # version
+    bw.put(0, 1)  # no transforms
+    bw.put(0, 1)  # no color cache
+    bw.put(0, 1)  # no meta huffman
+    _simple_code_1sym(bw, 200)  # green
+    _simple_code_1sym(bw, 77)  # red
+    _simple_code_1sym(bw, 3)  # blue
+    _simple_code_1sym(bw, 255)  # alpha
+    bw.put(1, 1)  # distance: simple
+    bw.put(0, 1)  # 1 symbol
+    bw.put(0, 1)  # 1-bit spelling
+    bw.put(0, 1)  # symbol 0
+    data = _container(b"\x2f" + bw.bytes())
+    expect = np.array([[[77, 200, 3, 255]]], dtype=np.uint8)
+    assert (np.array(decode_webp_naive(data), np.uint8) == expect).all()
+    assert (decode_webp(data) == expect).all()
+
+
+def test_hand_stream_two_green_symbols():
+    """2x2 image: green has a 2-symbol simple code (canonical: the
+    smaller symbol takes code '0'), other channels constant. Data bits
+    0,1,1,0 -> greens 10,200,200,10."""
+    bw = _HandBits()
+    bw.put(1, 14)  # w-1 -> w=2
+    bw.put(1, 14)  # h-1 -> h=2
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(0, 1)  # no transforms
+    bw.put(0, 1)  # no cache
+    bw.put(0, 1)  # no meta
+    bw.put(1, 1)  # green: simple
+    bw.put(1, 1)  # two symbols
+    bw.put(1, 1)  # 8-bit first
+    bw.put(10, 8)  # symbol A
+    bw.put(200, 8)  # symbol B (second symbol always 8-bit)
+    _simple_code_1sym(bw, 50)  # red
+    _simple_code_1sym(bw, 60)  # blue
+    _simple_code_1sym(bw, 255)  # alpha
+    bw.put(1, 1)  # distance single-symbol
+    bw.put(0, 1)
+    bw.put(0, 1)
+    bw.put(0, 1)
+    for bit in (0, 1, 1, 0):  # per-pixel green selector
+        bw.put(bit, 1)
+    data = _container(b"\x2f" + bw.bytes())
+    expect = np.array(
+        [
+            [[50, 10, 60, 255], [50, 200, 60, 255]],
+            [[50, 200, 60, 255], [50, 10, 60, 255]],
+        ],
+        dtype=np.uint8,
+    )
+    assert (np.array(decode_webp_naive(data), np.uint8) == expect).all()
+    assert (decode_webp(data) == expect).all()
+
+
+def test_hand_stream_subtract_green_transform():
+    """1x1 with the subtract-green transform: stored (r,g,b) =
+    (50, 100, 200) -> displayed r = 150, b = (200+100) mod 256 = 44."""
+    bw = _HandBits()
+    bw.put(0, 14)
+    bw.put(0, 14)
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(1, 1)  # a transform follows
+    bw.put(2, 2)  # type 2 = subtract green
+    bw.put(0, 1)  # end of transforms
+    bw.put(0, 1)  # no cache
+    bw.put(0, 1)  # no meta
+    _simple_code_1sym(bw, 100)  # green
+    _simple_code_1sym(bw, 50)  # red (stored residual)
+    _simple_code_1sym(bw, 200)  # blue (stored residual)
+    _simple_code_1sym(bw, 255)  # alpha
+    bw.put(1, 1)
+    bw.put(0, 1)
+    bw.put(0, 1)
+    bw.put(0, 1)
+    data = _container(b"\x2f" + bw.bytes())
+    expect = np.array([[[150, 100, 44, 255]]], dtype=np.uint8)
+    assert (np.array(decode_webp_naive(data), np.uint8) == expect).all()
+    assert (decode_webp(data) == expect).all()
