@@ -274,7 +274,9 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     try:
-        _report_vs_history(total, timings)
+        _report_vs_history(
+            total, timings, float(sf) if sf.replace(".", "").isdigit() else sf
+        )
     except Exception as e:  # stderr reporting must never block the JSON line
         print(f"bench: history report FAILED: {e}", file=sys.stderr)
     # shuffle_bytes goes to a SIDECAR, never stdout: round 9 appended it
@@ -323,24 +325,39 @@ def build_payload(total: float, timings: dict, errors: dict, sf: str) -> dict:
     return payload
 
 
-def _report_vs_history(total: float, timings: dict) -> None:
-    """Per-query delta vs the last BENCH_HISTORY.md record, to stderr
-    (stdout is reserved for the single driver-contract JSON line)."""
-    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.md")
+def _report_vs_history(total: float, timings: dict, sf=None) -> None:
+    """Per-query delta vs the last BENCH_HISTORY.md record AT THE SAME
+    SCALE FACTOR, to stderr (stdout is reserved for the single
+    driver-contract JSON line). History lines may carry the per-query
+    map inline (``queries``) or point at a sibling JSON record
+    (``queries_file`` — e.g. BENCH_sf10.json) — without one of those
+    only the total is compared. sf matching matters: the history holds
+    sf0.1 AND sf10 records, and an sf0.1 run diffed against the sf10
+    total reads as a 3x regression that never happened."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    hist_path = os.path.join(repo, "BENCH_HISTORY.md")
     last = None
     try:
         with open(hist_path) as f:
             for line in f:
                 line = line.strip()
                 if line.startswith("{"):
-                    last = json.loads(line)
+                    rec = json.loads(line)
+                    if sf is None or rec.get("sf") == sf:
+                        last = rec
     except OSError:
         pass
     if not last:
         return
     prev = last.get("queries", {})
+    if not prev and last.get("queries_file"):
+        try:
+            with open(os.path.join(repo, last["queries_file"])) as f:
+                prev = json.load(f).get("queries", {})
+        except OSError:
+            pass
     print(
-        f"--- vs BENCH_HISTORY round {last.get('round')}: "
+        f"--- vs BENCH_HISTORY ({last.get('note', 'unlabeled record')}): "
         f"total {last.get('value')}s -> {total}s ---",
         file=sys.stderr,
     )
