@@ -262,3 +262,51 @@ def test_hand_stream_subtract_green_transform():
     expect = np.array([[[150, 100, 44, 255]]], dtype=np.uint8)
     assert (np.array(decode_webp_naive(data), np.uint8) == expect).all()
     assert (decode_webp(data) == expect).all()
+
+
+# ------------------------------------------------------ property fuzz
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _img_and_options(draw):
+    h = draw(st.integers(1, 9))
+    w = draw(st.integers(1, 9))
+    seed = draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    if draw(st.booleans()):  # low-cardinality image (LZ77/palette-friendly)
+        n = draw(st.integers(1, 5))
+        colors = rng.integers(0, 256, (n, 4), dtype=np.uint8)
+        img = colors[rng.integers(0, n, (h, w))]
+    else:
+        img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    kw = {
+        "use_lz77": draw(st.booleans()),
+        "cache_bits": draw(st.sampled_from([0, 0, 2, 5])),
+        "subtract_green": draw(st.booleans()),
+        "map_dist": draw(st.booleans()),
+        "transform_bits": draw(st.sampled_from([2, 3, 4])),
+    }
+    if draw(st.booleans()):
+        kw["predictor_mode"] = draw(st.integers(0, 13))
+    if draw(st.booleans()):
+        kw["color_transform"] = (
+            draw(st.integers(-128, 127)),
+            draw(st.integers(-128, 127)),
+            draw(st.integers(-128, 127)),
+        )
+    if draw(st.booleans()) and len(np.unique(img.view(np.uint32))) <= 256:
+        kw["palette"] = True
+    return img, kw
+
+
+@settings(max_examples=150, deadline=None)
+@given(_img_and_options())
+def test_fuzz_differential(img_kw):
+    """Random tiny images through random encoder option stacks: the
+    production and naive decoders must agree EXACTLY, and both must
+    reproduce the source. Interaction bugs (e.g. palette bundling
+    under a predictor, cache hashing across LZ77 copies) live in
+    exactly the option combinations a fixed matrix misses."""
+    img, kw = img_kw
+    _differential(img, **kw)
