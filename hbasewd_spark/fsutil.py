@@ -141,3 +141,52 @@ class Fs:
             )
         finally:
             stm.close()
+
+
+def try_break_dead_lock(fs: Fs, lock: str) -> bool:
+    """Break a lock sentinel whose holder is PROVABLY dead; return
+    True if the sentinel was removed.
+
+    This is deliberately NOT auto-expiry (a lease that times out can't
+    protect a stalled-but-alive job — the design stance in
+    ``SaltedTable._lifecycle_lock``): the only evidence accepted is a
+    same-host holder whose recorded pid no longer exists
+    (``os.kill(pid, 0)`` -> ProcessLookupError). Everything else —
+    foreign host, alive pid, permission-denied probe, old-format
+    holder without a host field, unreadable sentinel — leaves the lock
+    alone and the caller on its existing wait-or-raise path. On a
+    multi-host cluster a dead remote driver still needs the documented
+    manual delete; this closes the common case, a restarted driver on
+    the same machine replaying into its own predecessor's lock.
+
+    Takeover is guarded against racing a NEW holder: the sentinel is
+    re-read immediately before the delete and must still carry the
+    same dead holder; after the delete the caller must go back through
+    ``create_atomic`` (one winner) rather than assume ownership."""
+    import json as _json
+    import os as _os
+    import socket as _socket
+
+    try:
+        holder_txt = fs.read_text(lock)
+        holder = _json.loads(holder_txt)
+        pid = int(holder["pid"])
+        host = holder["host"]
+    except Exception:
+        return False  # unreadable/old-format: require the manual path
+    if host != _socket.gethostname() or pid == _os.getpid():
+        return False
+    try:
+        _os.kill(pid, 0)
+        return False  # alive
+    except ProcessLookupError:
+        pass  # provably dead on this host
+    except Exception:
+        return False  # permission denied etc.: can't prove death
+    try:
+        if fs.read_text(lock) != holder_txt:
+            return False  # a new holder took the sentinel meanwhile
+        fs.delete(lock)
+        return True
+    except Exception:
+        return False

@@ -621,11 +621,22 @@ class SaltedTable:
 
         @contextlib.contextmanager
         def _lock():
+            import socket
+
+            from hbasewd_spark.fsutil import try_break_dead_lock
+
             fs = Fs(table.spark, table.path)
             base = table.path.rstrip("/")
             lock = table.lock_path(base)
-            holder = json.dumps({"verb": verb, "pid": os.getpid()})
-            if not fs.create_atomic(lock, holder):
+            holder = json.dumps(
+                {"verb": verb, "pid": os.getpid(), "host": socket.gethostname()}
+            )
+            # one takeover attempt for a PROVABLY dead same-host holder
+            # (crashed predecessor on this machine) before failing fast;
+            # alive/unprovable holders still raise — no auto-expiry
+            if not fs.create_atomic(lock, holder) and not (
+                try_break_dead_lock(fs, lock) and fs.create_atomic(lock, holder)
+            ):
                 try:
                     who = fs.read_text(lock)
                 except Exception:

@@ -74,7 +74,10 @@ def _epoch_commit_lock(
     nothing a lifecycle verb could target) happens ONCE up front and
     runs unlocked."""
     import json as _json
+    import socket as _socket
     import time as _time
+
+    from hbasewd_spark.fsutil import try_break_dead_lock
 
     base = dest_path.rstrip("/")
     meta = base + "/" + META_FILE
@@ -84,11 +87,23 @@ def _epoch_commit_lock(
         return
     lock = SaltedTable.lock_path(base)
     holder = _json.dumps(
-        {"verb": f"stream-epoch-{epoch_id}", "pid": os.getpid()}
+        {
+            "verb": f"stream-epoch-{epoch_id}",
+            "pid": os.getpid(),
+            "host": _socket.gethostname(),
+        }
     )
     deadline = _time.monotonic() + timeout_s
 
     while not fs.create_atomic(lock, holder):
+        # a crashed predecessor (driver restart replaying its own
+        # epoch) leaves the sentinel behind with a dead pid — the ONE
+        # case provable from here; break it and re-race create_atomic.
+        # Alive or unprovable holders keep the normal wait-then-raise
+        # path (no auto-expiry: a stalled-but-alive verb keeps its
+        # lock).
+        if try_break_dead_lock(fs, lock):
+            continue
         if _time.monotonic() >= deadline:
             try:
                 who = fs.read_text(lock)

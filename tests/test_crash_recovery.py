@@ -161,3 +161,226 @@ def test_crash_then_recovery_path_is_loadable_or_documented(
             assert fs.rename(base + ".old", base)
             loaded = SaltedTable.load(spark, base).df().count()
         assert loaded == 300, f"crash at op#{k}: unrecoverable ({inj.ops[k-1:k]})"
+
+
+def test_expire_crash_points_never_lose_a_surviving_row(
+    spark, tmp_path, monkeypatch
+):
+    """expire()'s crash contract (docstring at the delete loop): the
+    stage dir holds every boundary survivor BEFORE originals go away,
+    so at ANY crash point the union of (rows at base with key >=
+    cutoff, or null key) and (rows in the stage dir) covers every row
+    that must survive. Expired rows may outlive a crash (retention is
+    re-runnable); survivors may never die."""
+    cutoff = 120
+    df = spark.range(300).select(
+        F.when(F.col("id") % 50 == 0, None).otherwise(F.col("id")).alias("key_long"),
+        (F.col("id") * 3).alias("v"),
+    )
+    survivors = {
+        r.v
+        for r in df.where(
+            (F.col("key_long") >= cutoff) | F.col("key_long").isNull()
+        ).collect()
+    }
+
+    def build(name):
+        t = SaltedTable.write(
+            df, str(tmp_path / name), HashDistributor(4), "key_long"
+        )
+        t.build_zone_map("key_long")
+        return t
+
+    t = build("exp_probe")
+    probe = _CrashAfter(monkeypatch, crash_at=0)
+    stats = t.expire(cutoff)
+    total_ops = probe.count
+    monkeypatch.undo()
+    assert stats["files_dropped"] + stats["files_rewritten"] > 0
+    assert total_ops >= 4
+
+    for k in range(1, total_ops + 1):
+        t = build(f"exp_k{k}")
+        base, stage = t.path, t.path.rstrip("/") + "/.expire_stage"
+        inj = _CrashAfter(monkeypatch, crash_at=k)
+        try:
+            t.expire(cutoff)
+        except (_InjectedCrash, IOError):
+            pass
+        finally:
+            monkeypatch.undo()
+        live = set()
+        base_rows = _rows_at(spark, base)
+        if base_rows is not None:
+            live |= {
+                r.v
+                for r in spark.read.option("basePath", base)
+                .parquet(*Fs(spark, base).glob(f"{base}/salt=*"))
+                .where((F.col("key_long") >= cutoff) | F.col("key_long").isNull())
+                .collect()
+            }
+        fs = Fs(spark, base)
+        if fs.exists(stage):
+            try:
+                live |= {r.v for r in spark.read.parquet(stage).collect()}
+            except Exception:
+                pass
+        missing = survivors - live
+        assert not missing, (
+            f"expire crash at op#{k} {inj.ops[k-1:k]}: lost {len(missing)} "
+            f"surviving rows"
+        )
+
+
+def test_epoch_commit_crash_then_replay_converges(spark, tmp_path, monkeypatch):
+    """The streaming sink's contract: foreachBatch re-delivers an
+    epoch after ANY mid-commit crash, and the replay must converge to
+    exactly-once. Crash the commit at every mutating fs op, replay
+    without injection, and require the final table to hold the batch
+    exactly once."""
+    from hbasewd_spark.streaming.ingest import idempotent_salted_batch_write
+
+    batch = spark.range(100).select(
+        F.col("id").alias("key_long"), (F.col("id") * 7).alias("v")
+    )
+    dist = HashDistributor(4)
+
+    # probe pass on a throwaway table
+    probe_path = str(tmp_path / "epoch_probe")
+    SaltedTable.write(
+        spark.range(0).select(
+            F.col("id").alias("key_long"), F.col("id").alias("v")
+        ),
+        probe_path,
+        dist,
+        "key_long",
+    )
+    probe = _CrashAfter(monkeypatch, crash_at=0)
+    idempotent_salted_batch_write(batch, 1, probe_path, dist, "key_long")
+    total_ops = probe.count
+    monkeypatch.undo()
+    assert total_ops >= 3
+
+    for k in range(1, total_ops + 1):
+        path = str(tmp_path / f"epoch_k{k}")
+        SaltedTable.write(
+            spark.range(0).select(
+                F.col("id").alias("key_long"), F.col("id").alias("v")
+            ),
+            path,
+            dist,
+            "key_long",
+        )
+        inj = _CrashAfter(monkeypatch, crash_at=k)
+        try:
+            idempotent_salted_batch_write(batch, 1, path, dist, "key_long")
+        except (_InjectedCrash, IOError):
+            pass
+        finally:
+            monkeypatch.undo()
+        # a crash at the lock-release op leaves the sentinel held; in a
+        # REAL crash the holder pid is dead, but the in-process
+        # injection keeps it alive (it's us) — rewrite it to a
+        # provably-dead pid so the replay exercises the dead-holder
+        # takeover exactly as a restarted driver would find it
+        _make_lock_holder_dead(spark, path)
+        # the replay Spark's foreachBatch would perform after the crash
+        idempotent_salted_batch_write(
+            batch, 1, path, dist, "key_long", lock_timeout_s=10.0
+        )
+        got = sorted(
+            r.key_long for r in SaltedTable.load(spark, path).df().collect()
+        )
+        assert got == list(range(100)), (
+            f"epoch crash at op#{k} {inj.ops[k-1:k]}: replay did not "
+            f"converge to exactly-once ({len(got)} rows)"
+        )
+
+
+def _dead_pid():
+    """A pid that provably belonged to a process that has exited."""
+    import subprocess
+
+    p = subprocess.Popen(["true"])
+    p.wait()
+    return p.pid
+
+
+def _make_lock_holder_dead(spark, base):
+    """If the table's lifecycle lock survived a simulated crash,
+    rewrite its holder pid to a dead one (the injection crashes
+    in-process, so the recorded pid — ours — is still alive, unlike a
+    real crash)."""
+    import json
+    import socket
+
+    fs = Fs(spark, base)
+    lock = SaltedTable.lock_path(base.rstrip("/"))
+    if not fs.exists(lock):
+        return
+    try:
+        holder = json.loads(fs.read_text(lock))
+    except Exception:
+        holder = {"verb": "?"}
+    holder["pid"] = _dead_pid()
+    holder["host"] = socket.gethostname()
+    fs.write_text(lock, json.dumps(holder))
+
+
+def test_dead_holder_lock_is_broken_and_alive_holder_is_not(
+    spark, kv, tmp_path
+):
+    """Direct takeover-rule checks: a same-host dead-pid holder is
+    broken automatically by the next verb; an alive holder (or a
+    foreign-host one) still raises the documented error."""
+    import json
+    import socket
+
+    t = SaltedTable.write(kv, str(tmp_path / "lockdead"), HashDistributor(4), "key_long")
+    fs = Fs(spark, t.path)
+    lock = SaltedTable.lock_path(t.path.rstrip("/"))
+
+    # dead same-host holder: the verb recovers on its own
+    fs.write_text(
+        lock,
+        json.dumps({"verb": "compact", "pid": _dead_pid(), "host": socket.gethostname()}),
+    )
+    compact(t)  # would raise "another lifecycle operation holds" before
+    assert not fs.exists(lock)
+
+    # alive holder: untouched, verb raises
+    fs.write_text(
+        lock,
+        json.dumps({"verb": "compact", "pid": 1, "host": socket.gethostname()}),
+    )
+    import os as _os
+
+    try:
+        _os.kill(1, 0)
+        pid1_alive = True
+    except ProcessLookupError:
+        pid1_alive = False
+    except PermissionError:
+        pid1_alive = True
+    if pid1_alive:
+        with pytest.raises(RuntimeError, match="holds"):
+            compact(t)
+        assert fs.exists(lock)
+        fs.delete(lock)
+
+    # foreign-host holder: never broken, even with a dead pid
+    fs.write_text(
+        lock,
+        json.dumps({"verb": "compact", "pid": _dead_pid(), "host": "some-other-box"}),
+    )
+    with pytest.raises(RuntimeError, match="holds"):
+        compact(t)
+    assert fs.exists(lock)
+    fs.delete(lock)
+
+    # old-format holder (no host): conservative, not broken
+    fs.write_text(lock, json.dumps({"verb": "compact", "pid": _dead_pid()}))
+    with pytest.raises(RuntimeError, match="holds"):
+        compact(t)
+    assert fs.exists(lock)
+    fs.delete(lock)
