@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 from hbasewd_spark.fsutil import Fs
 from hbasewd_spark.plans.distributor import HashDistributor
-from hbasewd_spark.sources.salted_table import SaltedTable, compact, rebucket
+from hbasewd_spark.sources.salted_table import (
+    SaltedTable,
+    cluster,
+    compact,
+    rebucket,
+)
 
 MUTATORS = ("rename", "delete", "copy", "create_atomic", "write_text", "mkdirs")
 
@@ -71,7 +76,8 @@ def _assert_survivable(spark, base, n_expected, crash_op):
     """The invariant: at least one of the candidate locations holds
     every row."""
     candidates = [base, base + ".old", base + ".hoist",
-                  base + ".compact_tmp", base + ".rebucket_tmp"]
+                  base + ".compact_tmp", base + ".rebucket_tmp",
+                  base + ".cluster_tmp"]
     counts = {p: _rows_at(spark, p) for p in candidates}
     survivors = [p for p, n in counts.items() if n == n_expected]
     assert survivors, (
@@ -88,17 +94,23 @@ def _fresh_table(spark, tmp_path, name):
     )
 
 
-@pytest.mark.parametrize("verb_name", ["compact", "rebucket"])
+def _run_verb(verb_name, t):
+    if verb_name == "compact":
+        compact(t)
+    elif verb_name == "rebucket":
+        rebucket(t, HashDistributor(8))
+    else:  # z-order cluster: same aside-rename swap protocol
+        cluster(t, "key_long", "v")
+
+
+@pytest.mark.parametrize("verb_name", ["compact", "rebucket", "cluster"])
 def test_every_crash_point_leaves_a_complete_copy(
     spark, tmp_path, monkeypatch, verb_name
 ):
     # pass 1: count the verb's mutating ops without crashing
     t = _fresh_table(spark, tmp_path, f"{verb_name}_probe")
     probe = _CrashAfter(monkeypatch, crash_at=0)
-    if verb_name == "compact":
-        compact(t)
-    else:
-        rebucket(t, HashDistributor(8))
+    _run_verb(verb_name, t)
     total_ops = probe.count
     monkeypatch.undo()
     assert total_ops >= 4, f"expected a multi-step protocol, saw {probe.ops}"
@@ -109,10 +121,7 @@ def test_every_crash_point_leaves_a_complete_copy(
         base = t.path
         inj = _CrashAfter(monkeypatch, crash_at=k)
         try:
-            if verb_name == "compact":
-                compact(t)
-            else:
-                rebucket(t, HashDistributor(8))
+            _run_verb(verb_name, t)
             crashed = False
         except _InjectedCrash:
             crashed = True
@@ -384,3 +393,59 @@ def test_dead_holder_lock_is_broken_and_alive_holder_is_not(
         compact(t)
     assert fs.exists(lock)
     fs.delete(lock)
+
+
+def test_upsert_crash_points_leave_old_or_new_content(
+    spark, tmp_path, monkeypatch
+):
+    """upsert_rows commits data through Spark's dynamic partition
+    overwrite (its own staging protocol, not Fs ops), so the Fs-level
+    crash points here are the lock handling and the zone-sidecar
+    rebuild around it. Invariant: at every such point the table holds
+    either the pre-upsert or the post-upsert content — never a mix,
+    never a loss — and a stale sidecar is bypassed, not believed."""
+    df = spark.range(200).select(
+        F.col("id").alias("key_long"), (F.col("id") * 3).alias("v")
+    )
+    changes = spark.range(50).select(
+        F.col("id").alias("key_long"), F.lit(-1).alias("v")
+    )
+    old_vs = {r.key_long: r.v for r in df.collect()}
+    new_vs = {**old_vs, **{i: -1 for i in range(50)}}
+
+    def build(name):
+        t = SaltedTable.write(
+            df, str(tmp_path / name), HashDistributor(4), "key_long"
+        )
+        t.build_zone_map("key_long")
+        return t
+
+    t = build("ups_probe")
+    probe = _CrashAfter(monkeypatch, crash_at=0)
+    t.upsert_rows(changes)
+    total_ops = probe.count
+    monkeypatch.undo()
+    assert total_ops >= 2
+
+    for k in range(1, total_ops + 1):
+        t = build(f"ups_k{k}")
+        inj = _CrashAfter(monkeypatch, crash_at=k)
+        try:
+            t.upsert_rows(changes)
+        except (_InjectedCrash, IOError, RuntimeError):
+            pass
+        finally:
+            monkeypatch.undo()
+        _make_lock_holder_dead(spark, t.path)
+        got = {
+            r.key_long: r.v
+            for r in SaltedTable.load(spark, t.path).df().collect()
+        }
+        assert got in (old_vs, new_vs), (
+            f"upsert crash at op#{k} {inj.ops[k-1:k]}: table is neither "
+            f"old nor new content ({len(got)} rows)"
+        )
+        # and the surviving state still answers range scans correctly
+        t2 = SaltedTable.load(spark, t.path)
+        n = t2.scan(start=10, stop=60).count()
+        assert n == 50
