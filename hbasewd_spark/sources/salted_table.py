@@ -1189,6 +1189,56 @@ class SaltedTable:
             .agg(F.count("*").alias("n"))
         )
 
+    EXPIRE_MANIFEST = "_expire_manifest.json"
+
+    def _recover_expire_stage(self, fs: Fs, stage: str) -> bool:
+        """Complete (or discard) a crashed expire()'s stage dir; returns
+        True when the table's file set changed. Runs under the caller's
+        lifecycle lock.
+
+        The write-ahead manifest disambiguates the two crash regimes:
+
+        - stage WITHOUT manifest: the staged rewrite never finished (or
+          the crash hit before the manifest landed, in which case every
+          original is still present). The stage is a discard — merging
+          it would DUPLICATE boundary survivors.
+        - stage WITH manifest: the crashed run was past the point of no
+          return. Finish its pending deletes (idempotent — some may
+          already be gone), merge the staged survivors into their salt
+          partitions (skipping any the crashed run already moved), and
+          clear the stage. The table converges to that run's intended
+          post-expire state; the caller then re-plans against it."""
+        if not fs.exists(stage):
+            return False
+        manifest_path = stage + "/" + self.EXPIRE_MANIFEST
+        if not fs.exists(manifest_path):
+            fs.delete(stage, recursive=True)
+            return False
+        manifest = json.loads(fs.read_text(manifest_path))
+        for f in manifest.get("delete", []):
+            if fs.exists(f):
+                fs.delete(f)
+        base = self.path.rstrip("/")
+        failed = []
+        for staged in fs.glob(f"{stage}/{SALT_COL}=*/*"):
+            name = staged.rsplit("/", 1)[1]
+            if name.startswith((".", "_")):
+                continue
+            salt_dir = staged.rsplit("/", 2)[1]
+            dest = f"{base}/{salt_dir}/{name}"
+            if fs.exists(dest):
+                continue  # the crashed run already moved this one
+            if not fs.rename(staged, dest):
+                failed.append((staged, dest))
+        if failed:
+            raise IOError(
+                f"expire(): recovery of crashed stage {stage} could not "
+                f"rename {len(failed)} file(s) (first: {failed[0][0]} -> "
+                f"{failed[0][1]}); the stage is preserved"
+            )
+        fs.delete(stage, recursive=True)
+        return True
+
     def expire(self, before: Any) -> dict:
         """Retention expiry: delete every row with key < ``before`` —
         the TTL pass every time-series table needs (the reference's
@@ -1212,6 +1262,15 @@ class SaltedTable:
             raise ValueError("expire() requires a cutoff key")
         with self._lifecycle_lock("expire"):
             fs = Fs(self.spark, self.path)
+            if self._recover_expire_stage(
+                fs, self.path.rstrip("/") + "/.expire_stage"
+            ):
+                # a crashed prior expire() was completed first (its
+                # manifest's pending deletes finished, its staged
+                # survivors merged back): refresh so THIS run plans
+                # against the recovered file set, not the crashed
+                # run's leftovers
+                self.refresh()
             zones = self._zone_rows(self.key_col)
             # zone lo/hi are min/max over NON-NULL keys: a null key has no
             # age, so null-keyed rows must survive every path. A file whose
@@ -1259,9 +1318,22 @@ class SaltedTable:
                 # the persisted schema or header lines count as data rows
                 staged_rows = self._reader(base_path=stage).load(stage).count()
                 stats["rows_dropped"] += sum(r.n_rows for r in boundary) - staged_rows
+                # WRITE-AHEAD manifest: the stage is only ACTIONABLE
+                # once this file exists. A retry that finds a stage
+                # WITH a manifest completes the protocol (finish the
+                # deletes, merge the staged survivors); a stage without
+                # one is an incomplete write and is discarded — the
+                # marker is what lets recovery tell "originals may be
+                # partially deleted, survivors live here" apart from
+                # "originals all intact, merging would duplicate"
+                fs.write_text(
+                    stage + "/" + self.EXPIRE_MANIFEST,
+                    json.dumps({"delete": [r.file for r in drop + boundary]}),
+                )
             # originals go away only after the staged replacements are fully
             # written (crash between these steps loses no surviving row —
-            # the stage dir is hidden from table scans and can be re-merged)
+            # the stage dir is hidden from table scans, and the manifest
+            # makes the next expire() complete the merge automatically)
             for r in drop + boundary:
                 fs.delete(r.file)
             if boundary:
@@ -1277,12 +1349,15 @@ class SaltedTable:
                         failed.append((staged, dest))
                 if failed:
                     # surviving rows still live in the stage dir — leave it
-                    # on disk for manual recovery rather than deleting it
+                    # on disk (with its manifest) so the NEXT expire()
+                    # completes the merge automatically via
+                    # _recover_expire_stage
                     self.refresh()
                     raise IOError(
                         f"expire(): {len(failed)} staged replacement(s) failed to "
                         f"rename (first: {failed[0][0]} -> {failed[0][1]}); the "
-                        f"stage dir {stage} is preserved with the surviving rows"
+                        f"stage dir {stage} is preserved with the surviving rows "
+                        f"— rerun expire() to complete the merge"
                     )
                 fs.delete(stage, recursive=True)
             self.refresh()

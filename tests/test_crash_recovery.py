@@ -449,3 +449,58 @@ def test_upsert_crash_points_leave_old_or_new_content(
         t2 = SaltedTable.load(spark, t.path)
         n = t2.scan(start=10, stop=60).count()
         assert n == 50
+
+
+def test_expire_crash_then_retry_converges(spark, tmp_path, monkeypatch):
+    """The round-10 write-ahead manifest makes a crashed expire()
+    SELF-HEALING: whatever op the crash hit, simply rerunning
+    expire(cutoff) must converge the table to exactly the post-expire
+    content — survivors once each, expired rows gone, stage cleared.
+    (Before the manifest, a crash between the original-file deletes
+    and the staged-file renames required a documented manual
+    re-merge.)"""
+    cutoff = 120
+    df = spark.range(300).select(
+        F.when(F.col("id") % 50 == 0, None).otherwise(F.col("id")).alias("key_long"),
+        (F.col("id") * 3).alias("v"),
+    )
+    expected = sorted(
+        r.v
+        for r in df.where(
+            (F.col("key_long") >= cutoff) | F.col("key_long").isNull()
+        ).collect()
+    )
+
+    def build(name):
+        t = SaltedTable.write(
+            df, str(tmp_path / name), HashDistributor(4), "key_long"
+        )
+        t.build_zone_map("key_long")
+        return t
+
+    t = build("expc_probe")
+    probe = _CrashAfter(monkeypatch, crash_at=0)
+    t.expire(cutoff)
+    total_ops = probe.count
+    monkeypatch.undo()
+
+    for k in range(1, total_ops + 1):
+        t = build(f"expc_k{k}")
+        base = t.path
+        inj = _CrashAfter(monkeypatch, crash_at=k)
+        try:
+            t.expire(cutoff)
+        except (_InjectedCrash, IOError):
+            pass
+        finally:
+            monkeypatch.undo()
+        _make_lock_holder_dead(spark, base)
+        # the retry any retention scheduler would perform
+        t2 = SaltedTable.load(spark, base)
+        t2.expire(cutoff)
+        got = sorted(r.v for r in SaltedTable.load(spark, base).df().collect())
+        assert got == expected, (
+            f"expire crash at op#{k} {inj.ops[k-1:k]}: retry did not "
+            f"converge ({len(got)} vs {len(expected)} rows)"
+        )
+        assert not Fs(spark, base).exists(base.rstrip("/") + "/.expire_stage")
