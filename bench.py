@@ -283,12 +283,16 @@ def main() -> None:
     # to the stdout JSON line, growing it to 4.8 KB — past the driver's
     # ~2 KB tail-capture window — and BENCH_r09.json recorded
     # `parsed: null` (VERDICT r9 item #1). Stdout is the driver contract
-    # and must stay compact; the audit map lands in SHUFFLE_LAST.json
-    # next to the repo plus a stderr echo for interactive runs.
+    # and must stay compact; the audit map lands in a per-scale sidecar
+    # (SHUFFLE_sf<sf>.json — a single fixed name was silently clobbered
+    # by whichever run happened last, e.g. the test suite's sf0.001
+    # fault-isolation run overwrote the committed sf10 audit) plus a
+    # stderr echo for interactive runs.
     if shuffle_bytes:
         try:
             side = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "SHUFFLE_LAST.json"
+                os.path.dirname(os.path.abspath(__file__)),
+                f"SHUFFLE_sf{sf}.json",
             )
             with open(side, "w") as f:
                 json.dump({"sf": sf, "shuffle_bytes": shuffle_bytes}, f, indent=1)
