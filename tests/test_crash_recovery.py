@@ -504,3 +504,47 @@ def test_expire_crash_then_retry_converges(spark, tmp_path, monkeypatch):
             f"converge ({len(got)} vs {len(expected)} rows)"
         )
         assert not Fs(spark, base).exists(base.rstrip("/") + "/.expire_stage")
+
+
+def test_zone_sidecar_build_crash_never_corrupts_query_results(
+    spark, tmp_path, monkeypatch
+):
+    """Crash build_zone_map at every mutating op: whatever partial
+    sidecar state survives (dir without meta, meta without data, stale
+    watermark), subsequent fast_count / pruned_scan / scan answers
+    must be EXACT — a partial sidecar may cost the fallback compute,
+    never a wrong number. This is the worst failure class: the other
+    crash tests protect data files; this one protects answers."""
+    df = spark.range(1000).select(
+        F.col("id").alias("key_long"), (F.col("id") * 3).alias("v")
+    )
+
+    def build(name):
+        return SaltedTable.write(
+            df, str(tmp_path / name), HashDistributor(4), "key_long"
+        )
+
+    t = build("zm_probe")
+    probe = _CrashAfter(monkeypatch, crash_at=0)
+    t.build_zone_map("key_long")
+    total_ops = probe.count
+    monkeypatch.undo()
+    assert total_ops >= 2
+
+    for k in range(1, total_ops + 1):
+        t = build(f"zm_k{k}")
+        inj = _CrashAfter(monkeypatch, crash_at=k)
+        try:
+            t.build_zone_map("key_long")
+        except (_InjectedCrash, IOError):
+            pass
+        finally:
+            monkeypatch.undo()
+        t2 = SaltedTable.load(spark, t.path)
+        assert t2.fast_count(100, 600) == 500, f"crash at op#{k}: wrong fast_count"
+        assert t2.pruned_scan("key_long", 100, 600).count() == 500
+        assert t2.scan(start=100, stop=600).count() == 500
+        # and a clean rebuild on top of the debris works
+        t2.build_zone_map("key_long")
+        assert t2._zone_sidecar_df("key_long") is not None
+        assert t2.fast_count(100, 600) == 500
