@@ -410,9 +410,31 @@ class SaltedTable:
         df = self.df()
         pred = F.col(self.key_col) == F.lit(key_value)
         if self.distributor.deterministic:
-            salt_of_key = self.distributor.salt_expr(F.lit(key_value))
+            salt_of_key = self.distributor.salt_expr(self._key_lit(key_value))
             pred = pred & (F.col(SALT_COL) == salt_of_key)
         return df.where(pred).drop(SALT_COL)
+
+    def _key_lit(self, key_value: Any):
+        """A literal CAST TO THE KEY COLUMN'S TYPE — mandatory before
+        hashing it. Spark's hash functions are type-sensitive
+        (hash(0::int) != hash(0::bigint)), so a bare F.lit from a small
+        Python int (inferred int32) salts to a DIFFERENT bucket than
+        the stored bigint key and the pruned point get silently returns
+        EMPTY. Equality predicates survive via Catalyst's implicit
+        coercion, which is exactly why only the salt computation broke
+        — and why the fixture keys (beyond int32 range, inferred long)
+        never tripped it. Found by the r10 key-index crash suite."""
+        from pyspark.sql.types import StructType
+
+        try:
+            key_type = (
+                StructType.fromJson(json.loads(self.data_schema_json))
+                if self.data_schema_json
+                else self.df().schema
+            )[self.key_col].dataType
+            return F.lit(key_value).cast(key_type)
+        except Exception:
+            return F.lit(key_value)
 
     # --------------------------------------------------- secondary key index
     KEY_INDEX_DIR = "_key_index"
@@ -537,7 +559,7 @@ class SaltedTable:
             pred = reduce(
                 or_,
                 [
-                    (F.col(SALT_COL) == self.distributor.salt_expr(F.lit(k)))
+                    (F.col(SALT_COL) == self.distributor.salt_expr(self._key_lit(k)))
                     & (F.col(self.key_col) == F.lit(k))
                     for k in key_values
                 ],

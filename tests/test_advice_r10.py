@@ -185,3 +185,38 @@ def test_create_atomic_still_detects_real_race(spark, tmp_path):
     target = str(tmp_path / "sentinel.lock")
     assert fs.create_atomic(target, "a") is True
     assert fs.create_atomic(target, "b") is False
+
+
+def test_point_get_with_narrow_python_int_literal(spark, tmp_path):
+    """Spark's hash functions are type-sensitive: hash(0::int) !=
+    hash(0::bigint), so a point get whose Python literal inferred a
+    narrower type than the key column used to salt to the WRONG bucket
+    and silently return empty. (The kv fixture's keys exceed int32
+    range, so its literals inferred long and never tripped this.)
+    The key literal must be cast to the key column's type before
+    hashing — equality itself was always safe via Catalyst coercion."""
+    df = spark.range(500).select(
+        F.col("id").alias("key_long"), (F.col("id") * 3).alias("v")
+    )
+    t = SaltedTable.write(
+        df, str(tmp_path / "smallkeys"), HashDistributor(4), "key_long"
+    )
+    for key in (0, 1, 123, 499):  # all within int32: F.lit infers int
+        got = t.point_get(key).collect()
+        assert len(got) == 1 and got[0].v == key * 3, f"key {key}"
+    rows = t.multi_get([0, 7, 250]).collect()
+    assert sorted(r.key_long for r in rows) == [0, 7, 250]
+    # absent key still empty, not a false positive
+    assert t.point_get(10_000).count() == 0
+
+
+def test_point_get_string_key_literal(spark, tmp_path):
+    """Same contract for a string-typed key (no numeric width to get
+    wrong, but the cast path must not break exactness)."""
+    df = spark.range(100).select(
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("ks"),
+        F.col("id").alias("v"),
+    )
+    t = SaltedTable.write(df, str(tmp_path / "strkeys"), HashDistributor(4), "ks")
+    got = t.point_get("k0042").collect()
+    assert len(got) == 1 and got[0].v == 42

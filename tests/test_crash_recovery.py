@@ -548,3 +548,49 @@ def test_zone_sidecar_build_crash_never_corrupts_query_results(
         t2.build_zone_map("key_long")
         assert t2._zone_sidecar_df("key_long") is not None
         assert t2.fast_count(100, 600) == 500
+
+
+def test_key_index_build_crash_never_corrupts_point_gets(
+    spark, tmp_path, monkeypatch
+):
+    """Same contract as the zone sidecar, for the key->salt index:
+    a crashed build_key_index leaves debris that point_get_indexed
+    must never BELIEVE — gets stay exact (falling back to the salt
+    fan-out path), and a clean rebuild lands over the debris."""
+    df = spark.range(500).select(
+        F.col("id").alias("key_long"), (F.col("id") * 3).alias("v")
+    )
+
+    def build(name):
+        return SaltedTable.write(
+            df, str(tmp_path / name), HashDistributor(4), "key_long"
+        )
+
+    t = build("ki_probe")
+    probe = _CrashAfter(monkeypatch, crash_at=0)
+    t.build_key_index(index_buckets=8)
+    total_ops = probe.count
+    monkeypatch.undo()
+    # the index parquet itself is written by Spark; the one Fs-level op
+    # is the watermark meta write — exactly the op whose absence must
+    # make the index debris invisible
+    assert total_ops >= 1
+
+    for k in range(1, total_ops + 1):
+        t = build(f"ki_k{k}")
+        inj = _CrashAfter(monkeypatch, crash_at=k)
+        try:
+            t.build_key_index(index_buckets=8)
+        except (_InjectedCrash, IOError):
+            pass
+        finally:
+            monkeypatch.undo()
+        t2 = SaltedTable.load(spark, t.path)
+        for key in (0, 123, 499):
+            got = t2.point_get_indexed(key).collect()
+            assert len(got) == 1 and got[0].v == key * 3, (
+                f"crash at op#{k}: indexed get wrong for key {key}"
+            )
+        t2.build_key_index(index_buckets=8)
+        got = t2.point_get_indexed(250).collect()
+        assert len(got) == 1 and got[0].v == 750
