@@ -318,14 +318,25 @@ def build_payload(total: float, timings: dict, errors: dict, sf: str) -> dict:
     }
     if errors:
         payload["n_errors"] = len(errors)
-    # Hard backstop: if many queries error, even 60-char messages can
-    # push past the tail window — degrade to error NAMES only, then to
-    # timings only. A lean parsed line always beats a rich unparsed one.
+    # Hard backstop, engaged on SIZE alone (not only when errors exist
+    # — a 60+-query error-free suite outgrows the window too, and that
+    # would replay the r9 parsed:null failure this function exists to
+    # prevent). Degrade in tiers; a lean parsed line always beats a
+    # rich unparsed one.
     if len(json.dumps(payload)) >= 1800 and errors:
         payload["queries"] = dict(timings, **{k: {"err": "see stderr"} for k in errors})
         if len(json.dumps(payload)) >= 1800:
             payload["queries"] = timings
             payload["error_names"] = sorted(errors)[:10]
+    if len(json.dumps(payload)) >= 1800:
+        # timings alone outgrew the window: keep the SLOWEST queries
+        # (the ones perf grading cares about), drop the fastest, and
+        # say how many were trimmed so the omission is visible.
+        by_cost = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+        while by_cost and len(json.dumps(payload)) >= 1800:
+            by_cost.pop()
+            payload["queries"] = dict(sorted(by_cost))
+            payload["queries_trimmed"] = len(timings) - len(by_cost)
     return payload
 
 

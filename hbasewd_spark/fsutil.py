@@ -159,34 +159,81 @@ def try_break_dead_lock(fs: Fs, lock: str) -> bool:
     manual delete; this closes the common case, a restarted driver on
     the same machine replaying into its own predecessor's lock.
 
-    Takeover is guarded against racing a NEW holder: the sentinel is
-    re-read immediately before the delete and must still carry the
-    same dead holder; after the delete the caller must go back through
-    ``create_atomic`` (one winner) rather than assume ownership."""
+    Takeover is serialized through a BREAK-CLAIM sentinel
+    (``<lock>.break``, created via the same atomic create-if-absent):
+    a plain re-read-then-delete lets two same-host breakers both prove
+    the holder dead, after which the slower one's delete removes the
+    FASTER one's freshly acquired sentinel and two mutators hold the
+    exclusive lock at once. With the claim, exactly one breaker may
+    touch the lock: while the claim exists no other (claim-aware)
+    process deletes the sentinel, so the claim holder's re-read →
+    delete window is single-writer. A new holder can't slip in either
+    — holders only create when the lock file is ABSENT, and the lock
+    stays present until the claim holder deletes it. After the delete
+    the caller must still go back through ``create_atomic`` (one
+    winner) rather than assume ownership.
+
+    A claim left behind by a crashed breaker is itself removed only
+    when ITS recorded holder is provably dead, and only via a
+    rename-to-unique-name (atomic pick-one between racing cleaners) —
+    never a raw delete, which would re-open the same double-break
+    race one level down."""
     import json as _json
     import os as _os
     import socket as _socket
 
+    def _read_holder(p):
+        try:
+            txt = fs.read_text(p)
+            h = _json.loads(txt)
+            return txt, int(h["pid"]), h["host"]
+        except Exception:
+            return None  # unreadable/old-format: require the manual path
+
+    def _provably_dead(pid, host):
+        if host != _socket.gethostname() or pid == _os.getpid():
+            return False
+        try:
+            _os.kill(pid, 0)
+            return False  # alive
+        except ProcessLookupError:
+            return True  # provably dead on this host
+        except Exception:
+            return False  # permission denied etc.: can't prove death
+
+    holder = _read_holder(lock)
+    if holder is None or not _provably_dead(holder[1], holder[2]):
+        return False
+    claim = lock + ".break"
+    me = _json.dumps({"pid": _os.getpid(), "host": _socket.gethostname()})
     try:
-        holder_txt = fs.read_text(lock)
-        holder = _json.loads(holder_txt)
-        pid = int(holder["pid"])
-        host = holder["host"]
+        if not fs.create_atomic(claim, me):
+            # a claim exists: another breaker is mid-takeover (back
+            # off), unless that breaker itself died holding it — then
+            # claim the STALE CLAIM by atomic rename (exactly one of
+            # any racing cleaners wins the rename; losers back off)
+            prior = _read_holder(claim)
+            if prior is None or not _provably_dead(prior[1], prior[2]):
+                return False
+            stale = f"{claim}.stale.{_os.getpid()}"
+            if not fs.rename(claim, stale):
+                return False  # lost the cleanup race
+            fs.delete(stale)
+            if not fs.create_atomic(claim, me):
+                return False
     except Exception:
-        return False  # unreadable/old-format: require the manual path
-    if host != _socket.gethostname() or pid == _os.getpid():
         return False
     try:
-        _os.kill(pid, 0)
-        return False  # alive
-    except ProcessLookupError:
-        pass  # provably dead on this host
-    except Exception:
-        return False  # permission denied etc.: can't prove death
-    try:
-        if fs.read_text(lock) != holder_txt:
-            return False  # a new holder took the sentinel meanwhile
+        if fs.read_text(lock) != holder[0]:
+            # the dead sentinel was replaced (by a pre-claim-protocol
+            # breaker + new holder) before we acquired the claim
+            return False
         fs.delete(lock)
         return True
     except Exception:
         return False
+    finally:
+        try:
+            fs.delete(claim)
+        except Exception:
+            pass

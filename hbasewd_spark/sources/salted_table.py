@@ -433,7 +433,21 @@ class SaltedTable:
                 else self.df().schema
             )[self.key_col].dataType
             return F.lit(key_value).cast(key_type)
-        except Exception:
+        except Exception as e:
+            # falling back to the UNCAST literal re-opens the exact
+            # wrong-bucket bug this method exists to fix — and the
+            # symptom (an empty point get) looks like "key absent",
+            # not "schema unreadable". Warn so it is diagnosable.
+            import warnings
+
+            warnings.warn(
+                f"_key_lit: could not resolve the type of key column "
+                f"{self.key_col!r} from the persisted schema ({e}); "
+                f"hashing the bare literal — if its inferred type "
+                f"differs from the stored column's, salt pruning will "
+                f"probe the WRONG bucket and point gets return empty",
+                stacklevel=2,
+            )
             return F.lit(key_value)
 
     # --------------------------------------------------- secondary key index
@@ -636,7 +650,15 @@ class SaltedTable:
         only warned about. The sentinel names the holder; a crashed
         holder leaves it behind by design (a lock that auto-expires
         can't protect a stalled-but-alive job) — the error message says
-        what to delete after verifying the holder is dead."""
+        what to delete after verifying the holder is dead.
+
+        Acquiring the lock also completes a crashed expire()'s staged
+        rewrite (:meth:`_recover_expire_stage`) for EVERY verb, not
+        just the next expire(): after a post-manifest expire crash the
+        boundary survivors exist ONLY in ``.expire_stage`` (hidden
+        from scans), so a compact()/cluster()/rebucket() that rewrote
+        the table from ``df()`` first would silently drop those rows
+        and then delete the stage with the old table dir."""
         import contextlib
 
         table = self
@@ -669,6 +691,13 @@ class SaltedTable:
                     f"and delete the sentinel"
                 )
             try:
+                # under the lock, before the verb plans anything: merge
+                # back a crashed expire()'s staged survivors so no verb
+                # ever rewrites from a file set that is missing them
+                if table._recover_expire_stage(
+                    fs, base + "/" + SaltedTable.EXPIRE_STAGE_DIR
+                ):
+                    table.refresh()
                 yield
             finally:
                 fs.delete(lock)
@@ -1212,11 +1241,16 @@ class SaltedTable:
         )
 
     EXPIRE_MANIFEST = "_expire_manifest.json"
+    EXPIRE_STAGE_DIR = ".expire_stage"
 
     def _recover_expire_stage(self, fs: Fs, stage: str) -> bool:
         """Complete (or discard) a crashed expire()'s stage dir; returns
-        True when the table's file set changed. Runs under the caller's
-        lifecycle lock.
+        True when the table's file set changed. Invoked by
+        :meth:`_lifecycle_lock` itself on every acquisition (r10
+        review: wiring it only into expire() meant the nightly
+        compact() could run first, rewrite from a df() that cannot see
+        the hidden stage, and delete the staged survivors with the old
+        table dir), so every verb plans against a recovered file set.
 
         The write-ahead manifest disambiguates the two crash regimes:
 
@@ -1240,18 +1274,11 @@ class SaltedTable:
         for f in manifest.get("delete", []):
             if fs.exists(f):
                 fs.delete(f)
-        base = self.path.rstrip("/")
-        failed = []
-        for staged in fs.glob(f"{stage}/{SALT_COL}=*/*"):
-            name = staged.rsplit("/", 1)[1]
-            if name.startswith((".", "_")):
-                continue
-            salt_dir = staged.rsplit("/", 2)[1]
-            dest = f"{base}/{salt_dir}/{name}"
-            if fs.exists(dest):
-                continue  # the crashed run already moved this one
-            if not fs.rename(staged, dest):
-                failed.append((staged, dest))
+        # skip_existing: the crashed run may already have moved some
+        # staged files into place before dying mid-merge
+        failed = _merge_stage_into_base(
+            fs, stage, self.path.rstrip("/"), skip_existing=True
+        )
         if failed:
             raise IOError(
                 f"expire(): recovery of crashed stage {stage} could not "
@@ -1283,16 +1310,12 @@ class SaltedTable:
         if before is None:
             raise ValueError("expire() requires a cutoff key")
         with self._lifecycle_lock("expire"):
+            # a crashed prior expire()'s stage was already completed by
+            # _lifecycle_lock itself (manifest deletes finished, staged
+            # survivors merged, table refreshed) — the recovery runs
+            # under the lock for EVERY verb, so this run already plans
+            # against the recovered file set
             fs = Fs(self.spark, self.path)
-            if self._recover_expire_stage(
-                fs, self.path.rstrip("/") + "/.expire_stage"
-            ):
-                # a crashed prior expire() was completed first (its
-                # manifest's pending deletes finished, its staged
-                # survivors merged back): refresh so THIS run plans
-                # against the recovered file set, not the crashed
-                # run's leftovers
-                self.refresh()
             zones = self._zone_rows(self.key_col)
             # zone lo/hi are min/max over NON-NULL keys: a null key has no
             # age, so null-keyed rows must survive every path. A file whose
@@ -1321,7 +1344,7 @@ class SaltedTable:
                 "files_kept": len(zones) - len(drop) - len(boundary),
                 "rows_dropped": sum(r.n_rows for r in drop),
             }
-            stage = self.path.rstrip("/") + "/.expire_stage"
+            stage = self.path.rstrip("/") + "/" + self.EXPIRE_STAGE_DIR
             if boundary:
                 kept = (
                     self._reader(base_path=self.path)
@@ -1359,16 +1382,9 @@ class SaltedTable:
             for r in drop + boundary:
                 fs.delete(r.file)
             if boundary:
-                base = self.path.rstrip("/")
-                failed = []
-                for staged in fs.glob(f"{stage}/{SALT_COL}=*/*"):
-                    name = staged.rsplit("/", 1)[1]
-                    if name.startswith((".", "_")):
-                        continue
-                    salt_dir = staged.rsplit("/", 2)[1]  # "salt=K"
-                    dest = f"{base}/{salt_dir}/{name}"
-                    if not fs.rename(staged, dest):
-                        failed.append((staged, dest))
+                failed = _merge_stage_into_base(
+                    fs, stage, self.path.rstrip("/"), skip_existing=False
+                )
                 if failed:
                     # surviving rows still live in the stage dir — leave it
                     # on disk (with its manifest) so the NEXT expire()
@@ -2311,16 +2327,18 @@ def compact(table: SaltedTable, target_files_per_salt: int = 1) -> SaltedTable:
     an s3a:// or hdfs:// table, not just local disk."""
     from pyspark.sql import functions as F
 
-    n = table.distributor.buckets * target_files_per_salt
-    staged = (
-        table.df()
-        .repartition(n, F.col(SALT_COL))
-        .sortWithinPartitions(SALT_COL, table.key_col)
-    )
-    return _staged_rewrite(table, staged, "compact")
+    def make_staged():
+        n = table.distributor.buckets * target_files_per_salt
+        return (
+            table.df()
+            .repartition(n, F.col(SALT_COL))
+            .sortWithinPartitions(SALT_COL, table.key_col)
+        )
+
+    return _staged_rewrite(table, make_staged, "compact")
 
 
-def _staged_rewrite(table: SaltedTable, staged, op: str) -> SaltedTable:
+def _staged_rewrite(table: SaltedTable, make_staged, op: str) -> SaltedTable:
     """The crash-safe rewrite protocol shared by the salt-preserving
     lifecycle verbs (:func:`compact`, :func:`cluster`) — ONE
     definition, because every line here is safety-critical and a
@@ -2331,14 +2349,22 @@ def _staged_rewrite(table: SaltedTable, staged, op: str) -> SaltedTable:
     partition, so the index mapping survives), aside-rename swap, and
     restamp the index watermark against the new data files. Runs under
     the table lifecycle lock (sibling ``<base>.wd_lock``) so two verbs can't
-    interleave the swap."""
+    interleave the swap.
+
+    ``make_staged`` is a CALLABLE building the rewrite frame, invoked
+    only under the lock: lock acquisition may first complete a crashed
+    expire()'s stage (merge survivors back, finish pending deletes —
+    :meth:`SaltedTable._recover_expire_stage`), and a frame planned
+    from the PRE-recovery file listing would read deleted files
+    (FILE_NOT_EXIST mid-write) or, worse, silently omit the merged
+    survivors from the rewrite."""
     with table._lifecycle_lock(op):
         fs = Fs(table.spark, table.path)
         base = table.path.rstrip("/")
         _refuse_orphaned_old(fs, base, op)
         tmp = f"{base}.{op}_tmp"
         fs.delete(tmp, recursive=True)
-        table._writer(staged).mode("overwrite").save(tmp)
+        table._writer(make_staged()).mode("overwrite").save(tmp)
         fs.copy(base + "/" + META_FILE, tmp + "/" + META_FILE)
         idx_src = base + "/" + SaltedTable.KEY_INDEX_DIR
         if fs.is_dir(idx_src):
@@ -2395,15 +2421,17 @@ def cluster(
 
     from hbasewd_spark.functions.codec import zvalue16
 
-    n = table.distributor.buckets * files_per_salt
-    staged = (
-        table.df()
-        .withColumn("_zv", zvalue16(x, y))
-        .repartitionByRange(n, F.col(SALT_COL), F.col("_zv"))
-        .sortWithinPartitions(SALT_COL, "_zv")
-        .drop("_zv")
-    )
-    return _staged_rewrite(table, staged, "cluster")
+    def make_staged():
+        n = table.distributor.buckets * files_per_salt
+        return (
+            table.df()
+            .withColumn("_zv", zvalue16(x, y))
+            .repartitionByRange(n, F.col(SALT_COL), F.col("_zv"))
+            .sortWithinPartitions(SALT_COL, "_zv")
+            .drop("_zv")
+        )
+
+    return _staged_rewrite(table, make_staged, "cluster")
 
 
 def rebucket(table: SaltedTable, new_distributor: KeyDistributor) -> SaltedTable:
@@ -2435,6 +2463,32 @@ def rebucket(table: SaltedTable, new_distributor: KeyDistributor) -> SaltedTable
         del staged  # metadata already written into tmp by write()
         _swap_table_dirs(fs, tmp, base, "rebucket")
         return SaltedTable.load(table.spark, base)
+
+
+def _merge_stage_into_base(
+    fs: Fs, stage: str, base: str, skip_existing: bool
+) -> list:
+    """Move every staged data file under ``stage/salt=K/`` into the
+    matching salt partition of ``base``; returns the [(src, dest)]
+    pairs whose rename failed (callers decide whether that aborts or
+    preserves the stage). The ONE definition of the expire merge step
+    — expire()'s happy path and _recover_expire_stage's crash path
+    must move files identically or a protocol fix to one silently
+    leaves the other broken. ``skip_existing`` is the crash-path mode:
+    a file the crashed run already moved must not be re-renamed (the
+    rename would fail and read as a new failure)."""
+    failed = []
+    for staged in fs.glob(f"{stage}/{SALT_COL}=*/*"):
+        name = staged.rsplit("/", 1)[1]
+        if name.startswith((".", "_")):
+            continue
+        salt_dir = staged.rsplit("/", 2)[1]  # "salt=K"
+        dest = f"{base}/{salt_dir}/{name}"
+        if skip_existing and fs.exists(dest):
+            continue
+        if not fs.rename(staged, dest):
+            failed.append((staged, dest))
+    return failed
 
 
 def _refuse_orphaned_old(fs: Fs, base: str, op: str) -> None:
@@ -2521,22 +2575,79 @@ def _swap_table_dirs(fs: Fs, tmp: str, base: str, op: str) -> None:
             hoist = base + ".hoist"
             if fs.exists(hoist):
                 fs.delete(hoist, recursive=True)
-            if fs.rename(nested, hoist):
-                fs.delete(base, recursive=True)
-                if fs.rename(hoist, base) and fs.exists(
-                    base.rstrip("/") + "/" + META_FILE
-                ):
-                    fs.delete(old, recursive=True)
-                    return
-        # could not repair in place: restore the aside copy rather
-        # than deleting the only complete table.
+            if not fs.rename(nested, hoist):
+                # un-nest to the fresh sibling failed — before giving
+                # up, try moving the rewrite back to the tmp slot (the
+                # swap rename freed it): that both preserves the
+                # rewrite AND clears base for restoring the original.
+                if fs.rename(nested, tmp):
+                    fs.delete(base, recursive=True)  # shell only now
+                    restored = fs.rename(old, base)
+                    raise IOError(
+                        f"{op}(): swap rename nested the rewrite inside"
+                        f" a stager-recreated {base}; the rewrite was "
+                        f"moved back to {tmp} and the original table is"
+                        + (
+                            f" restored at {base}"
+                            if restored
+                            else f" preserved at {old}"
+                        )
+                        + " — quiesce the stream and rerun"
+                    )
+                # the rewrite cannot be moved OUT of the shell at all
+                # (object-store rename quirk): touch NOTHING — deleting
+                # base here would erase the only copy of a possibly
+                # multi-hour rewrite. Both copies survive for a manual
+                # or retried recovery.
+                raise IOError(
+                    f"{op}(): swap rename nested the rewrite inside a "
+                    f"stager-recreated {base} and the rewrite could "
+                    f"not be moved out; NOTHING was deleted — the "
+                    f"complete rewrite is preserved at {nested} and "
+                    f"the original table at {old}; move the rewrite to "
+                    f"a sibling path and rerun, or restore the original"
+                    f" (rename {old} -> {base} after clearing {base})"
+                )
+            fs.delete(base, recursive=True)  # shell only — rewrite is at hoist
+            if fs.rename(hoist, base) and fs.exists(
+                base.rstrip("/") + "/" + META_FILE
+            ):
+                fs.delete(old, recursive=True)
+                return
+            # hoist -> base failed (a stager recreated base YET again)
+            # or nested once more: the rewrite still exists in full —
+            # say exactly where instead of discarding it.
+            hoist_name = hoist.rstrip("/").rsplit("/", 1)[-1]
+            renested = base.rstrip("/") + "/" + hoist_name
+            if fs.exists(hoist.rstrip("/") + "/" + META_FILE):
+                rewrite_at = hoist
+            elif fs.exists(renested.rstrip("/") + "/" + META_FILE):
+                rewrite_at = renested
+            else:
+                rewrite_at = "<not found — check " + hoist + ">"
+            restored = (not fs.exists(base)) and fs.rename(old, base)
+            raise IOError(
+                f"{op}(): un-nesting the rewrite failed against a "
+                f"racing stage writer; the complete rewrite is "
+                f"preserved at {rewrite_at} and the original table is "
+                + (
+                    f"restored at {base}"
+                    if restored
+                    else f"preserved at {old}"
+                )
+                + " — quiesce the stream and rerun"
+            )
+        # no rewrite found at the top level OR nested (the staged dir
+        # carried no metadata file — an incomplete/corrupt rewrite):
+        # restoring the aside copy is the priority; the shell holds at
+        # most replayable .staging-* epoch data.
         if fs.exists(base):
             fs.delete(base, recursive=True)
         restored = fs.rename(old, base)
         raise IOError(
-            f"{op}(): swap rename nested the rewrite inside a "
-            f"stager-recreated {base} (no {META_FILE} at the top level) "
-            f"and the un-nest failed; the original table is "
+            f"{op}(): swap rename left no loadable table at {base} (no "
+            f"{META_FILE} at the top level or one level deep) — the "
+            f"staged rewrite was incomplete; the original table is "
             + (f"restored at {base}" if restored else f"preserved at {old}")
         )
     fs.delete(old, recursive=True)

@@ -82,7 +82,10 @@ def test_nested_swap_with_failed_hoist_restores_original(
 ):
     """If the un-nest itself cannot land (hoist rename fails), the
     aside copy must be RESTORED to base — never deleted — and the
-    failure must raise instead of silently stranding the rewrite."""
+    failure must raise instead of silently stranding the rewrite.
+    r10 review refinement: the rewrite must ALSO survive (moved back
+    to the freed tmp slot), not be deleted with the shell — at scale
+    it is hours of work."""
     path = str(tmp_path / "hoistfail")
     t = SaltedTable.write(kv, path, HashDistributor(4), "key_long")
     n = t.df().count()
@@ -100,6 +103,43 @@ def test_nested_swap_with_failed_hoist_restores_original(
         compact(t)
     reloaded = SaltedTable.load(spark, path)
     assert reloaded.df().count() == n
+    # the rewrite survived in the tmp sibling for a cheap retry
+    fs = Fs(spark, path)
+    tmp = path.rstrip("/") + ".compact_tmp"
+    assert fs.exists(tmp.rstrip("/") + "/_wd_distributor.json")
+    assert SaltedTable.load(spark, tmp).df().count() == n
+
+
+def test_nested_swap_with_all_repair_renames_failing_preserves_both(
+    spark, kv, tmp_path, monkeypatch
+):
+    """Worst repair case: the rewrite can be moved NEITHER to the
+    hoist sibling NOR back to the tmp slot. The old code deleted base
+    recursively — erasing the only copy of the rewrite nested inside
+    it (r10 review). Now: nothing is deleted; the nested rewrite and
+    the aside original both survive, and the error says where."""
+    path = str(tmp_path / "norepair")
+    t = SaltedTable.write(kv, path, HashDistributor(4), "key_long")
+    n = t.df().count()
+    real = Fs.rename
+
+    def racing(self, src, dst):
+        if src.rstrip("/").endswith(".compact_tmp") and dst.rstrip("/") == path:
+            self.mkdirs(dst + "/.staging-racer")
+        if src.rstrip("/").endswith("/norepair/norepair.compact_tmp"):
+            return False  # every attempt to move the NESTED rewrite fails
+        return real(self, src, dst)
+
+    monkeypatch.setattr(Fs, "rename", racing)
+    with pytest.raises(IOError, match="NOTHING was deleted"):
+        compact(t)
+    fs = Fs(spark, path)
+    nested = path.rstrip("/") + "/norepair.compact_tmp"
+    assert fs.exists(nested + "/_wd_distributor.json"), "rewrite destroyed"
+    assert SaltedTable.load(spark, nested).df().count() == n
+    old = path.rstrip("/") + ".old"
+    assert fs.exists(old + "/_wd_distributor.json"), "original destroyed"
+    assert SaltedTable.load(spark, old).df().count() == n
 
 
 def test_footer_stats_local_status_tuple(spark, tmp_path):

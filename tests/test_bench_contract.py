@@ -57,3 +57,20 @@ def test_catastrophic_error_run_degrades_but_parses():
 def test_sf_field_is_numeric_when_numeric():
     payload = bench.build_payload(1.0, {"a": 1.0}, {}, "0.01")
     assert payload["sf"] == 0.01
+
+
+def test_error_free_oversize_suite_trims_instead_of_blinding():
+    # the r10 review gap: the degrade tiers only engaged when errors
+    # existed, so an error-free suite that simply GREW (34 -> 45
+    # queries across r6-r10, and counting) would print an unparseable
+    # line with zero errors. The backstop must be size-alone.
+    timings = _fake_timings(90)
+    payload = bench.build_payload(round(sum(timings.values()), 3), timings, {}, "0.1")
+    line = json.dumps(payload)
+    assert len(line) < 1800, f"stdout line {len(line)} chars would blind the driver"
+    # the slowest queries survive the trim; the omission is declared
+    assert payload["queries_trimmed"] == 90 - len(payload["queries"])
+    kept = set(payload["queries"])
+    dropped = set(timings) - kept
+    assert max(timings[q] for q in dropped) <= min(timings[q] for q in kept)
+    json.loads(line)  # round-trips

@@ -20,7 +20,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from hbasewd_spark.fsutil import Fs
-from hbasewd_spark.plans.distributor import HashDistributor
+from hbasewd_spark.plans.distributor import HashDistributor, RoundRobinDistributor
 from hbasewd_spark.sources.salted_table import (
     SaltedTable,
     cluster,
@@ -395,6 +395,106 @@ def test_dead_holder_lock_is_broken_and_alive_holder_is_not(
     fs.delete(lock)
 
 
+def test_break_claim_serializes_takeover(spark, kv, tmp_path):
+    """The r10 review race: two same-host processes both prove the
+    holder dead; with a plain re-read-then-delete the slower one's
+    delete removes the FASTER one's freshly acquired sentinel and two
+    mutators hold the exclusive lock at once. The break-claim sentinel
+    (``<lock>.break``) closes it: while a claim with a LIVE holder
+    exists, try_break_dead_lock must back off (return False, lock
+    untouched); a claim left by a DEAD breaker is cleaned up and the
+    takeover proceeds; a successful break leaves no claim debris."""
+    import json
+    import os
+    import socket
+
+    from hbasewd_spark.fsutil import try_break_dead_lock
+
+    t = SaltedTable.write(kv, str(tmp_path / "claims"), HashDistributor(4), "key_long")
+    fs = Fs(spark, t.path)
+    lock = SaltedTable.lock_path(t.path.rstrip("/"))
+    claim = lock + ".break"
+    dead = json.dumps(
+        {"verb": "compact", "pid": _dead_pid(), "host": socket.gethostname()}
+    )
+
+    # live claim holder (our own pid counts as unprovable-dead): back off
+    fs.write_text(lock, dead)
+    fs.write_text(
+        claim, json.dumps({"pid": os.getpid(), "host": socket.gethostname()})
+    )
+    assert try_break_dead_lock(fs, lock) is False
+    assert fs.exists(lock), "backed-off breaker must not touch the lock"
+    assert fs.exists(claim), "backed-off breaker must not touch a live claim"
+    fs.delete(claim)
+
+    # unreadable claim: conservative back-off too
+    fs.write_text(claim, "not json")
+    assert try_break_dead_lock(fs, lock) is False
+    assert fs.exists(lock)
+    fs.delete(claim)
+
+    # stale claim from a crashed breaker: cleaned up, takeover proceeds
+    fs.write_text(
+        claim, json.dumps({"pid": _dead_pid(), "host": socket.gethostname()})
+    )
+    assert try_break_dead_lock(fs, lock) is True
+    assert not fs.exists(lock)
+    assert not fs.exists(claim), "claim must be released after the break"
+
+    # plain successful break also leaves no claim debris
+    fs.write_text(lock, dead)
+    assert try_break_dead_lock(fs, lock) is True
+    assert not fs.exists(lock)
+    assert not fs.exists(claim)
+
+
+def test_break_backs_off_when_lock_changes_under_claim(spark, kv, tmp_path):
+    """If the dead sentinel is replaced by a NEW holder's sentinel
+    between the breaker's death-proof read and its claim acquisition,
+    the re-read under the claim must detect the change and leave the
+    new holder's lock alone."""
+    import json
+    import socket
+
+    from hbasewd_spark import fsutil
+    from hbasewd_spark.fsutil import try_break_dead_lock
+
+    t = SaltedTable.write(kv, str(tmp_path / "claimrace"), HashDistributor(4), "key_long")
+    fs = Fs(spark, t.path)
+    lock = SaltedTable.lock_path(t.path.rstrip("/"))
+    dead = json.dumps(
+        {"verb": "compact", "pid": _dead_pid(), "host": socket.gethostname()}
+    )
+    new_holder = json.dumps(
+        {"verb": "expire", "pid": _dead_pid() + 1, "host": socket.gethostname()}
+    )
+    fs.write_text(lock, dead)
+
+    real_read = Fs.read_text
+    calls = {"n": 0}
+
+    def racing_read(fs_self, p, _real=real_read):
+        out = _real(fs_self, p)
+        if p == lock:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                # simulate: dead lock broken + re-created by a new
+                # holder right after our death-proof read
+                fs_self.write_text(lock, new_holder)
+        return out
+
+    try:
+        Fs.read_text = racing_read
+        assert try_break_dead_lock(fs, lock) is False
+    finally:
+        Fs.read_text = real_read
+    assert fs.exists(lock), "new holder's sentinel must survive"
+    assert fs.read_text(lock) == new_holder
+    assert not fs.exists(lock + ".break"), "claim must be released"
+    fs.delete(lock)
+
+
 def test_upsert_crash_points_leave_old_or_new_content(
     spark, tmp_path, monkeypatch
 ):
@@ -506,6 +606,75 @@ def test_expire_crash_then_retry_converges(spark, tmp_path, monkeypatch):
         assert not Fs(spark, base).exists(base.rstrip("/") + "/.expire_stage")
 
 
+def test_expire_crash_then_other_verbs_never_lose_survivors(
+    spark, tmp_path, monkeypatch
+):
+    """The r10 review's data-loss scenario: expire() crashes
+    POST-MANIFEST (boundary survivors now exist ONLY in the hidden
+    ``.expire_stage``), the driver restarts, and the NIGHTLY COMPACT —
+    not another expire() — runs first. Before the fix, compact()
+    auto-broke the dead holder's lock, rewrote the table from a df()
+    that can't see the stage, and its swap deleted the stage with the
+    old table dir: boundary survivors silently gone. The recovery now
+    runs under _lifecycle_lock for EVERY verb, so compact must land
+    with every surviving row present exactly once, whatever op the
+    crash hit."""
+    cutoff = 120
+    df = spark.range(300).select(
+        F.when(F.col("id") % 50 == 0, None).otherwise(F.col("id")).alias("key_long"),
+        (F.col("id") * 3).alias("v"),
+    )
+    rows = df.collect()
+    survivors = sorted(
+        r.v for r in rows if r.key_long is None or r.key_long >= cutoff
+    )
+    expired = {r.v for r in rows if r.key_long is not None and r.key_long < cutoff}
+
+    def build(name):
+        t = SaltedTable.write(
+            df, str(tmp_path / name), HashDistributor(4), "key_long"
+        )
+        t.build_zone_map("key_long")
+        return t
+
+    t = build("expv_probe")
+    probe = _CrashAfter(monkeypatch, crash_at=0)
+    t.expire(cutoff)
+    total_ops = probe.count
+    monkeypatch.undo()
+
+    for k in range(1, total_ops + 1):
+        t = build(f"expv_k{k}")
+        base = t.path
+        inj = _CrashAfter(monkeypatch, crash_at=k)
+        try:
+            t.expire(cutoff)
+        except (_InjectedCrash, IOError):
+            pass
+        finally:
+            monkeypatch.undo()
+        _make_lock_holder_dead(spark, base)
+        t2 = compact(SaltedTable.load(spark, base))
+        got = [r.v for r in t2.df().collect()]
+        got_surv = sorted(v for v in got if v not in expired)
+        assert got_surv == survivors, (
+            f"expire crash at op#{k} {inj.ops[k-1:k]} then compact(): "
+            f"survivor rows lost or duplicated "
+            f"({len(got_surv)} vs {len(survivors)})"
+        )
+        # expired rows may legitimately be in either state mid-crash
+        # (some originals deleted, some not) but never duplicated
+        got_exp = [v for v in got if v in expired]
+        assert len(got_exp) == len(set(got_exp)), (
+            f"expire crash at op#{k}: compact duplicated expired rows"
+        )
+        # the stage was consumed (merged or discarded), never left for
+        # a later verb to trip over
+        assert not Fs(spark, t2.path).exists(
+            t2.path.rstrip("/") + "/" + SaltedTable.EXPIRE_STAGE_DIR
+        )
+
+
 def test_zone_sidecar_build_crash_never_corrupts_query_results(
     spark, tmp_path, monkeypatch
 ):
@@ -556,14 +725,21 @@ def test_key_index_build_crash_never_corrupts_point_gets(
     """Same contract as the zone sidecar, for the key->salt index:
     a crashed build_key_index leaves debris that point_get_indexed
     must never BELIEVE — gets stay exact (falling back to the salt
-    fan-out path), and a clean rebuild lands over the debris."""
+    fan-out path), and a clean rebuild lands over the debris.
+
+    ROUND-ROBIN distributor, deliberately: point_get_indexed
+    short-circuits straight to point_get for deterministic (hash)
+    distributors (salted_table.py `point_get_indexed`), so a
+    HashDistributor table would never execute the index probe this
+    test exists to distrust — every assertion would vacuously pass
+    through the fan-out path (r10 review finding)."""
     df = spark.range(500).select(
         F.col("id").alias("key_long"), (F.col("id") * 3).alias("v")
     )
 
     def build(name):
         return SaltedTable.write(
-            df, str(tmp_path / name), HashDistributor(4), "key_long"
+            df, str(tmp_path / name), RoundRobinDistributor(4), "key_long"
         )
 
     t = build("ki_probe")
