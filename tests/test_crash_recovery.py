@@ -675,6 +675,90 @@ def test_expire_crash_then_other_verbs_never_lose_survivors(
         )
 
 
+@pytest.mark.parametrize("verb", ["rebucket", "upsert", "cluster"])
+def test_post_manifest_expire_crash_recovered_by_every_verb(
+    spark, tmp_path, monkeypatch, verb
+):
+    """The verb-agnostic leg of the recovery-under-lock fix: the
+    compact() test sweeps every crash point; here the single most
+    dangerous state — survivors live ONLY in the manifest-bearing
+    stage — is handed to each OTHER verb's distinct rewrite path
+    (rebucket: full re-salt write; upsert_rows: dynamic partition
+    overwrite; cluster: z-order rewrite) and every one must surface
+    the staged survivors."""
+    cutoff = 120
+    df = spark.range(300).select(
+        F.col("id").alias("key_long"), (F.col("id") * 3).alias("v")
+    )
+
+    t = SaltedTable.write(
+        df, str(tmp_path / f"pm_{verb}"), HashDistributor(4), "key_long"
+    )
+    t.build_zone_map("key_long")
+    base = t.path
+    fs = Fs(spark, base)
+    stage = base.rstrip("/") + "/" + SaltedTable.EXPIRE_STAGE_DIR
+
+    # drive expire into the post-manifest state: crash on the FIRST
+    # original-file delete AFTER the manifest write
+    class _CrashOnDeleteAfterManifest:
+        def __init__(self):
+            self.manifest_written = False
+            real_wt, real_del = Fs.write_text, Fs.delete
+
+            def wt(fs_self, p, text, _real=real_wt):
+                if p.endswith(SaltedTable.EXPIRE_MANIFEST):
+                    self.manifest_written = True
+                return _real(fs_self, p, text)
+
+            def dl(fs_self, p, recursive=False, _real=real_del):
+                if self.manifest_written and not p.endswith(
+                    SaltedTable.EXPIRE_MANIFEST
+                ):
+                    raise _InjectedCrash(f"crash deleting {p}")
+                return _real(fs_self, p, recursive)
+
+            monkeypatch.setattr(Fs, "write_text", wt)
+            monkeypatch.setattr(Fs, "delete", dl)
+
+    _CrashOnDeleteAfterManifest()
+    with pytest.raises(_InjectedCrash):
+        t.expire(cutoff)
+    monkeypatch.undo()
+    assert fs.exists(stage + "/" + SaltedTable.EXPIRE_MANIFEST), (
+        "fixture failed to produce the post-manifest crash state"
+    )
+    _make_lock_holder_dead(spark, base)
+
+    # recovery under the next verb's lock finishes the manifest's
+    # deletes and merges the staged survivors, so the verb operates on
+    # exactly the post-expire content: keys cutoff..299
+    t1 = SaltedTable.load(spark, base)
+    if verb == "rebucket":
+        t2 = rebucket(t1, HashDistributor(8))
+        expected = sorted(k * 3 for k in range(cutoff, 300))
+    elif verb == "cluster":
+        t2 = cluster(t1, "key_long", "v", files_per_salt=2)
+        expected = sorted(k * 3 for k in range(cutoff, 300))
+    else:
+        t2 = t1.upsert_rows(
+            spark.range(5).select(
+                (F.col("id") + 200).alias("key_long"), F.lit(-1).alias("v")
+            )
+        )
+        expected = sorted(
+            -1 if 200 <= k < 205 else k * 3 for k in range(cutoff, 300)
+        )
+    got = sorted(r.v for r in t2.df().collect())
+    assert got == expected, (
+        f"{verb} after post-manifest expire crash lost staged survivors "
+        f"({len(got)} vs {len(expected)} rows)"
+    )
+    assert not Fs(spark, t2.path).exists(
+        t2.path.rstrip("/") + "/" + SaltedTable.EXPIRE_STAGE_DIR
+        )
+
+
 def test_zone_sidecar_build_crash_never_corrupts_query_results(
     spark, tmp_path, monkeypatch
 ):
