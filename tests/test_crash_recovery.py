@@ -15,6 +15,8 @@ real cluster the driver can die at any point between two namenode
 RPCs.
 """
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -447,6 +449,63 @@ def test_break_claim_serializes_takeover(spark, kv, tmp_path):
     assert try_break_dead_lock(fs, lock) is True
     assert not fs.exists(lock)
     assert not fs.exists(claim)
+
+
+def test_concurrent_breakers_yield_exactly_one_lock_holder(spark, kv, tmp_path):
+    """Empirical race check of the claim protocol: N threads each
+    prove the same dead holder and race break+acquire. EXACTLY one
+    may end up holding the lock per round — under the old
+    re-read-then-delete takeover, a slow thread's delete could remove
+    a fast thread's freshly created sentinel and two 'winners'
+    emerged. py4j serves each Python thread over its own connection,
+    so these are genuinely concurrent filesystem calls."""
+    import json
+    import socket
+    import threading
+
+    from hbasewd_spark.fsutil import try_break_dead_lock
+
+    t = SaltedTable.write(kv, str(tmp_path / "race"), HashDistributor(4), "key_long")
+    lock = SaltedTable.lock_path(t.path.rstrip("/"))
+    dead = json.dumps(
+        {"verb": "compact", "pid": _dead_pid(), "host": socket.gethostname()}
+    )
+    N, ROUNDS = 6, 12
+    for rnd in range(ROUNDS):
+        fs0 = Fs(spark, t.path)
+        fs0.write_text(lock, dead)
+        barrier = threading.Barrier(N)
+        winners = []
+        lk = threading.Lock()
+
+        def contend(i):
+            # per-thread Fs handle: py4j allocates one gateway
+            # connection per Python thread, so calls overlap for real
+            fs = Fs(spark, t.path)
+            me = json.dumps(
+                {"verb": f"racer-{i}", "pid": os.getpid(), "host": socket.gethostname()}
+            )
+            barrier.wait()
+            if fs.create_atomic(lock, me) or (
+                try_break_dead_lock(fs, lock) and fs.create_atomic(lock, me)
+            ):
+                with lk:
+                    winners.append(i)
+
+        threads = [threading.Thread(target=contend, args=(i,)) for i in range(N)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert len(winners) == 1, (
+            f"round {rnd}: {len(winners)} threads all believe they hold "
+            f"the lock ({winners}) — takeover not serialized"
+        )
+        # the winner's sentinel survived everyone else's takeover logic
+        holder = json.loads(fs0.read_text(lock))
+        assert holder["verb"] == f"racer-{winners[0]}"
+        fs0.delete(lock)
+        fs0.delete(lock + ".break")
 
 
 def test_break_backs_off_when_lock_changes_under_claim(spark, kv, tmp_path):
