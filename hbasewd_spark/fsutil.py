@@ -173,11 +173,18 @@ def try_break_dead_lock(fs: Fs, lock: str) -> bool:
     the caller must still go back through ``create_atomic`` (one
     winner) rather than assume ownership.
 
-    A claim left behind by a crashed breaker is itself removed only
-    when ITS recorded holder is provably dead, and only via a
-    rename-to-unique-name (atomic pick-one between racing cleaners) —
-    never a raw delete, which would re-open the same double-break
-    race one level down."""
+    A claim left behind by a crashed breaker is deliberately NOT
+    auto-reclaimed: every reclaim protocol we examined (delete+create,
+    rename-to-unique, rename+content-verify+rename-back) re-opens a
+    double-break window one level down — a racing cleaner can grab a
+    LIVE breaker's freshly created claim, or a third breaker can slip
+    a create between a mismatch-detecting rename-back pair. The claim
+    critical section spans three metadata calls (~milliseconds), so a
+    breaker dying inside it is rarer by orders of magnitude than the
+    verb crash the takeover exists for; that residue takes the
+    documented manual path (verify the claim's recorded holder is
+    dead, delete ``<lock>.break``, retry) — the caller's error
+    message names the file."""
     import json as _json
     import os as _os
     import socket as _socket
@@ -206,22 +213,14 @@ def try_break_dead_lock(fs: Fs, lock: str) -> bool:
         return False
     claim = lock + ".break"
     me = _json.dumps({"pid": _os.getpid(), "host": _socket.gethostname()})
-    try:
-        if not fs.create_atomic(claim, me):
-            # a claim exists: another breaker is mid-takeover (back
-            # off), unless that breaker itself died holding it — then
-            # claim the STALE CLAIM by atomic rename (exactly one of
-            # any racing cleaners wins the rename; losers back off)
-            prior = _read_holder(claim)
-            if prior is None or not _provably_dead(prior[1], prior[2]):
-                return False
-            stale = f"{claim}.stale.{_os.getpid()}"
-            if not fs.rename(claim, stale):
-                return False  # lost the cleanup race
-            fs.delete(stale)
-            if not fs.create_atomic(claim, me):
-                return False
-    except Exception:
+    # create_atomic classifies lost-the-race (False) apart from real
+    # FS failures (raise) — let the latter PROPAGATE (ADVICE r6/r9:
+    # mapping a permission/store error to "holder alive" sends the
+    # epoch poll loop into a full-timeout wait chasing a breakable
+    # lock). False covers both an in-flight takeover and a crashed
+    # breaker's stale claim; the stale case is the documented manual
+    # path (see docstring), not an auto-reclaim.
+    if not fs.create_atomic(claim, me):
         return False
     try:
         if fs.read_text(lock) != holder[0]:

@@ -685,10 +685,17 @@ class SaltedTable:
                     who = fs.read_text(lock)
                 except Exception:
                     who = "<unreadable>"
+                claim_note = (
+                    f"; a takeover claim also exists at {lock}.break — if "
+                    f"ITS recorded holder is dead too, delete the claim "
+                    f"first"
+                    if fs.exists(lock + ".break")
+                    else ""
+                )
                 raise RuntimeError(
                     f"{verb}(): another lifecycle operation holds {lock} "
                     f"({who}); if that holder crashed, verify it is dead "
-                    f"and delete the sentinel"
+                    f"and delete the sentinel" + claim_note
                 )
             try:
                 # under the lock, before the verb plans anything: merge
@@ -2491,6 +2498,40 @@ def _merge_stage_into_base(
     return failed
 
 
+def _restore_aside(fs: Fs, old: str, base: str) -> str:
+    """Move the aside copy back to ``base`` and VERIFY it landed flat;
+    returns a human-accurate description of where the original lives
+    now (used verbatim in the swap error messages). Never deletes
+    anything — callers clear a known-empty shell at ``base`` first
+    when that is safe. The verification matters because a racing epoch
+    stage can recreate ``base`` between the caller's shell-clear and
+    this rename — Hadoop then nests the original INSIDE the recreated
+    dir while returning True, and an unverified "restored at base"
+    message would point the operator at an unloadable shell with the
+    only copy stranded one level deep (r10 review)."""
+    if fs.exists(base):
+        # refusing beats nesting the only original copy
+        return f"preserved at {old} ({base} is occupied)"
+    if not fs.rename(old, base):
+        return f"preserved at {old}"
+    if fs.exists(base.rstrip("/") + "/" + META_FILE):
+        return f"restored at {base}"
+    nested = base.rstrip("/") + "/" + old.rstrip("/").rsplit("/", 1)[-1]
+    if fs.exists(nested.rstrip("/") + "/" + META_FILE):
+        # the TOCTOU hit THIS rename: un-nest back to old (single
+        # attempt, no retry loop — the stream is clearly racing us)
+        if fs.rename(nested, old):
+            return (
+                f"preserved at {old} (a racing stage writer recreated "
+                f"{base} mid-restore)"
+            )
+        return (
+            f"NESTED at {nested} by a racing stage writer — move it up "
+            f"manually (rename {nested} -> {base} after clearing {base})"
+        )
+    return f"NOT restored — check {base} and {old} manually"
+
+
 def _refuse_orphaned_old(fs: Fs, base: str, op: str) -> None:
     """Pre-flight for the lifecycle rewrites: when ``base.old`` exists
     WITHOUT a live table at ``base``, a previous swap failed after the
@@ -2555,11 +2596,10 @@ def _swap_table_dirs(fs: Fs, tmp: str, base: str, op: str) -> None:
         # stager-recreated dir)
         if fs.exists(base):
             fs.delete(base, recursive=True)
-        restored = fs.rename(old, base)
         raise IOError(
             f"{op}(): swap rename {tmp} -> {base} failed; the rewrite is "
             f"intact at {tmp} and the original table is "
-            + (f"restored at {base}" if restored else f"preserved at {old}")
+            + _restore_aside(fs, old, base)
         )
     # ADVICE r9 (TOCTOU): a racing epoch stage can recreate `base`
     # BETWEEN the resurrected-base delete above and the rename — Hadoop
@@ -2582,16 +2622,11 @@ def _swap_table_dirs(fs: Fs, tmp: str, base: str, op: str) -> None:
                 # rewrite AND clears base for restoring the original.
                 if fs.rename(nested, tmp):
                     fs.delete(base, recursive=True)  # shell only now
-                    restored = fs.rename(old, base)
                     raise IOError(
                         f"{op}(): swap rename nested the rewrite inside"
                         f" a stager-recreated {base}; the rewrite was "
-                        f"moved back to {tmp} and the original table is"
-                        + (
-                            f" restored at {base}"
-                            if restored
-                            else f" preserved at {old}"
-                        )
+                        f"moved back to {tmp} and the original table is "
+                        + _restore_aside(fs, old, base)
                         + " — quiesce the stream and rerun"
                     )
                 # the rewrite cannot be moved OUT of the shell at all
@@ -2625,17 +2660,20 @@ def _swap_table_dirs(fs: Fs, tmp: str, base: str, op: str) -> None:
                 rewrite_at = renested
             else:
                 rewrite_at = "<not found — check " + hoist + ">"
-            restored = (not fs.exists(base)) and fs.rename(old, base)
+            where = _restore_aside(fs, old, base)
             raise IOError(
                 f"{op}(): un-nesting the rewrite failed against a "
                 f"racing stage writer; the complete rewrite is "
                 f"preserved at {rewrite_at} and the original table is "
+                f"{where} — quiesce the stream, then "
                 + (
-                    f"restored at {base}"
-                    if restored
-                    else f"preserved at {old}"
+                    "rerun"
+                    if where.startswith("restored")
+                    else f"move the rewrite out of the way (rename "
+                    f"{rewrite_at} -> {tmp}), restore the original "
+                    f"(rename {old} -> {base} after clearing {base}), "
+                    f"and rerun"
                 )
-                + " — quiesce the stream and rerun"
             )
         # no rewrite found at the top level OR nested (the staged dir
         # carried no metadata file — an incomplete/corrupt rewrite):
@@ -2643,11 +2681,10 @@ def _swap_table_dirs(fs: Fs, tmp: str, base: str, op: str) -> None:
         # most replayable .staging-* epoch data.
         if fs.exists(base):
             fs.delete(base, recursive=True)
-        restored = fs.rename(old, base)
         raise IOError(
             f"{op}(): swap rename left no loadable table at {base} (no "
             f"{META_FILE} at the top level or one level deep) — the "
             f"staged rewrite was incomplete; the original table is "
-            + (f"restored at {base}" if restored else f"preserved at {old}")
+            + _restore_aside(fs, old, base)
         )
     fs.delete(old, recursive=True)

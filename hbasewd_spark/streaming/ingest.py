@@ -109,10 +109,17 @@ def _epoch_commit_lock(
                 who = fs.read_text(lock)
             except Exception:
                 who = "<unreadable>"
+            claim_note = (
+                f" (a takeover claim also exists at {lock}.break — a "
+                f"crashed breaker's claim must be deleted manually after "
+                f"verifying its holder is dead)"
+                if fs.exists(lock + ".break")
+                else ""
+            )
             raise RuntimeError(
                 f"epoch {epoch_id}: lifecycle lock still held after "
-                f"{timeout_s}s ({who}); stage preserved — the epoch replay "
-                f"will retry after the verb releases it"
+                f"{timeout_s}s ({who}){claim_note}; stage preserved — the "
+                f"epoch replay will retry after the verb releases it"
             )
         _time.sleep(poll_s)
     try:

@@ -402,10 +402,14 @@ def test_break_claim_serializes_takeover(spark, kv, tmp_path):
     holder dead; with a plain re-read-then-delete the slower one's
     delete removes the FASTER one's freshly acquired sentinel and two
     mutators hold the exclusive lock at once. The break-claim sentinel
-    (``<lock>.break``) closes it: while a claim with a LIVE holder
-    exists, try_break_dead_lock must back off (return False, lock
-    untouched); a claim left by a DEAD breaker is cleaned up and the
-    takeover proceeds; a successful break leaves no claim debris."""
+    (``<lock>.break``) closes it: while ANY claim exists,
+    try_break_dead_lock must back off (return False, lock and claim
+    untouched) — including a DEAD breaker's stale claim, because every
+    auto-reclaim protocol re-opens a double-break window one level
+    down (the follow-up review found the reclaim-by-rename variant
+    let a slow cleaner grab a live breaker's fresh claim); the stale
+    case is the documented manual path. A successful break leaves no
+    claim debris."""
     import json
     import os
     import socket
@@ -436,16 +440,22 @@ def test_break_claim_serializes_takeover(spark, kv, tmp_path):
     assert fs.exists(lock)
     fs.delete(claim)
 
-    # stale claim from a crashed breaker: cleaned up, takeover proceeds
-    fs.write_text(
-        claim, json.dumps({"pid": _dead_pid(), "host": socket.gethostname()})
-    )
-    assert try_break_dead_lock(fs, lock) is True
-    assert not fs.exists(lock)
-    assert not fs.exists(claim), "claim must be released after the break"
+    # stale claim from a crashed breaker: back off and leave BOTH
+    # files (the manual path); no auto-reclaim — see docstring
+    stale_claim = json.dumps({"pid": _dead_pid(), "host": socket.gethostname()})
+    fs.write_text(claim, stale_claim)
+    assert try_break_dead_lock(fs, lock) is False
+    assert fs.exists(lock), "lock must survive a wedged-claim back-off"
+    assert fs.read_text(claim) == stale_claim, "stale claim must be untouched"
+    # the lifecycle verb's error names the claim so the operator knows
+    # what to delete
+    t_locked = SaltedTable.load(spark, t.path)
+    with pytest.raises(RuntimeError, match=r"takeover claim"):
+        compact(t_locked)
+    fs.delete(claim)
 
-    # plain successful break also leaves no claim debris
-    fs.write_text(lock, dead)
+    # with the claim cleared, the dead lock breaks normally again and
+    # leaves no claim debris
     assert try_break_dead_lock(fs, lock) is True
     assert not fs.exists(lock)
     assert not fs.exists(claim)
