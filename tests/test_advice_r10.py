@@ -142,6 +142,58 @@ def test_nested_swap_with_all_repair_renames_failing_preserves_both(
     assert SaltedTable.load(spark, old).df().count() == n
 
 
+def test_restore_aside_verifies_and_unnests(spark, kv, tmp_path, monkeypatch):
+    """_restore_aside contract (r10 follow-up review): the restore
+    rename is itself TOCTOU-prone — a racing stage writer can recreate
+    base between the helper's guard and the rename, nesting the only
+    original copy while rename returns True. The helper must detect
+    the nesting via the META check, un-nest back to the aside path,
+    and never report 'restored' unverified."""
+    from hbasewd_spark.sources.salted_table import _restore_aside
+
+    base = str(tmp_path / "ra")
+    t = SaltedTable.write(kv, base, HashDistributor(4), "key_long")
+    n = t.df().count()
+    fs = Fs(spark, base)
+    old = base + ".old"
+    meta = "/_wd_distributor.json"
+
+    # clean case: verified restore
+    assert fs.rename(base, old)
+    assert _restore_aside(fs, old, base) == f"restored at {base}"
+    assert SaltedTable.load(spark, base).df().count() == n
+
+    # occupied case: refuse rather than nest
+    assert fs.rename(base, old)
+    fs.mkdirs(base + "/.staging-racer")
+    msg = _restore_aside(fs, old, base)
+    assert msg.startswith(f"preserved at {old}") and "occupied" in msg
+    assert fs.exists(old + meta), "original must be untouched on refusal"
+    fs.delete(base, recursive=True)
+
+    # nested case: the guard misses a shell recreated mid-restore
+    # (simulated by blinding ONE exists(base) probe); local-FS rename
+    # into the existing dir then really nests — the helper must detect
+    # it and un-nest back to old
+    real_exists = Fs.exists
+    blinded = []
+
+    def racing_exists(self, p, _real=real_exists):
+        if p == base and not blinded:
+            blinded.append(1)
+            self.mkdirs(base + "/.staging-racer2")  # the racing shell
+            return False
+        return _real(self, p)
+
+    monkeypatch.setattr(Fs, "exists", racing_exists)
+    msg = _restore_aside(fs, old, base)
+    monkeypatch.undo()
+    assert "mid-restore" in msg, f"nesting not detected: {msg}"
+    assert fs.exists(old + meta), "original must be back at the aside path"
+    assert SaltedTable.load(spark, old).df().count() == n
+    assert not fs.exists(base + "/ra.old"), "nested copy must be moved out"
+
+
 def test_footer_stats_local_status_tuple(spark, tmp_path):
     """(status, table) contract: 'ok' carries the table; a decimal
     column whose footer stats pyarrow cannot decode reports
