@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Any, Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -702,7 +703,7 @@ class SaltedTable:
                 # back a crashed expire()'s staged survivors so no verb
                 # ever rewrites from a file set that is missing them
                 if table._recover_expire_stage(
-                    fs, base + "/" + SaltedTable.EXPIRE_STAGE_DIR
+                    fs, base + "/" + SaltedTable.EXPIRE_STAGE_DIR, verb=verb
                 ):
                     table.refresh()
                 yield
@@ -1250,7 +1251,9 @@ class SaltedTable:
     EXPIRE_MANIFEST = "_expire_manifest.json"
     EXPIRE_STAGE_DIR = ".expire_stage"
 
-    def _recover_expire_stage(self, fs: Fs, stage: str) -> bool:
+    def _recover_expire_stage(
+        self, fs: Fs, stage: str, verb: str = "expire"
+    ) -> bool:
         """Complete (or discard) a crashed expire()'s stage dir; returns
         True when the table's file set changed. Invoked by
         :meth:`_lifecycle_lock` itself on every acquisition (r10
@@ -1288,9 +1291,10 @@ class SaltedTable:
         )
         if failed:
             raise IOError(
-                f"expire(): recovery of crashed stage {stage} could not "
-                f"rename {len(failed)} file(s) (first: {failed[0][0]} -> "
-                f"{failed[0][1]}); the stage is preserved"
+                f"expire-stage recovery under {verb}() lock: crashed "
+                f"stage {stage} could not rename {len(failed)} file(s) "
+                f"(first: {failed[0][0]} -> {failed[0][1]}); the stage "
+                f"is preserved"
             )
         fs.delete(stage, recursive=True)
         return True
@@ -2472,6 +2476,108 @@ def rebucket(table: SaltedTable, new_distributor: KeyDistributor) -> SaltedTable
         return SaltedTable.load(table.spark, base)
 
 
+def vacuum(
+    table: SaltedTable,
+    staging_older_than_s: "float | None" = None,
+    dry_run: bool = False,
+) -> dict:
+    """Garbage-collect the crash-protocol artifacts a long-lived table
+    accumulates — the Delta ``VACUUM`` shape, scoped to this engine's
+    own leftovers. At 100 TB a table that has survived a few crashed
+    verbs carries full-size sibling copies (``base.old`` is an entire
+    pre-swap table); without a GC verb those doublings of storage
+    persist forever.
+
+    Targets, and why each is safe under the lifecycle lock:
+
+    - ``base.old`` / ``base.hoist`` / ``base.*_tmp`` siblings: every
+      writer of these paths (compact/cluster/rebucket stage UNDER the
+      lock; the swap itself runs under it) is excluded while we hold
+      the lock, so a surviving sibling is by definition a crashed
+      run's leftover. They are deleted ONLY when the live table at
+      ``base`` is loadable (metadata file present at the top level) —
+      the one state in which every sibling is provably redundant: the
+      aside copy duplicates a landed swap, and a ``*_tmp``/``.hoist``
+      rewrite is derived data, reproducible by rerunning its verb. If
+      ``base`` is NOT loadable, a sibling may hold the only surviving
+      copy (the exact state ``_refuse_orphaned_old`` guards), so
+      vacuum refuses and deletes NOTHING.
+    - in-dir ``.staging-epoch-*`` dirs: the streaming stage WRITE runs
+      outside the lock by design (streaming/ingest.py), so a stage may
+      be mid-write right now. These are only deleted when
+      ``staging_older_than_s`` is given and the stage's modification
+      time is older — the retention-window contract Delta's VACUUM
+      uses for the same reason. Deleting a live stage is still SAFE
+      (the epoch commit's manifest check sees it vanished and replays
+      the epoch) but wasteful, hence opt-in. Default: skip.
+    - never touched: the lock sentinel (we hold it), ``.break``
+      takeover claims (owned by the dead-holder protocol), and
+      ``.expire_stage`` (lock acquisition already completed or
+      discarded it via ``_recover_expire_stage``).
+
+    Idempotent; every delete is independent, so a crash mid-vacuum
+    just leaves fewer artifacts for the rerun — and no delete ever
+    targets a path under ``base`` except aged streaming stages, so the
+    live table is untouchable by construction. ``dry_run=True``
+    classifies without deleting (the Delta ``VACUUM ... DRY RUN``
+    shape — run it first on any table you did not crash yourself).
+    Returns a report:
+    ``{"deleted": [...], "kept": [{"path", "reason"}, ...]}`` (under
+    ``dry_run`` the ``deleted`` list holds what WOULD be deleted).
+
+    Reference parity note: the reference has no lifecycle verbs at all
+    (HBase compactions/GC are server-side); this is part of the
+    engine-native lifecycle surface alongside compact()/expire()."""
+    with table._lifecycle_lock("vacuum"):
+        fs = Fs(table.spark, table.path)
+        base = table.path.rstrip("/")
+        deleted: list = []
+        kept: list = []
+        live = fs.exists(base + "/" + META_FILE)
+        siblings = [base + ".old", base + ".hoist"]
+        siblings += [p for p in fs.glob(base + ".*_tmp")]
+        for sib in siblings:
+            if not fs.exists(sib):
+                continue
+            if not live:
+                kept.append(
+                    {
+                        "path": sib,
+                        "reason": f"no loadable table at {base} — this "
+                        f"may be the only surviving copy; restore it "
+                        f"before vacuuming",
+                    }
+                )
+                continue
+            if not dry_run:
+                fs.delete(sib, recursive=True)
+            deleted.append(sib)
+        for path, _len, mtime_ms in fs.glob_stats(base + "/.staging-epoch-*"):
+            if staging_older_than_s is None:
+                kept.append(
+                    {
+                        "path": path,
+                        "reason": "streaming stage; pass "
+                        "staging_older_than_s to reclaim aged stages",
+                    }
+                )
+                continue
+            age_s = time.time() - mtime_ms / 1000.0
+            if age_s < staging_older_than_s:
+                kept.append(
+                    {
+                        "path": path,
+                        "reason": f"stage age {age_s:.0f}s < retention "
+                        f"{staging_older_than_s:.0f}s (may be mid-write)",
+                    }
+                )
+                continue
+            if not dry_run:
+                fs.delete(path, recursive=True)
+            deleted.append(path)
+        return {"deleted": deleted, "kept": kept}
+
+
 def _merge_stage_into_base(
     fs: Fs, stage: str, base: str, skip_existing: bool
 ) -> list:
@@ -2509,6 +2615,11 @@ def _restore_aside(fs: Fs, old: str, base: str) -> str:
     dir while returning True, and an unverified "restored at base"
     message would point the operator at an unloadable shell with the
     only copy stranded one level deep (r10 review)."""
+    if not fs.exists(old):
+        # the swap path where ``base`` never existed skips the aside
+        # rename entirely — pointing the operator at {old} would send
+        # them to a path that was never created (r10 advice)
+        return f"no aside copy exists ({old} was never created)"
     if fs.exists(base):
         # refusing beats nesting the only original copy
         return f"preserved at {old} ({base} is occupied)"

@@ -1,0 +1,230 @@
+"""vacuum() — GC of crash-protocol artifacts (r11).
+
+The invariants under test mirror the swap protocol's own: vacuum may
+only delete what is provably redundant, and the proof is "a loadable
+table exists at base while we hold the lifecycle lock". Every refusal
+state must delete NOTHING.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbasewd_spark.fsutil import Fs
+from hbasewd_spark.plans.distributor import HashDistributor
+from hbasewd_spark.sources.salted_table import (
+    META_FILE,
+    SaltedTable,
+    vacuum,
+)
+
+
+def _plant_artifacts(spark, t):
+    """Fabricate the full leftover taxonomy around a live table:
+    aside copy, hoist, two verb tmp stages, one streaming stage."""
+    fs = Fs(spark, t.path)
+    base = t.path.rstrip("/")
+    for sib in (base + ".old", base + ".hoist", base + ".compact_tmp"):
+        fs.copy(base, sib)
+    fs.mkdirs(base + ".rebucket_tmp/salt=0")
+    fs.mkdirs(base + "/.staging-epoch-42/salt=0")
+    fs.write_text(base + "/.staging-epoch-42/_stage_manifest.json", "{}")
+    return fs, base
+
+
+def test_vacuum_reclaims_all_sibling_artifacts(spark, kv, tmp_path):
+    t = SaltedTable.write(
+        kv, str(tmp_path / "vac"), HashDistributor(4), "key_long"
+    )
+    n = t.df().count()
+    fs, base = _plant_artifacts(spark, t)
+
+    report = vacuum(t)  # default: streaming stages kept
+    gone = {p.rsplit("/", 1)[-1] for p in report["deleted"]}
+    assert gone == {
+        "vac.old",
+        "vac.hoist",
+        "vac.compact_tmp",
+        "vac.rebucket_tmp",
+    }, report
+    for sib in (".old", ".hoist", ".compact_tmp", ".rebucket_tmp"):
+        assert not fs.exists(base + sib)
+    # streaming stage kept by default, with the opt-in hint
+    assert fs.exists(base + "/.staging-epoch-42")
+    assert any(
+        "staging_older_than_s" in k["reason"] for k in report["kept"]
+    )
+    # the live table is untouched and the lock was released
+    assert SaltedTable.load(spark, base).df().count() == n
+    assert not fs.exists(SaltedTable.lock_path(base))
+
+    # second pass with a zero retention window reclaims the aged stage
+    report2 = vacuum(t, staging_older_than_s=0)
+    assert any(p.endswith(".staging-epoch-42") for p in report2["deleted"])
+    assert not fs.exists(base + "/.staging-epoch-42")
+
+    # idempotent: nothing left to do
+    report3 = vacuum(t, staging_older_than_s=0)
+    assert report3 == {"deleted": [], "kept": []}
+
+
+def test_vacuum_dry_run_deletes_nothing(spark, kv, tmp_path):
+    t = SaltedTable.write(
+        kv, str(tmp_path / "vacdry"), HashDistributor(4), "key_long"
+    )
+    fs, base = _plant_artifacts(spark, t)
+    report = vacuum(t, staging_older_than_s=0, dry_run=True)
+    # classification identical to a live run...
+    names = {p.rsplit("/", 1)[-1] for p in report["deleted"]}
+    assert names == {
+        "vacdry.old",
+        "vacdry.hoist",
+        "vacdry.compact_tmp",
+        "vacdry.rebucket_tmp",
+        ".staging-epoch-42",
+    }, report
+    # ...but everything is still on disk
+    for sib in (".old", ".hoist", ".compact_tmp", ".rebucket_tmp"):
+        assert fs.exists(base + sib)
+    assert fs.exists(base + "/.staging-epoch-42")
+
+
+def test_vacuum_crash_at_any_delete_leaves_table_intact(
+    spark, kv, tmp_path, monkeypatch
+):
+    """Crash-injection gauntlet for the new verb: kill vacuum at its
+    k-th delete for every k; after every crash the live table must be
+    loadable with full content, the lock released by rerun via dead-
+    holder takeover is not even needed (the context manager's finally
+    releases it on the injected error), and a rerun converges."""
+
+    class _Boom(Exception):
+        pass
+
+    t = SaltedTable.write(
+        kv, str(tmp_path / "vaccrash"), HashDistributor(4), "key_long"
+    )
+    n = t.df().count()
+    fs = Fs(spark, t.path)
+    base = t.path.rstrip("/")
+    real_delete = Fs.delete
+
+    def _replant():
+        for leftover in (
+            base + ".old",
+            base + ".hoist",
+            base + ".compact_tmp",
+            base + ".rebucket_tmp",
+            base + "/.staging-epoch-42",
+        ):
+            real_delete(fs, leftover, recursive=True)
+        _plant_artifacts(spark, t)
+
+    # one clean pass performs 5 artifact deletes; crash at each
+    for k in range(5):
+        _replant()
+        calls = {"i": 0}
+
+        def crashing(self, p, recursive=False, _real=real_delete, _k=k):
+            # only count vacuum's artifact deletes, not the lock release
+            if not p.endswith(SaltedTable.LOCK_SUFFIX):
+                if calls["i"] == _k:
+                    calls["i"] += 1
+                    raise _Boom(f"injected at delete #{_k}: {p}")
+                calls["i"] += 1
+            return _real(self, p, recursive)
+
+        monkeypatch.setattr(Fs, "delete", crashing)
+        with pytest.raises(_Boom):
+            vacuum(t, staging_older_than_s=0)
+        monkeypatch.undo()
+        # table intact after every crash point; lock released
+        assert fs.exists(base + "/" + META_FILE)
+        assert not fs.exists(SaltedTable.lock_path(base))
+        assert SaltedTable.load(spark, base).df().count() == n
+    # rerun with no injection converges to clean
+    vacuum(t, staging_older_than_s=0)
+    assert vacuum(t, staging_older_than_s=0) == {"deleted": [], "kept": []}
+    assert SaltedTable.load(spark, base).df().count() == n
+
+
+def test_vacuum_keeps_fresh_streaming_stage(spark, kv, tmp_path):
+    t = SaltedTable.write(
+        kv, str(tmp_path / "vacfresh"), HashDistributor(4), "key_long"
+    )
+    fs = Fs(spark, t.path)
+    base = t.path.rstrip("/")
+    fs.mkdirs(base + "/.staging-epoch-7/salt=1")
+    # a just-written stage is inside any sane retention window
+    report = vacuum(t, staging_older_than_s=3600)
+    assert report["deleted"] == []
+    assert fs.exists(base + "/.staging-epoch-7")
+    assert any("retention" in k["reason"] for k in report["kept"])
+
+
+def test_vacuum_refuses_when_base_is_not_loadable(spark, kv, tmp_path):
+    """The orphaned-.old state: base gone, the aside copy is the only
+    surviving table. vacuum must refuse and delete NOTHING — this is
+    exactly the state where 'GC the leftovers' destroys the data."""
+    t = SaltedTable.write(
+        kv, str(tmp_path / "vacorphan"), HashDistributor(4), "key_long"
+    )
+    n = t.df().count()
+    fs = Fs(spark, t.path)
+    base = t.path.rstrip("/")
+    assert fs.rename(base, base + ".old")
+    # a stray tmp stage beside it — also must survive the refusal
+    fs.mkdirs(base + ".compact_tmp")
+
+    report = vacuum(t)
+    assert report["deleted"] == []
+    assert all("only surviving copy" in k["reason"] for k in report["kept"])
+    assert fs.exists(base + ".old/" + META_FILE)
+    assert fs.exists(base + ".compact_tmp")
+    # the aside copy is intact and restorable
+    assert fs.rename(base + ".old", base)
+    assert SaltedTable.load(spark, base).df().count() == n
+
+
+def test_vacuum_respects_the_lifecycle_lock(spark, kv, tmp_path):
+    t = SaltedTable.write(
+        kv, str(tmp_path / "vaclock"), HashDistributor(4), "key_long"
+    )
+    fs = Fs(spark, t.path)
+    base = t.path.rstrip("/")
+    lock = SaltedTable.lock_path(base)
+    # an ALIVE holder (this pid) — takeover must not fire
+    import os, socket
+
+    fs.write_text(
+        lock,
+        json.dumps(
+            {"verb": "compact", "pid": os.getpid(), "host": socket.gethostname()}
+        ),
+    )
+    fs.copy(base, base + ".old")
+    with pytest.raises(RuntimeError, match=r"vacuum\(\): another lifecycle"):
+        vacuum(t)
+    assert fs.exists(base + ".old"), "refused vacuum must not delete"
+    fs.delete(lock)
+    fs.delete(base + ".old", recursive=True)
+
+
+def test_vacuum_completes_a_crashed_expire_first(spark, kv, tmp_path):
+    """Lock acquisition recovers a crashed expire stage before vacuum
+    classifies anything — the staged survivors merge back into the
+    table rather than reading as garbage."""
+    t = SaltedTable.write(
+        kv, str(tmp_path / "vacstage"), HashDistributor(4), "key_long"
+    )
+    n = t.df().count()
+    fs = Fs(spark, t.path)
+    base = t.path.rstrip("/")
+    stage = base + "/" + SaltedTable.EXPIRE_STAGE_DIR
+    # a manifest-less stage: recovery discards it as pre-manifest junk
+    fs.mkdirs(stage + "/salt=0")
+    report = vacuum(t)
+    assert not fs.exists(stage)
+    assert report["deleted"] == [] and report["kept"] == []
+    assert SaltedTable.load(spark, base).df().count() == n
