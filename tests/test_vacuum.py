@@ -211,6 +211,60 @@ def test_vacuum_respects_the_lifecycle_lock(spark, kv, tmp_path):
     fs.delete(base + ".old", recursive=True)
 
 
+def test_concurrent_vacuums_serialize_on_the_lock(spark, kv, tmp_path):
+    """Race leg of the gauntlet: N threads race vacuum() on the same
+    table. The lifecycle lock admits them one at a time — losers get
+    the documented 'another lifecycle operation holds' error, nothing
+    double-deletes (Hadoop delete of a gone path is a no-op but a
+    concurrent classify-then-delete could report the same artifact
+    twice), and the table is intact afterwards."""
+    import threading
+
+    t = SaltedTable.write(
+        kv, str(tmp_path / "vacrace"), HashDistributor(4), "key_long"
+    )
+    n = t.df().count()
+    fs, base = _plant_artifacts(spark, t)
+    N = 4
+    barrier = threading.Barrier(N)
+    results, errors = [], []
+    lk = threading.Lock()
+
+    def contend():
+        barrier.wait()
+        try:
+            # per-thread py4j connections make these truly concurrent
+            r = vacuum(t, staging_older_than_s=0)
+            with lk:
+                results.append(r)
+        except RuntimeError as e:
+            assert "another lifecycle operation holds" in str(e)
+            with lk:
+                errors.append(e)
+
+    threads = [threading.Thread(target=contend) for _ in range(N)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert len(results) + len(errors) == N
+    assert len(results) >= 1, "every contender lost — lock never released?"
+    # across ALL successful runs, each artifact was deleted exactly once
+    all_deleted = [p for r in results for p in r["deleted"]]
+    assert len(all_deleted) == len(set(all_deleted)), all_deleted
+    assert sorted(p.rsplit("/", 1)[-1] for p in all_deleted) == sorted(
+        [
+            "vacrace.old",
+            "vacrace.hoist",
+            "vacrace.compact_tmp",
+            "vacrace.rebucket_tmp",
+            ".staging-epoch-42",
+        ]
+    ), all_deleted
+    assert SaltedTable.load(spark, base).df().count() == n
+    assert not fs.exists(SaltedTable.lock_path(base))
+
+
 def test_vacuum_completes_a_crashed_expire_first(spark, kv, tmp_path):
     """Lock acquisition recovers a crashed expire stage before vacuum
     classifies anything — the staged survivors merge back into the
