@@ -2490,26 +2490,52 @@ def vacuum(
 
     Targets, and why each is safe under the lifecycle lock:
 
-    - ``base.old`` / ``base.hoist`` / ``base.*_tmp`` siblings: every
-      writer of these paths (compact/cluster/rebucket stage UNDER the
-      lock; the swap itself runs under it) is excluded while we hold
-      the lock, so a surviving sibling is by definition a crashed
-      run's leftover. They are deleted ONLY when the live table at
-      ``base`` is loadable (metadata file present at the top level) —
-      the one state in which every sibling is provably redundant: the
-      aside copy duplicates a landed swap, and a ``*_tmp``/``.hoist``
-      rewrite is derived data, reproducible by rerunning its verb. If
-      ``base`` is NOT loadable, a sibling may hold the only surviving
-      copy (the exact state ``_refuse_orphaned_old`` guards), so
-      vacuum refuses and deletes NOTHING.
+    - ``base.*_tmp`` siblings: every writer of these paths
+      (compact/cluster/rebucket stage UNDER the lock; the swap itself
+      runs under it) is excluded while we hold the lock, so a
+      surviving stage is by definition a crashed run's leftover, and
+      a ``*_tmp`` is always DERIVED data (the rewrite never replaces
+      the table while tmp still exists — a successful swap-rename
+      consumes it), reproducible by rerunning its verb. Deleted when
+      a loadable table sits at ``base``.
+    - ``base.old`` / ``base.hoist``: these CAN be the only complete
+      copy, and on a non-atomic-rename store (S3A/GCS — see SCALE.md,
+      object-store table) ``base`` can hold a PARTIAL copy that still
+      has the metadata file at the top (the swap copies it early), so
+      "META exists" is NOT proof enough to delete them. The proof
+      used instead is row-count equivalence: every ``.old``/``.hoist``
+      writer (compact/cluster/rebucket) preserves the table's exact
+      row count, so ``count(base) == count(sibling)`` proves base is
+      no less complete than the copy being deleted. Counts diverge →
+      the sibling is KEPT with instructions (either base is a partial
+      copy — restore the sibling — or base was legitimately mutated
+      after the crash (expire/upsert/ingest) and the operator must
+      confirm before deleting by hand). The counts are footer-
+      metadata reads (no column data), two small Spark jobs per
+      complete-looking sibling; a shell sibling without the metadata
+      file skips the proof. Residual window, stated honestly: a crash
+      in the middle of a per-file aside-rename on a flat-namespace
+      store can leave base and ``.old`` holding complementary halves;
+      the count proof refuses that state too unless the split is
+      EXACTLY half-and-half — with a manifestless directory layout
+      that coincidence is the irreducible risk, and the SCALE.md
+      deployment guidance (lifecycle verbs on rename-atomic stores)
+      is the real fix.
     - in-dir ``.staging-epoch-*`` dirs: the streaming stage WRITE runs
       outside the lock by design (streaming/ingest.py), so a stage may
       be mid-write right now. These are only deleted when
-      ``staging_older_than_s`` is given and the stage's modification
-      time is older — the retention-window contract Delta's VACUUM
-      uses for the same reason. Deleting a live stage is still SAFE
-      (the epoch commit's manifest check sees it vanished and replays
-      the epoch) but wasteful, hence opt-in. Default: skip.
+      ``staging_older_than_s`` is given and the stage's newest
+      CONTENT is older — freshness is the max modification time over
+      the stage dir, its children, and its data files, because the
+      top-level dir mtime alone is meaningless on object stores
+      (synthetic prefix listings report 0) and only tracks
+      direct-child churn on HDFS, while a mid-write stage keeps
+      gaining files and so keeps a fresh max. An unreadable/zero
+      mtime classifies as fresh (kept), never as infinitely old.
+      This is the retention-window contract Delta's VACUUM uses for
+      the same reason. Deleting a live stage is still SAFE (the epoch
+      commit's manifest check sees it vanished and replays the epoch)
+      but wasteful, hence opt-in. Default: skip.
     - never touched: the lock sentinel (we hold it), ``.break``
       takeover claims (owned by the dead-holder protocol), and
       ``.expire_stage`` (lock acquisition already completed or
@@ -2518,64 +2544,139 @@ def vacuum(
     Idempotent; every delete is independent, so a crash mid-vacuum
     just leaves fewer artifacts for the rerun — and no delete ever
     targets a path under ``base`` except aged streaming stages, so the
-    live table is untouchable by construction. ``dry_run=True``
-    classifies without deleting (the Delta ``VACUUM ... DRY RUN``
-    shape — run it first on any table you did not crash yourself).
-    Returns a report:
+    live table is untouchable by construction.
+
+    ``dry_run=True`` is genuinely read-only: it classifies WITHOUT
+    acquiring the lifecycle lock (acquisition itself mutates — dead-
+    holder takeover, crashed-expire recovery), so its report is
+    advisory — a concurrent verb can change the picture, and the live
+    run re-proves everything under the lock before deleting. Returns
     ``{"deleted": [...], "kept": [{"path", "reason"}, ...]}`` (under
     ``dry_run`` the ``deleted`` list holds what WOULD be deleted).
 
     Reference parity note: the reference has no lifecycle verbs at all
     (HBase compactions/GC are server-side); this is part of the
     engine-native lifecycle surface alongside compact()/expire()."""
+    if dry_run:
+        return _vacuum_classify(table, staging_older_than_s, dry_run=True)
     with table._lifecycle_lock("vacuum"):
-        fs = Fs(table.spark, table.path)
-        base = table.path.rstrip("/")
-        deleted: list = []
-        kept: list = []
-        live = fs.exists(base + "/" + META_FILE)
-        siblings = [base + ".old", base + ".hoist"]
-        siblings += [p for p in fs.glob(base + ".*_tmp")]
-        for sib in siblings:
-            if not fs.exists(sib):
-                continue
-            if not live:
+        return _vacuum_classify(table, staging_older_than_s, dry_run=False)
+
+
+def _table_row_count(spark: SparkSession, path: str) -> "int | None":
+    """Row count of the salted table at ``path`` via its own loader
+    (format-aware), or None when it cannot be established — callers
+    treat None as 'completeness unprovable', never as zero."""
+    try:
+        return SaltedTable.load(spark, path).df().count()
+    except Exception:
+        return None
+
+
+def _stage_newest_mtime_ms(fs: Fs, stage: str, dir_mtime_ms: int) -> int:
+    """Freshness of a streaming stage: the max modification time over
+    the dir itself, its salt subdirs, and its files. Returns 0 when
+    nothing reports a positive mtime (object-store synthetic dirs)."""
+    newest = max(dir_mtime_ms, 0)
+    for pattern in (stage + "/*", stage + "/*/*"):
+        for _p, _len, m in fs.glob_stats(pattern):
+            if m > newest:
+                newest = m
+    return newest
+
+
+def _vacuum_classify(
+    table: SaltedTable, staging_older_than_s: "float | None", dry_run: bool
+) -> dict:
+    fs = Fs(table.spark, table.path)
+    base = table.path.rstrip("/")
+    deleted: list = []
+    kept: list = []
+    live = fs.exists(base + "/" + META_FILE)
+    base_count: list = [False]  # memo cell: False = not yet computed
+    siblings = [base + ".old", base + ".hoist"]
+    named = set(siblings)
+    siblings += fs.glob(base + ".*_tmp")
+    for sib in siblings:
+        if sib in named and not fs.exists(sib):
+            continue  # glob results exist by construction
+        if not live:
+            kept.append(
+                {
+                    "path": sib,
+                    "reason": f"no loadable table at {base} — this "
+                    f"may be the only surviving copy; restore it "
+                    f"before vacuuming",
+                }
+            )
+            continue
+        if sib in named and fs.exists(sib.rstrip("/") + "/" + META_FILE):
+            # a complete-looking aside/hoist copy: prove base is no
+            # less complete before deleting (see docstring — META at
+            # base is not proof on non-atomic-rename stores)
+            if base_count[0] is False:
+                base_count[0] = _table_row_count(table.spark, base)
+            sib_n = _table_row_count(table.spark, sib)
+            if base_count[0] is None or sib_n is None:
                 kept.append(
                     {
                         "path": sib,
-                        "reason": f"no loadable table at {base} — this "
-                        f"may be the only surviving copy; restore it "
-                        f"before vacuuming",
+                        "reason": "completeness unprovable (row count "
+                        "of base or sibling unreadable); inspect and "
+                        "delete manually",
                     }
                 )
                 continue
-            if not dry_run:
-                fs.delete(sib, recursive=True)
-            deleted.append(sib)
-        for path, _len, mtime_ms in fs.glob_stats(base + "/.staging-epoch-*"):
-            if staging_older_than_s is None:
+            if base_count[0] != sib_n:
                 kept.append(
                     {
-                        "path": path,
-                        "reason": "streaming stage; pass "
-                        "staging_older_than_s to reclaim aged stages",
+                        "path": sib,
+                        "reason": f"row counts diverge (base "
+                        f"{base_count[0]} vs sibling {sib_n}): base may "
+                        f"be a partial copy on a non-atomic-rename "
+                        f"store (restore the sibling), or was mutated "
+                        f"after the crash — confirm before deleting "
+                        f"by hand",
                     }
                 )
                 continue
-            age_s = time.time() - mtime_ms / 1000.0
-            if age_s < staging_older_than_s:
-                kept.append(
-                    {
-                        "path": path,
-                        "reason": f"stage age {age_s:.0f}s < retention "
-                        f"{staging_older_than_s:.0f}s (may be mid-write)",
-                    }
-                )
-                continue
-            if not dry_run:
-                fs.delete(path, recursive=True)
-            deleted.append(path)
-        return {"deleted": deleted, "kept": kept}
+        if not dry_run:
+            fs.delete(sib, recursive=True)
+        deleted.append(sib)
+    for path, _len, dir_mtime in fs.glob_stats(base + "/.staging-epoch-*"):
+        if staging_older_than_s is None:
+            kept.append(
+                {
+                    "path": path,
+                    "reason": "streaming stage; pass "
+                    "staging_older_than_s to reclaim aged stages",
+                }
+            )
+            continue
+        newest_ms = _stage_newest_mtime_ms(fs, path, dir_mtime)
+        if newest_ms <= 0:
+            kept.append(
+                {
+                    "path": path,
+                    "reason": "stage age unknown (no positive mtime "
+                    "reported); treating as fresh",
+                }
+            )
+            continue
+        age_s = time.time() - newest_ms / 1000.0
+        if age_s < staging_older_than_s:
+            kept.append(
+                {
+                    "path": path,
+                    "reason": f"stage age {age_s:.0f}s < retention "
+                    f"{staging_older_than_s:.0f}s (may be mid-write)",
+                }
+            )
+            continue
+        if not dry_run:
+            fs.delete(path, recursive=True)
+        deleted.append(path)
+    return {"deleted": deleted, "kept": kept}
 
 
 def _merge_stage_into_base(

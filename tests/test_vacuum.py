@@ -69,6 +69,124 @@ def test_vacuum_reclaims_all_sibling_artifacts(spark, kv, tmp_path):
     assert report3 == {"deleted": [], "kept": []}
 
 
+def test_vacuum_keeps_aside_copy_when_counts_diverge(spark, kv, tmp_path):
+    """The non-atomic-rename-store guard (review r11): META at base is
+    not proof of completeness, so .old/.hoist are deleted only when
+    base's row count equals the sibling's. A base that lost files
+    (simulating a partial copy) must keep the aside copy."""
+    t = SaltedTable.write(
+        kv, str(tmp_path / "vacdiverge"), HashDistributor(4), "key_long"
+    )
+    fs = Fs(spark, t.path)
+    base = t.path.rstrip("/")
+    fs.copy(base, base + ".old")
+    # base becomes a "partial copy": drop one data file (META survives)
+    victim = next(
+        p
+        for p in fs.glob(base + "/salt=*/*")
+        if not p.rsplit("/", 1)[1].startswith((".", "_"))
+    )
+    fs.delete(victim)
+    report = vacuum(t)
+    assert report["deleted"] == []
+    assert any(
+        "row counts diverge" in k["reason"] for k in report["kept"]
+    ), report
+    assert fs.exists(base + ".old/" + META_FILE), "only complete copy kept"
+    # a *_tmp sibling is still reclaimable in this state (always derived)
+    fs.mkdirs(base + ".compact_tmp")
+    report2 = vacuum(t)
+    assert [p.rsplit("/", 1)[-1] for p in report2["deleted"]] == [
+        "vacdiverge.compact_tmp"
+    ]
+    assert fs.exists(base + ".old/" + META_FILE)
+
+
+def test_vacuum_keeps_aside_copy_when_count_unprovable(spark, kv, tmp_path):
+    t = SaltedTable.write(
+        kv, str(tmp_path / "vacunprov"), HashDistributor(4), "key_long"
+    )
+    fs = Fs(spark, t.path)
+    base = t.path.rstrip("/")
+    fs.copy(base, base + ".old")
+    # corrupt the aside copy's metadata: its count cannot be established
+    fs.write_text(base + ".old/" + META_FILE, "{not json")
+    report = vacuum(t)
+    assert report["deleted"] == []
+    assert any(
+        "unprovable" in k["reason"] for k in report["kept"]
+    ), report
+    assert fs.exists(base + ".old")
+
+
+def test_vacuum_dry_run_is_lock_free_and_non_mutating(spark, kv, tmp_path):
+    """Review r11: lock acquisition itself mutates (dead-holder
+    takeover, crashed-expire recovery), so dry_run must not acquire it
+    — it works under a live holder's lock and leaves a crashed expire
+    stage untouched."""
+    import os, socket
+
+    t = SaltedTable.write(
+        kv, str(tmp_path / "vacdryro"), HashDistributor(4), "key_long"
+    )
+    fs = Fs(spark, t.path)
+    base = t.path.rstrip("/")
+    fs.copy(base, base + ".old")
+    # a manifest-less crashed expire stage: the LIVE run's lock
+    # acquisition would discard it; dry_run must not
+    stage = base + "/" + SaltedTable.EXPIRE_STAGE_DIR
+    fs.mkdirs(stage + "/salt=0")
+    # an ALIVE lock holder: the live run would raise; dry_run proceeds
+    lock = SaltedTable.lock_path(base)
+    fs.write_text(
+        lock,
+        json.dumps(
+            {"verb": "compact", "pid": os.getpid(), "host": socket.gethostname()}
+        ),
+    )
+    try:
+        report = vacuum(t, dry_run=True)
+    finally:
+        fs.delete(lock)
+    assert [p.rsplit("/", 1)[-1] for p in report["deleted"]] == ["vacdryro.old"]
+    assert fs.exists(base + ".old"), "dry_run deleted the aside copy"
+    assert fs.exists(stage), "dry_run ran expire-stage recovery"
+    assert not fs.exists(lock + ".break"), "dry_run attempted lock takeover"
+
+
+def test_vacuum_stage_freshness_uses_newest_content(spark, kv, tmp_path, monkeypatch):
+    """Review r11: the retention window keys off the newest mtime
+    across the stage's contents, and an all-zero mtime (object-store
+    synthetic dirs) classifies as fresh, never as infinitely old."""
+    import time as _time
+
+    t = SaltedTable.write(
+        kv, str(tmp_path / "vacfreshc"), HashDistributor(4), "key_long"
+    )
+    fs = Fs(spark, t.path)
+    base = t.path.rstrip("/")
+    stage = base + "/.staging-epoch-9"
+    fs.mkdirs(stage + "/salt=0")
+    fs.write_text(stage + "/salt=0/part-0.parquet", "x")
+    # the stage dir itself looks old but a file inside is brand new:
+    # with a 1h window the stage must be kept even if the dir mtime
+    # were stale (here both are fresh; assert the content route runs)
+    report = vacuum(t, staging_older_than_s=3600)
+    assert report["deleted"] == []
+    # zero-mtime store: every stat reports 0 -> "age unknown", kept
+    real = Fs.glob_stats
+
+    def zeroed(self, pattern, _real=real):
+        return [(p, l, 0) for p, l, _m in _real(self, pattern)]
+
+    monkeypatch.setattr(Fs, "glob_stats", zeroed)
+    report = vacuum(t, staging_older_than_s=0)
+    monkeypatch.undo()
+    assert report["deleted"] == []
+    assert any("age unknown" in k["reason"] for k in report["kept"]), report
+    assert fs.exists(stage)
+
+
 def test_vacuum_dry_run_deletes_nothing(spark, kv, tmp_path):
     t = SaltedTable.write(
         kv, str(tmp_path / "vacdry"), HashDistributor(4), "key_long"
