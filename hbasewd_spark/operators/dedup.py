@@ -817,3 +817,196 @@ def dedup_clusters_oracle() -> str:
              AS is_canonical
     FROM cc JOIN documents d ON d.doc_id = cc.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (repeated k-gram spans) + winnowing fingerprints
+# ---------------------------------------------------------------------------
+#
+# Two operators for SUBSTRING-level duplication, the gap doc-level
+# fingerprints (exact_dedup) and set-similarity (MinHash/SimHash/
+# Jaccard) both miss: a boilerplate header pasted into thousands of
+# otherwise-distinct documents never pushes whole-doc Jaccard over any
+# threshold, yet it is exactly what training-data dedup wants removed
+# (cf. Lee et al., "Deduplicating Training Data Makes Language Models
+# Better", ACL'22 — public work; their exact-substring pass uses a
+# suffix array, which is a single-machine structure; the distributed
+# re-expression below is k-gram fingerprinting + winnowing, Schleimer
+# et al., "Winnowing: Local Algorithms for Document Fingerprinting",
+# SIGMOD'03 — the MOSS algorithm).
+#
+# Scale design (100 TB):
+# - the k-gram relation is hashed IN the per-doc projection — only
+#   (doc_id, 8-byte hash) rows ever shuffle, never gram text. Full
+#   density is ~16 bytes/char of corpus; the winnowed variant divides
+#   that by (w+1)/2 ≈ 4.5x while keeping the detection guarantee;
+# - gram counting is a map-side-combinable hash aggregation on the
+#   hash value (uniform keys by construction — no skew);
+# - the pair join is blocked on the fingerprint hash with a
+#   document-frequency stop-gram cap (WINNOW_MAX_DF), the standard
+#   MOSS guard against the n-per-fingerprint pair blowup a
+#   1000-doc boilerplate gram would otherwise cause;
+# - hashes are md5-derived 32-bit (portable — the DuckDB oracle
+#   reproduces every stage bit-for-bit, collisions included); swap
+#   md5_long for xxhash64 in production for a 64-bit space at ~3x
+#   hash throughput (same plan shape, engine-native).
+SUB_K = 20            # gram width (chars): spans >= 20 chars are "exact" dups
+WINNOW_W = 8          # winnowing window (grams); guarantee t = SUB_K + WINNOW_W - 1
+WINNOW_MAX_DF = 32    # stop-gram cap: fingerprints in more docs are dropped
+WINNOW_MIN_SHARED = 2 # report pairs sharing at least this many fingerprints
+_POS_PACK = 1 << 30   # (hash, position) packed as h * 2^30 + pos: position
+                      # < 2^30 (docs < 1 GiB of chars), h < 2^32 -> fits int64
+
+
+def _gram_hashes(k: int = SUB_K):
+    """Array of md5-long hashes of the character k-grams of ``text`` —
+    hashing happens inside the projection so the gram strings never
+    leave it (only 8-byte hashes explode/shuffle downstream)."""
+    idx = _gram_positions(F.length("text"), k)
+    return F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.col("text").substr(i, F.lit(k))), 1, 8), 16, 10
+        ).cast("bigint"),
+    )
+
+
+def _sql_gram_hashes_duckdb(k: int = SUB_K) -> str:
+    """DuckDB twin of :func:`_gram_hashes` (a list expression)."""
+    h = sql_md5_long(f"substr(text, i, {k})", "duckdb")
+    return (
+        f"list_transform(generate_series(1, greatest(length(text) - {k - 1}, 0)),"
+        f" i -> {h})"
+    )
+
+
+def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring coverage at full k-gram
+    density: for every document with >= SUB_K chars, how many of its
+    k-gram positions carry a gram that occurs more than once in the
+    whole corpus (same doc or another). ``dup_permille`` is the
+    integer coverage ratio — the number a curation pipeline thresholds
+    on to drop boilerplate-heavy documents."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    ex = docs.select("doc_id", _gram_hashes().alias("hs")).select(
+        "doc_id", F.explode("hs").alias("h")
+    )
+    counts = ex.groupBy("h").agg(F.count("*").alias("c"))
+    return (
+        ex.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pos"),
+            F.count(F.when(F.col("c") > 1, F.lit(1))).alias("n_dup_pos"),
+        )
+        .withColumn("dup_permille", F.expr("n_dup_pos * 1000 DIV n_pos"))
+    )
+
+
+def substring_dup_oracle() -> str:
+    return f"""
+    WITH g AS (
+      SELECT doc_id, unnest({_sql_gram_hashes_duckdb()}) AS h
+      FROM documents
+    ),
+    c AS (SELECT h, count(*) AS c FROM g GROUP BY h)
+    SELECT doc_id, count(*) AS n_pos,
+           count(CASE WHEN c > 1 THEN 1 END) AS n_dup_pos,
+           (count(CASE WHEN c > 1 THEN 1 END) * 1000) // count(*) AS dup_permille
+    FROM g JOIN c USING (h)
+    GROUP BY doc_id
+    """
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): the winnowing-selected fingerprint set of each
+    document — in every window of WINNOW_W consecutive k-gram hashes,
+    the (hash, position)-minimal gram is selected (ties impossible:
+    position is unique). Guarantee (Schleimer et al. §3): any
+    substring match of length >= SUB_K + WINNOW_W - 1 chars shares at
+    least one selected fingerprint. Density ~ 2/(WINNOW_W+1) of full
+    k-gram density.
+
+    The (hash, position) min is one window-min over a packed int64 —
+    h * 2^30 + pos orders by hash then position, so a single ``min``
+    frame replaces an argmin struct (which DuckDB's window min cannot
+    take), and both engines agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    staged = docs.select("doc_id", _gram_hashes().alias("hs"))
+    ex = staged.select(
+        "doc_id", F.size("hs").alias("n_pos"), F.posexplode("hs").alias("idx", "h")
+    )
+    packed = F.col("h") * F.lit(_POS_PACK) + F.col("idx") + 1  # 1-based pos
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    win = ex.select(
+        "doc_id", "idx", "n_pos", F.min(packed).over(w).alias("p")
+    )
+    # only full windows select (window [idx, idx+W-1] with 0-based idx)
+    return (
+        win.where(F.col("idx") <= F.col("n_pos") - WINNOW_W)
+        .select("doc_id", F.expr(f"p DIV {_POS_PACK}").alias("h"))
+        .distinct()
+    )
+
+
+def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_shared): document pairs sharing >=
+    WINNOW_MIN_SHARED winnowed fingerprints, after dropping
+    stop-grams (fingerprints present in > WINNOW_MAX_DF documents).
+    The blocked-join shape of MOSS: candidate generation is an
+    equi-join on the fingerprint hash, never an all-pairs product."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    fps = winnow_fingerprints(docs)
+    rare = fps.groupBy("h").agg(F.count("*").alias("ndocs")).where(
+        F.col("ndocs") <= WINNOW_MAX_DF
+    )
+    keep = fps.join(rare.select("h"), "h")
+    return (
+        keep.alias("a")
+        .join(
+            keep.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+def winnow_pairs_oracle() -> str:
+    k, w = SUB_K, WINNOW_W
+    return f"""
+    WITH g AS (
+      SELECT doc_id, greatest(length(text) - {k - 1}, 0) AS n_pos,
+             unnest(generate_series(1, greatest(length(text) - {k - 1}, 0))) AS i,
+             unnest({_sql_gram_hashes_duckdb()}) AS h
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, i, n_pos,
+             min(h * {_POS_PACK} + i) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS p
+      FROM g
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, p // {_POS_PACK} AS h
+      FROM win WHERE i <= n_pos - {w - 1}
+    ),
+    fdf AS (SELECT h, count(*) AS ndocs FROM sel GROUP BY h),
+    keep AS (
+      SELECT s.doc_id, s.h FROM sel s JOIN fdf USING (h)
+      WHERE fdf.ndocs <= {WINNOW_MAX_DF}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """

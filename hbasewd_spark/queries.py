@@ -836,6 +836,20 @@ REGISTRY["ext_dedup_ngram_jaccard"] = QuerySpec(
     DD.ngram_jaccard_oracle(),
     "char-4-gram Jaccard pairs, lang-blocked",
 )
+REGISTRY["ext_dedup_substring"] = QuerySpec(
+    DD.substring_dup_coverage,
+    DD.substring_dup_oracle(),
+    "exact-substring dedup (Lee et al. ACL'22 re-expressed): per-doc "
+    "duplicated 20-gram coverage at full density — hash-before-explode, "
+    "only (doc_id, hash) ever shuffles",
+)
+REGISTRY["ext_dedup_winnow"] = QuerySpec(
+    DD.winnow_neardup_pairs,
+    DD.winnow_pairs_oracle(),
+    "winnowing fingerprints (Schleimer/MOSS SIGMOD'03): window-min "
+    "selected k-grams, stop-gram capped, pair join blocked on the "
+    "fingerprint — the ~4.5x-sparser scale path beside ext_dedup_substring",
+)
 REGISTRY["ext_sim_brute_topk"] = QuerySpec(
     SIM.brute_topk, SIM.brute_topk_oracle(), "exact cosine top-k (broadcast queries)"
 )
