@@ -888,6 +888,12 @@ def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer coverage ratio — the number a curation pipeline thresholds
     on to drop boilerplate-heavy documents."""
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    return substring_dup_coverage_of(docs)
+
+
+def substring_dup_coverage_of(docs: DataFrame) -> DataFrame:
+    """The coverage pipeline over any (doc_id, text) frame — the seam
+    tests and incremental callers use for corpora not on disk."""
     ex = docs.select("doc_id", _gram_hashes().alias("hs")).select(
         "doc_id", F.explode("hs").alias("h")
     )

@@ -169,3 +169,217 @@ def connected_components(
             break
 
     return lbl.select("id", F.col("lbl").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank — fixed-point integer arithmetic, exact cross-engine
+# ---------------------------------------------------------------------------
+#
+# The second graph primitive a curation pipeline wants beside connected
+# components: an importance score over a link/transition graph (source
+# weighting for mixture sampling, crawl-frontier prioritization,
+# authority features for quality calibration). Public algorithm
+# (Brin/Page 1998); the Spark shape below is the standard
+# join-aggregate power iteration.
+#
+# Cross-engine exactness: PageRank in floating point is NOT
+# order-independent (per-edge double sums reassociate differently
+# between engines), so ranks here are integers in units of 1e-9 of
+# total mass, with every division an explicit floor:
+#
+#   p(u->v)   = (w_uv * 1e9) div W_u            (edge probability, 1e-9 units)
+#   contrib   = (17 * ((r_u * p) div 1e9)) div 20   (damping d = 17/20 = 0.85)
+#   r'(v)     = (3*1e9) div (20*N) + (17 * dangling) div (20*N) + sum(contrib)
+#
+# Integer sums are associative — any partitioning, any engine, same
+# bits. Headroom: r <= 1e9 total mass and p <= 1e9, so r*p <= 1e18 <
+# 2^63. The truncation loses < N + |E| * 1e-9 of mass per iteration —
+# irrelevant at ranking granularity and identical in both engines.
+#
+# Scale: each iteration is one broadcast-join of the rank relation
+# (N rows — node set; tiny vs the edge list) against edges, one
+# map-side-combinable sum by dst, and one 1-row dangling aggregate
+# broadcast back. The edge relation is the only big operand and it
+# never re-shuffles after the initial (src) partitioning; iterations
+# are O(|E|) scans with no growing lineage (the rank frame is
+# re-derived from nodes each round).
+
+PR_SCALE = 10**9       # rank mass units (1e-9 of total)
+PR_D_NUM, PR_D_DEN = 17, 20  # damping 0.85 as an exact rational
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """(node, rank_e9) after ``iters`` damped power iterations over a
+    weighted digraph, in exact fixed-point integer arithmetic (see
+    module note). ``nodes`` defines the rank domain (isolated vertices
+    receive base + dangling mass); dangling mass (nodes with no
+    out-edges) is redistributed uniformly.
+
+    The normalized edge relation is referenced once per iteration —
+    at scale, persist ``edges`` (or the frame it derives from) before
+    calling, as the query wrapper does, so power iterations rescan a
+    materialized edge list instead of re-running the extraction."""
+    n_nodes = nodes.count()  # O(1) planning scalar (node set is small by contract)
+    if n_nodes == 0:
+        return nodes.select(
+            F.col("node"), F.lit(0).cast("bigint").alias("rank_e9")
+        )
+    out_w = edges.groupBy(src).agg(F.sum(weight).alias("ow"))
+    e = edges.join(out_w, src).select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.expr(f"{weight} * {PR_SCALE} DIV ow").alias("p"),
+    )
+    srcs = e.select("src").distinct()
+    base = (3 * PR_SCALE) // (PR_D_DEN * n_nodes)
+    r = nodes.select("node", F.lit(PR_SCALE // n_nodes).cast("bigint").alias("r"))
+    for _ in range(iters):
+        in_sum = (
+            e.join(F.broadcast(r), F.col("src") == F.col("node"))
+            .select(
+                "dst",
+                F.expr(f"({PR_D_NUM} * ((r * p) DIV {PR_SCALE})) DIV {PR_D_DEN}").alias("c"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dang = (
+            r.join(srcs, F.col("node") == F.col("src"), "left_anti")
+            .agg(
+                F.expr(
+                    f"({PR_D_NUM} * coalesce(sum(r), 0)) DIV {PR_D_DEN * n_nodes}"
+                ).alias("dang")
+            )
+        )
+        r = (
+            nodes.join(in_sum, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (F.lit(base) + F.col("dang") + F.coalesce(F.col("in_sum"), F.lit(0)))
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+    return r.select("node", F.col("r").alias("rank_e9"))
+
+
+# session-keyed lazy persist of the extracted edge relation, mirroring
+# dedup._FEATS_CACHE: the extraction (full events scan + per-user
+# window) is the expensive stage at scale, and three power iterations
+# reference it three times — the first job materializes the cache
+# in-passing, later references hit columnar memory. One entry per
+# (applicationId, sf_dir); cleared via clear_graph_caches().
+_EDGE_CACHE: dict = {}
+
+
+def clear_graph_caches() -> None:
+    for df, _nodes in _EDGE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _EDGE_CACHE.clear()
+
+
+def _event_transition_graph(spark, sf_dir: str):
+    """(edges, nodes) of the event-property transition digraph: an
+    edge src->dst for every pair of CONSECUTIVE events of one user
+    (ordered by ts, event_id — a total order), where src/dst are the
+    events' props.$.k values; weight = transition count. The node set
+    is every observed k (isolated nodes keep rank mass)."""
+    from pyspark.sql import Window
+
+    from hbasewd_spark.sources.loaders import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EDGE_CACHE:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        edges = (
+            ev.select(F.lag("k").over(w).alias("src"), F.col("k").alias("dst"))
+            .where(F.col("src").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("w"))
+            .persist()
+        )
+        nodes = ev.select(F.col("k").alias("node")).distinct()
+        _EDGE_CACHE[key] = (edges, nodes)
+    return _EDGE_CACHE[key]
+
+
+def pagerank_event_transitions(spark, sf_dir: str) -> DataFrame:
+    """Registry query: 3-iteration fixed-point PageRank over the
+    event-property transition graph (100 nodes, ~10k weighted edges at
+    test scale; the heavy stage — edge extraction — is the full-corpus
+    window scan, which is what grows with data size)."""
+    edges, nodes = _event_transition_graph(spark, sf_dir)
+    return pagerank(edges, nodes, iters=3)
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One power-iteration CTE pair (s{i}, d{i}, it{i}) over it{i-1} —
+    the DuckDB twin of one :func:`pagerank` loop body, floor-for-floor."""
+    prev = f"it{i - 1}"
+    return f"""
+    s{i} AS (
+      SELECT e.dst AS node,
+             CAST(sum(({PR_D_NUM} * ((r.r * e.p) // {PR_SCALE})) // {PR_D_DEN})
+                  AS BIGINT) AS in_sum
+      FROM pr_edges e JOIN {prev} r ON r.node = e.src GROUP BY e.dst
+    ),
+    d{i} AS (
+      SELECT CAST(({PR_D_NUM} * coalesce(sum(r.r), 0))
+                  // ({PR_D_DEN} * (SELECT n FROM nn)) AS BIGINT) AS dang
+      FROM {prev} r WHERE r.node NOT IN (SELECT src FROM pr_edges)
+    ),
+    it{i} AS (
+      SELECT n.node,
+             CAST({3 * PR_SCALE} // ({PR_D_DEN} * (SELECT n FROM nn))
+                  + d{i}.dang + coalesce(s{i}.in_sum, 0) AS BIGINT) AS r
+      FROM pr_nodes n LEFT JOIN s{i} USING (node) CROSS JOIN d{i}
+    )"""
+
+
+def pagerank_oracle(iters: int = 3) -> str:
+    its = ",".join(_pr_iter_sql(i) for i in range(1, iters + 1))
+    return f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+    ),
+    seq AS (
+      SELECT k, lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk
+      FROM ev
+    ),
+    edges0 AS (
+      SELECT pk AS src, k AS dst, count(*) AS w
+      FROM seq WHERE pk IS NOT NULL GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, sum(w) AS ow FROM edges0 GROUP BY src),
+    pr_edges AS (
+      SELECT e.src, e.dst, CAST((e.w * {PR_SCALE}) // o.ow AS BIGINT) AS p
+      FROM edges0 e JOIN outw o USING (src)
+    ),
+    pr_nodes AS (SELECT DISTINCT k AS node FROM ev),
+    nn AS (SELECT count(*) AS n FROM pr_nodes),
+    it0 AS (
+      SELECT node, CAST({PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS r
+      FROM pr_nodes
+    ),
+    {its}
+    SELECT node, r AS rank_e9 FROM it{iters}
+    """

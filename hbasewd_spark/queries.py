@@ -2457,6 +2457,22 @@ def _register_dedup_clusters() -> None:
 _register_dedup_clusters()
 
 
+def _register_pagerank() -> None:
+    from hbasewd_spark.operators.graph import pagerank_event_transitions, pagerank_oracle
+
+    REGISTRY["ext_graph_pagerank"] = QuerySpec(
+        pagerank_event_transitions,
+        pagerank_oracle(),
+        "3-iteration damped PageRank over the event-property transition "
+        "digraph (lag-window edge extraction; fixed-point 1e-9 integer "
+        "arithmetic with explicit floors, so both engines agree "
+        "bit-for-bit — float PageRank is not order-independent)",
+    )
+
+
+_register_pagerank()
+
+
 _GAPFILL_SQL_DUCK = """
 WITH b AS (
   SELECT event_type, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS bucket_ts,

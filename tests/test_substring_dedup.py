@@ -1,0 +1,118 @@
+"""Exact-substring + winnowing dedup (operators/dedup.py) — the
+properties the oracle gate can't see: the winnowing detection
+guarantee, stop-gram capping, and partitioning-independence."""
+
+from pyspark.sql import functions as F
+
+from hbasewd_spark.operators.dedup import (
+    SUB_K,
+    WINNOW_MAX_DF,
+    WINNOW_W,
+    substring_dup_coverage_of,
+    winnow_fingerprints,
+)
+
+GUARANTEE_LEN = SUB_K + WINNOW_W - 1  # Schleimer et al. §3: t = k + w - 1
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def _distinct_filler(seed: str, n: int) -> str:
+    # deterministic non-repeating filler (no 20-gram occurs twice)
+    import hashlib
+
+    out = []
+    while sum(len(s) for s in out) < n:
+        seed = hashlib.md5(seed.encode()).hexdigest()
+        out.append(seed)
+    return "".join(out)[:n]
+
+
+def test_winnow_guarantee_shared_span(spark):
+    # two documents sharing a span of exactly the guarantee length must
+    # share at least one selected fingerprint — regardless of where the
+    # span sits in either document
+    span = "SHARED-BOILERPLATE-" + "x" * (GUARANTEE_LEN - 19)
+    assert len(span) == GUARANTEE_LEN
+    a = _distinct_filler("a", 100) + span + _distinct_filler("b", 100)
+    b = _distinct_filler("c", 37) + span + _distinct_filler("d", 163)
+    fp = winnow_fingerprints(_docs(spark, [a, b]))
+    shared = (
+        fp.groupBy("h").agg(F.count_distinct("doc_id").alias("nd")).where("nd = 2")
+    )
+    assert shared.count() >= 1
+
+
+def test_winnow_short_doc_no_fingerprints(spark):
+    # fewer than WINNOW_W k-grams -> no full window -> no fingerprints
+    short = "z" * (SUB_K + WINNOW_W - 2)  # W-1 grams
+    fp = winnow_fingerprints(_docs(spark, [short]))
+    assert fp.count() == 0
+
+
+def test_winnow_density(spark):
+    # selected fingerprints ~ 2/(w+1) of gram positions (the winnowing
+    # density bound); allow generous slack but assert real sparsity
+    text = _distinct_filler("density", 4000)
+    fp = winnow_fingerprints(_docs(spark, [text]))
+    n_pos = len(text) - SUB_K + 1
+    n_sel = fp.count()
+    assert n_sel < n_pos * 0.5
+    assert n_sel >= n_pos // (WINNOW_W * 3)
+
+
+def test_winnow_pairs_stop_gram_cap(spark):
+    # content shared by MORE than WINNOW_MAX_DF docs is all stop-grams:
+    # it must produce no pairs (the n^2 blowup guard). Identical texts
+    # make the selection identical in every doc, so EVERY fingerprint's
+    # doc frequency is n_docs > cap and the kept set must be empty.
+    text = _distinct_filler("common", 400)
+    texts = [text] * (WINNOW_MAX_DF + 4)
+    fp = winnow_fingerprints(_docs(spark, texts))
+    assert fp.count() > 0  # selection itself produced fingerprints
+    rare = (
+        fp.groupBy("h")
+        .agg(F.count("*").alias("ndocs"))
+        .where(F.col("ndocs") <= WINNOW_MAX_DF)
+    )
+    kept = fp.join(rare.select("h"), "h")
+    cross = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .count()
+    )
+    assert cross == 0
+
+
+def test_substring_coverage_self_repeat(spark):
+    # a 20-char substring repeated twice INSIDE one doc counts as
+    # duplicated at both positions
+    block = "ABCDEFGHIJKLMNOPQRST"  # exactly SUB_K chars
+    assert len(block) == SUB_K
+    text = block + _distinct_filler("mid", 60) + block
+    out = substring_dup_coverage_of(_docs(spark, [text]))
+    row = out.collect()[0]
+    assert row["n_dup_pos"] >= 2
+    assert row["n_pos"] == len(text) - SUB_K + 1
+
+
+def test_substring_coverage_unique_doc_zero(spark):
+    text = _distinct_filler("unique", 300)
+    out = substring_dup_coverage_of(_docs(spark, [text]))
+    row = out.collect()[0]
+    assert row["n_dup_pos"] == 0
+    assert row["dup_permille"] == 0
+
+
+def test_substring_coverage_partitioning_independence(spark):
+    texts = ["shared-prefix-0123456789" + _distinct_filler(str(i), 80) for i in range(20)]
+    a = substring_dup_coverage_of(_docs(spark, texts).repartition(1))
+    b = substring_dup_coverage_of(_docs(spark, texts).repartition(11))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
