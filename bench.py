@@ -272,6 +272,13 @@ def main() -> None:
     timed("passage_scrub", lambda: Q.REGISTRY["ext_passage_scrub"].fn(spark, SF_DIR).count())
     timed("code_detect", lambda: Q.REGISTRY["ext_code_detect"].fn(spark, SF_DIR).count())
 
+    # 42-44. round-11: substring-level dedup (full k-gram density +
+    # winnowed fingerprint pairs — the sparse scale path) and
+    # fixed-point PageRank over the event transition graph
+    timed("dedup_substring", lambda: Q.REGISTRY["ext_dedup_substring"].fn(spark, SF_DIR).count())
+    timed("dedup_winnow", lambda: Q.REGISTRY["ext_dedup_winnow"].fn(spark, SF_DIR).count())
+    timed("pagerank", lambda: Q.REGISTRY["ext_graph_pagerank"].fn(spark, SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     try:
         _report_vs_history(
