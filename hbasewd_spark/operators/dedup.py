@@ -893,14 +893,32 @@ def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def substring_dup_coverage_of(docs: DataFrame) -> DataFrame:
     """The coverage pipeline over any (doc_id, text) frame — the seam
-    tests and incremental callers use for corpora not on disk."""
-    ex = docs.select("doc_id", _gram_hashes().alias("hs")).select(
-        "doc_id", F.explode("hs").alias("h")
+    tests and incremental callers use for corpora not on disk.
+
+    The gram-hash array is exploded INLINE (generator child = the
+    transform expression, not a staged column): staging it as a named
+    column lets InferFiltersFromGenerate add ``size(hs) > 0 AND
+    isnotnull(hs)`` on the attribute, and filter pushdown then inlines
+    the ENTIRE md5 array expression below the parallelizing exchange —
+    the whole hash workload ran twice per row on the raw scan's
+    partitioning (measured 10 s vs 0.7 s at sf0.1). With an expression
+    child the rule does not fire and the array is built exactly once,
+    after the repartition.
+
+    Corpus-wide gram counts come from a window count over the hash
+    partition, not groupBy-h + join-back: the join shape rebuilds the
+    exploded relation on the probe side and (under AQE at test scale)
+    broadcasts a million-entry count map; the window is one exchange
+    of the single exploded relation and reads each row once (measured
+    2.5 s -> 0.8 s at sf0.1, same result bit-for-bit)."""
+    from pyspark.sql import Window
+
+    ex = docs.select("doc_id", F.explode(_gram_hashes()).alias("h"))
+    with_c = ex.select(
+        "doc_id", F.count("*").over(Window.partitionBy("h")).alias("c")
     )
-    counts = ex.groupBy("h").agg(F.count("*").alias("c"))
     return (
-        ex.join(counts, "h")
-        .groupBy("doc_id")
+        with_c.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_pos"),
             F.count(F.when(F.col("c") > 1, F.lit(1))).alias("n_dup_pos"),
@@ -936,12 +954,21 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     The (hash, position) min is one window-min over a packed int64 —
     h * 2^30 + pos orders by hash then position, so a single ``min``
     frame replaces an argmin struct (which DuckDB's window min cannot
-    take), and both engines agree bit-for-bit."""
+    take), and both engines agree bit-for-bit.
+
+    The gram array is exploded inline and n_pos derived from
+    length(text) rather than size(hs): a staged hs attribute triggers
+    the InferFiltersFromGenerate pushdown pathology documented on
+    :func:`substring_dup_coverage_of` (the md5 array evaluated twice
+    below the exchange), and a size() projection beside the generator
+    would re-evaluate the array once more per row."""
     from pyspark.sql import Window
 
-    staged = docs.select("doc_id", _gram_hashes().alias("hs"))
-    ex = staged.select(
-        "doc_id", F.size("hs").alias("n_pos"), F.posexplode("hs").alias("idx", "h")
+    k = SUB_K
+    ex = docs.select(
+        "doc_id",
+        F.greatest(F.length("text") - (k - 1), F.lit(0)).alias("n_pos"),
+        F.posexplode(_gram_hashes()).alias("idx", "h"),
     )
     packed = F.col("h") * F.lit(_POS_PACK) + F.col("idx") + 1  # 1-based pos
     w = (
@@ -1015,4 +1042,135 @@ def winnow_pairs_oracle() -> str:
     FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """
+
+
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document accounting of the REMOVAL step of exact-substring
+    dedup (Lee et al. keep one occurrence of each duplicated span and
+    cut the rest): every non-canonical occurrence of a duplicated
+    k-gram (canonical = corpus-wide first by (doc_id, position)) marks
+    its k chars for removal; overlapping marked grams merge into spans
+    (gaps-and-islands over positions); the output is what a rewrite
+    would delete — span count, removed chars, kept chars — per doc.
+
+    Scale: the canonicality decision is one row_number window
+    PARTITIONED BY the gram hash (uniform keys — no hot partition, and
+    each partition is the gram's tiny occurrence list); the island
+    merge windows are per-document. Only (doc_id, hash, position)
+    triples shuffle, never text.
+
+    Docs with no duplicated grams emit (0, 0, length) — the LEFT join
+    against the dup-occurrence relation keeps every document in the
+    output, so the result is a full rewrite plan, not a report on the
+    dirty subset."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    return substring_dup_spans_of(docs)
+
+
+def substring_dup_spans_of(docs: DataFrame) -> DataFrame:
+    """The span-removal pipeline over any (doc_id, text) frame — the
+    seam tests and incremental callers use for corpora not on disk."""
+    from pyspark.sql import Window
+
+    k = SUB_K
+    base = docs.select("doc_id", F.length("text").alias("n_chars"))
+    ex = docs.select("doc_id", F.posexplode(_gram_hashes()).alias("idx", "h")).select(
+        "doc_id", (F.col("idx") + 1).alias("i"), "h"
+    )
+    wc = Window.partitionBy("h")
+    wr = Window.partitionBy("h").orderBy("doc_id", "i")
+    dup_occ = (
+        ex.select(
+            "doc_id",
+            "i",
+            F.count("*").over(wc).alias("c"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .where((F.col("c") > 1) & (F.col("rn") > 1))
+        .select("doc_id", "i")
+    )
+    # gaps-and-islands: a new span starts when this gram no longer
+    # overlaps the furthest end seen so far ([i, i+k-1] vs max prior i
+    # + k - 1; positions are sorted, so prior max end = prior max i + k - 1)
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    prev_max = F.max("i").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    marked = dup_occ.select(
+        "doc_id",
+        "i",
+        F.when(prev_max.isNull() | (F.col("i") > prev_max + (k - 1)), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    grouped = marked.select(
+        "doc_id",
+        "i",
+        F.sum("is_new").over(wd.rowsBetween(Window.unboundedPreceding, 0)).alias("grp"),
+    )
+    spans = grouped.groupBy("doc_id", "grp").agg(
+        F.min("i").alias("s"), (F.max("i") + (k - 1)).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("removed_chars"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("removed_chars", F.lit(0)).alias("removed_chars"),
+            (F.col("n_chars") - F.coalesce("removed_chars", F.lit(0))).alias(
+                "kept_chars"
+            ),
+        )
+    )
+
+
+def substring_spans_oracle() -> str:
+    k = SUB_K
+    return f"""
+    WITH ex AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(length(text) - {k - 1}, 0))) AS i,
+             unnest({_sql_gram_hashes_duckdb()}) AS h
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i,
+             count(*) OVER (PARTITION BY h) AS c,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+      FROM ex
+    ),
+    dup_occ AS (SELECT doc_id, i FROM occ WHERE c > 1 AND rn > 1),
+    marked AS (
+      SELECT doc_id, i,
+             CASE WHEN max(i) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+                  OR i > max(i) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {k - 1}
+             THEN 1 ELSE 0 END AS is_new
+      FROM dup_occ
+    ),
+    grouped AS (
+      SELECT doc_id, i,
+             sum(is_new) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, grp, min(i) AS s, max(i) + {k - 1} AS e
+      FROM grouped GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_dup_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(p.removed_chars, 0) AS removed_chars,
+           length(d.text) - coalesce(p.removed_chars, 0) AS kept_chars
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """

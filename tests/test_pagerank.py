@@ -98,3 +98,15 @@ def test_event_transition_query_shape(spark, sf_dir, iters):
     assert total <= PR_SCALE
     assert total >= PR_SCALE - 10_000  # floor losses only
     assert all(r["rank_e9"] > 0 for r in rows)
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    # the scale-adaptive switch must be invisible in results: force the
+    # distributed loop (threshold 0) and compare bit-for-bit with the
+    # driver numpy path on a graph with dangling + isolated structure
+    rows = [(i % 9, (i * 5) % 9, 1 + i % 3) for i in range(30)]
+    e = _edges(spark, rows)
+    n = _nodes(spark, range(11))  # 9 and 10 isolated
+    a = _ranks(pagerank(e, n, iters=3))
+    b = _ranks(pagerank(e, n, iters=3, small_graph_edges=0))
+    assert a == b

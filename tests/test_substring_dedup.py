@@ -9,6 +9,7 @@ from hbasewd_spark.operators.dedup import (
     WINNOW_MAX_DF,
     WINNOW_W,
     substring_dup_coverage_of,
+    substring_dup_spans_of,
     winnow_fingerprints,
 )
 
@@ -116,3 +117,40 @@ def test_substring_coverage_partitioning_independence(spark):
     a = substring_dup_coverage_of(_docs(spark, texts).repartition(1))
     b = substring_dup_coverage_of(_docs(spark, texts).repartition(11))
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span removal accounting (substring_dup_spans)
+# ---------------------------------------------------------------------------
+
+
+def test_spans_identical_pair_keeps_canonical(spark):
+    # two identical docs: the canonical (doc 0) loses nothing; doc 1's
+    # every gram is a non-canonical duplicate -> one span covering the
+    # whole text
+    text = _distinct_filler("twin", 120)
+    out = {r["doc_id"]: r for r in substring_dup_spans_of(_docs(spark, [text, text])).collect()}
+    assert out[0]["removed_chars"] == 0 and out[0]["n_dup_spans"] == 0
+    assert out[1]["n_dup_spans"] == 1
+    assert out[1]["removed_chars"] == len(text)
+    assert out[1]["kept_chars"] == 0
+
+
+def test_spans_two_separate_islands(spark):
+    # doc 1 repeats two NON-adjacent blocks of doc 0 with unique filler
+    # between -> exactly two spans, each exactly block-sized
+    b1 = _distinct_filler("block-one", 40)
+    b2 = _distinct_filler("block-two", 40)
+    doc0 = b1 + _distinct_filler("pad0", 60) + b2
+    doc1 = _distinct_filler("pad1", 50) + b1 + _distinct_filler("pad2", 50) + b2 + _distinct_filler("pad3", 30)
+    out = {r["doc_id"]: r for r in substring_dup_spans_of(_docs(spark, [doc0, doc1])).collect()}
+    assert out[0]["removed_chars"] == 0
+    assert out[1]["n_dup_spans"] == 2
+    assert out[1]["removed_chars"] == len(b1) + len(b2)
+
+
+def test_spans_clean_corpus_all_zero(spark):
+    texts = [_distinct_filler(f"clean{i}", 100) for i in range(5)]
+    out = substring_dup_spans_of(_docs(spark, texts)).collect()
+    assert all(r["removed_chars"] == 0 and r["kept_chars"] == 100 for r in out)
+    assert len(out) == 5
