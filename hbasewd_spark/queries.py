@@ -843,6 +843,14 @@ REGISTRY["ext_dedup_substring"] = QuerySpec(
     "duplicated 20-gram coverage at full density — hash-before-explode, "
     "only (doc_id, hash) ever shuffles",
 )
+REGISTRY["ext_dedup_substring_spans"] = QuerySpec(
+    DD.substring_dup_spans,
+    DD.substring_spans_oracle(),
+    "the removal step of exact-substring dedup: non-canonical "
+    "duplicated-gram occurrences merged into spans (gaps-and-islands), "
+    "per-doc span count / removed chars / kept chars — a full rewrite "
+    "plan, every document present",
+)
 REGISTRY["ext_dedup_winnow"] = QuerySpec(
     DD.winnow_neardup_pairs,
     DD.winnow_pairs_oracle(),
