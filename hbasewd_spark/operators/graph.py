@@ -283,13 +283,19 @@ def pagerank(
     twice (contribution join + dangling aggregate), so a lazy plan
     would double per round — 2^iters blowup of every upstream stage,
     measured as 16.6 s for a 100-node graph before the cut."""
-    n_edges = edges.count()
-    if n_edges <= small_graph_edges:
-        spark = edges.sparkSession
-        epdf = edges.select(
+    # threshold check folded into the fetch: pull at most threshold+1
+    # rows — if the limit did not truncate, the frame IS the full edge
+    # list and the count job is saved (one fewer fixed-latency job)
+    spark = edges.sparkSession
+    epdf = (
+        edges.select(
             F.col(src).alias("src"), F.col(dst).alias("dst"),
             F.col(weight).cast("bigint").alias("w"),
-        ).toPandas()
+        )
+        .limit(small_graph_edges + 1)
+        .toPandas()
+    )
+    if len(epdf) <= small_graph_edges:
         node_ids = [row["node"] for row in nodes.select("node").collect()]
         if not node_ids:
             return nodes.select(
