@@ -154,3 +154,32 @@ def test_spans_clean_corpus_all_zero(spark):
     out = substring_dup_spans_of(_docs(spark, texts)).collect()
     assert all(r["removed_chars"] == 0 and r["kept_chars"] == 100 for r in out)
     assert len(out) == 5
+
+
+def test_no_gram_hash_in_filter_pushdown(spark, sf_dir):
+    # regression lock for the InferFiltersFromGenerate pathology: with
+    # the gram array staged as a named column, Spark inferred
+    # size/isnotnull filters on the attribute and pushdown inlined the
+    # ENTIRE md5 gram expression into a Filter below the parallelizing
+    # exchange — the hash workload ran twice per row at the scan's
+    # partitioning (10s vs 0.7s at sf0.1). The expression must appear
+    # only in Project/Generate nodes, never in a Filter condition.
+    from hbasewd_spark.operators.dedup import (
+        substring_dup_coverage,
+        winnow_neardup_pairs,
+    )
+
+    for fn in (substring_dup_coverage, winnow_neardup_pairs):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        for block in plan.split("\n\n"):  # formatted blocks: "(n) NodeName"
+            first = block.strip().splitlines()[0] if block.strip() else ""
+            if ") Filter" in first:
+                assert "md5" not in block, (
+                    f"{fn.__name__}: gram-hash expression leaked into a "
+                    f"Filter node (InferFiltersFromGenerate pushdown "
+                    f"regression):\n{block[:500]}"
+                )
