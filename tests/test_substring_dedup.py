@@ -183,3 +183,48 @@ def test_no_gram_hash_in_filter_pushdown(spark, sf_dir):
                     f"Filter node (InferFiltersFromGenerate pushdown "
                     f"regression):\n{block[:500]}"
                 )
+
+
+def _py_winnow(text: str) -> set:
+    """Pure-Python winnowing reference — shares NO code with the
+    Catalyst implementation (hashlib md5, explicit window loop); the
+    differential twin the codec tests use for spec conformance."""
+    import hashlib
+
+    k, w, pack = SUB_K, WINNOW_W, 1 << 30
+    n = len(text)
+    if n < k:
+        return set()
+    hs = [
+        int(hashlib.md5(text[i : i + k].encode("utf-8")).hexdigest()[:8], 16)
+        for i in range(n - k + 1)
+    ]
+    sel = set()
+    for j in range(len(hs) - w + 1):
+        packed = min(hs[j + t] * pack + (j + t + 1) for t in range(w))
+        sel.add(packed // pack)
+    return sel
+
+
+def test_winnow_differential_vs_python_reference(spark):
+    # hypothesis collects texts (small alphabet -> natural 20-gram
+    # repeats within and across docs), ONE Spark job evaluates, the
+    # python reference checks every selected fingerprint set
+    from hypothesis import given, settings, strategies as st
+
+    texts: list[str] = []
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.text(alphabet="ab .", min_size=0, max_size=120))
+    def collect(t):
+        texts.append(t)
+
+    collect()
+    # engineered shared spans on top of the generated corpus
+    texts.append(texts[-1] + texts[0])
+    docs = _docs(spark, texts)
+    got: dict = {i: set() for i in range(len(texts))}
+    for r in winnow_fingerprints(docs).collect():
+        got[r["doc_id"]].add(r["h"])
+    for i, t in enumerate(texts):
+        assert got[i] == _py_winnow(t), f"doc {i}: {t!r}"
