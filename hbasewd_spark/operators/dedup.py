@@ -1174,3 +1174,58 @@ def substring_spans_oracle() -> str:
            length(d.text) - coalesce(p.removed_chars, 0) AS kept_chars
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """
+
+
+def winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate CLUSTERS: winnow near-dup pairs ->
+    connected components -> one canonical doc per cluster (longest
+    text, doc_id tie-break). The substring twin of :func:`dedup_clusters`
+    — boilerplate families that doc-level MinHash never links (shared
+    header, distinct bodies) land in one component here and a curation
+    pipeline keeps exactly one copy of the template.
+
+    Output: (doc_id, cluster_id, text_len, is_canonical) for every doc
+    in some cluster; cluster_id = min doc_id of the component."""
+    from pyspark.sql import Window
+
+    from hbasewd_spark.operators.graph import connected_components
+
+    pairs = winnow_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.length("text").alias("text_len"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("text_len").desc(), F.col("doc_id")
+    )
+    return (
+        cc.join(docs, cc.id == docs.doc_id)
+        .select("doc_id", "cluster_id", "text_len")
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+    )
+
+
+def winnow_clusters_oracle() -> str:
+    pairs = winnow_pairs_oracle()
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({pairs}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT id, id AS lbl FROM nodes
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT cc.doc_id, cc.cluster_id, length(d.text) AS text_len,
+           (row_number() OVER (PARTITION BY cc.cluster_id
+                               ORDER BY length(d.text) DESC, cc.doc_id) = 1)
+             AS is_canonical
+    FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+    """

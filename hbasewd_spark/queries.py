@@ -2465,6 +2465,21 @@ def _register_dedup_clusters() -> None:
 _register_dedup_clusters()
 
 
+def _register_winnow_clusters() -> None:
+    from hbasewd_spark.operators.dedup import winnow_clusters, winnow_clusters_oracle
+
+    REGISTRY["ext_dedup_winnow_clusters"] = QuerySpec(
+        winnow_clusters,
+        winnow_clusters_oracle(),
+        "substring-level duplicate clusters: winnow pairs -> connected "
+        "components -> canonical pick (boilerplate families doc-level "
+        "MinHash never links); oracle is a DuckDB recursive CTE",
+    )
+
+
+_register_winnow_clusters()
+
+
 def _register_pagerank() -> None:
     from hbasewd_spark.operators.graph import pagerank_event_transitions, pagerank_oracle
 

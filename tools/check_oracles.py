@@ -44,6 +44,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
+            # tz-aware columns (DuckDB reads make_sf's UTC-adjusted
+            # TIMESTAMP_MICROS parquet as TIMESTAMPTZ) carry the same
+            # epoch micros — strip the zone, astype refuses it otherwise
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = s.astype("datetime64[us]").astype("int64")
         elif s.dtype == object:
             import datetime as _dt
