@@ -1122,3 +1122,89 @@ def centroid_drift_oracle() -> str:
            {dot} / (sqrt({na}) * sqrt({nb})) AS cos_centroid
     FROM cents a JOIN cents b ON a.label < b.label
     """
+
+
+# ---------------------------------------------------------------------------
+# exact integer Gram matrix (covariance building blocks / PCA precursor)
+# ---------------------------------------------------------------------------
+
+# quantization scale for the Gram matrix: floor(x*1e6 + 0.5) is
+# IEEE-exact in every engine (unlike decimal casts, which round
+# half-up in Spark and half-even in DuckDB). |e| < 1 in this corpus,
+# so q < 1e6, q_i*q_j < 1e12, and an int64 per-partition partial is
+# exact up to ~9e6 rows per partition — far above any sane Arrow
+# batch; the cross-partition reduce is a 2080-key sum.
+QGRAM_SCALE = 10**6
+
+
+def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangular Gram matrix of the quantized embedding corpus:
+    (i, j, n_vecs, sum_qq) for 1 <= i <= j <= DIM, where sum_qq =
+    sum over vectors of q_i * q_j — the exact-integer building blocks
+    of the covariance/correlation matrix (dimension redundancy, PCA
+    prep: cov = (sum_qq - sum_i*sum_j/n)/n in post-processing of the
+    diagonal+off-diagonal rows).
+
+    Scale shape: mapInPandas computes a dense d x d int64 partial per
+    Arrow batch (vectorized Q^T Q — numpy matmul, no per-row Python)
+    and emits ONLY the d(d+1)/2 upper-triangle partials; the shuffle
+    is 2080 rows per partition regardless of corpus size, then one
+    map-side-combinable sum. The explode-based equivalent (the DuckDB
+    oracle's shape) would shuffle d^2/2 rows PER VECTOR — 2000x more
+    at any scale."""
+    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
+    return embed_gram_of(emb)
+
+
+def embed_gram_of(emb: DataFrame) -> DataFrame:
+    """The Gram pipeline over any frame with an ``embedding`` column —
+    the seam tests use to drive alternate partitionings."""
+    import numpy as np
+    import pandas as pd
+
+    d = DIM
+    iu, ju = np.triu_indices(d)
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # float32 -> float64 BEFORE scaling: the widening is
+            # value-exact and matches the oracle's CAST(x AS DOUBLE),
+            # while float32 arithmetic would round differently
+            q = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * QGRAM_SCALE
+                + 0.5
+            ).astype(np.int64)
+            g = q.T @ q  # exact: |q| < 1e6 -> products < 1e12, int64 partials
+            yield pd.DataFrame(
+                {
+                    "i": iu + 1,
+                    "j": ju + 1,
+                    "n_part": np.int64(len(pdf)),
+                    "qq_part": g[iu, ju],
+                }
+            )
+
+    partials = emb.select("embedding").mapInPandas(
+        gram_partials, "i int, j int, n_part bigint, qq_part bigint"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum("n_part").alias("n_vecs"), F.sum("qq_part").alias("sum_qq")
+    )
+
+
+def embed_gram_oracle() -> str:
+    return f"""
+    WITH q AS (
+      SELECT list_transform(
+               embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QGRAM_SCALE} + 0.5) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    ii AS (SELECT qv, unnest(generate_series(1, {DIM})) AS i FROM q),
+    ij AS (SELECT qv, i, unnest(generate_series(i, {DIM})) AS j FROM ii)
+    SELECT i, j, count(*) AS n_vecs, CAST(sum(qv[i] * qv[j]) AS BIGINT) AS sum_qq
+    FROM ij GROUP BY i, j
+    """

@@ -888,6 +888,13 @@ REGISTRY["ext_multimodal_stats"] = QuerySpec(
     MM.MEDIA_STATS_ORACLE,
     "binary media columns: mapInPandas fake-decode -> per-format rollup",
 )
+REGISTRY["ext_embed_gram"] = QuerySpec(
+    SIM.embed_gram_matrix,
+    SIM.embed_gram_oracle(),
+    "exact-integer Gram matrix over quantized embeddings (covariance/"
+    "PCA building blocks): mapInPandas d x d int64 partial per Arrow "
+    "batch, 2080-row shuffle per partition regardless of corpus size",
+)
 REGISTRY["ext_semdedup"] = QuerySpec(
     SIM.semdedup_summary,
     SIM.semdedup_oracle(),
