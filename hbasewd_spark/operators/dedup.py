@@ -951,37 +951,40 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     least one selected fingerprint. Density ~ 2/(WINNOW_W+1) of full
     k-gram density.
 
-    The (hash, position) min is one window-min over a packed int64 —
+    The (hash, position) min is a min over a packed int64 —
     h * 2^30 + pos orders by hash then position, so a single ``min``
-    frame replaces an argmin struct (which DuckDB's window min cannot
-    take), and both engines agree bit-for-bit.
+    replaces an argmin struct (which DuckDB's window min cannot take),
+    and both engines agree bit-for-bit.
 
-    The gram array is exploded inline and n_pos derived from
-    length(text) rather than size(hs): a staged hs attribute triggers
-    the InferFiltersFromGenerate pushdown pathology documented on
-    :func:`substring_dup_coverage_of` (the md5 array evaluated twice
-    below the exchange), and a size() projection beside the generator
-    would re-evaluate the array once more per row."""
-    from pyspark.sql import Window
-
-    k = SUB_K
-    ex = docs.select(
+    The whole selection is ROW-LOCAL (whole-stage codegen, zero
+    shuffle): windows are array slices of the staged packed array, not
+    a window function over an exploded relation — only the selected
+    fingerprints (~2/(w+1) of positions) ever explode and shuffle.
+    The original exploded-window shape shuffled and sorted EVERY gram
+    position (measured 3.4 s vs this plan at sf0.1; the gap widens
+    with corpus size since selection is the dominant row count).
+    ``packed`` is staged as a real column first: lambda bodies inline
+    their argument expression per element, so slicing an inline
+    expression would rebuild the full array once per window start
+    (the _shingles_expr lesson). The final explode's child is an
+    expression, so InferFiltersFromGenerate stays disarmed (see
+    :func:`substring_dup_coverage_of`)."""
+    k, w = SUB_K, WINNOW_W
+    staged = docs.select(
         "doc_id",
         F.greatest(F.length("text") - (k - 1), F.lit(0)).alias("n_pos"),
-        F.posexplode(_gram_hashes()).alias("idx", "h"),
+        F.transform(
+            _gram_hashes(), lambda x, i: x * F.lit(_POS_PACK) + i + 1
+        ).alias("packed"),  # 1-based pos in the low bits
     )
-    packed = F.col("h") * F.lit(_POS_PACK) + F.col("idx") + 1  # 1-based pos
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("idx")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    starts = F.when(
+        F.col("n_pos") >= w, F.sequence(F.lit(1), (F.col("n_pos") - (w - 1)).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    sel = F.array_distinct(
+        F.transform(starts, lambda j: F.array_min(F.slice("packed", j, w)))
     )
-    win = ex.select(
-        "doc_id", "idx", "n_pos", F.min(packed).over(w).alias("p")
-    )
-    # only full windows select (window [idx, idx+W-1] with 0-based idx)
     return (
-        win.where(F.col("idx") <= F.col("n_pos") - WINNOW_W)
+        staged.select("doc_id", F.explode(sel).alias("p"))
         .select("doc_id", F.expr(f"p DIV {_POS_PACK}").alias("h"))
         .distinct()
     )
@@ -1228,4 +1231,105 @@ def winnow_clusters_oracle() -> str:
                                ORDER BY length(d.text) DESC, cc.doc_id) = 1)
              AS is_canonical
     FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# incremental winnow index: persisted corpus fingerprints + batch probe
+# ---------------------------------------------------------------------------
+#
+# The substring twin of the MinHash incremental index
+# (minhash_index.py): a daily-ingest pipeline should not re-fingerprint
+# the corpus to ask "does this batch share boilerplate with anything we
+# already hold". The index is the winnowed fingerprint relation
+# (doc_id, h) with corpus-side stop-grams (df > WINNOW_MAX_DF) dropped
+# AT BUILD TIME — the cap is an index property, so probes are a pure
+# equi-join no matter how common a batch-side gram is. At scale the
+# probe shuffles only the batch's selected fingerprints (~2/(w+1) of
+# its positions); the corpus relation is read pre-partitioned from
+# disk and never recomputed.
+
+WINNOW_INC_BATCH_MOD = 10  # doc_id % 10 == 0 plays the "daily increment"
+
+
+def build_winnow_index(spark: SparkSession, corpus_docs: DataFrame, path: str) -> None:
+    """Persist the stop-gram-capped winnowed fingerprint relation."""
+    fps = winnow_fingerprints(corpus_docs)
+    rare = fps.groupBy("h").agg(F.count("*").alias("ndocs")).where(
+        F.col("ndocs") <= WINNOW_MAX_DF
+    )
+    fps.join(rare.select("h"), "h").select("doc_id", "h").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def probe_winnow_index(spark: SparkSession, batch_docs: DataFrame, path: str) -> DataFrame:
+    """(new_doc_id, corpus_doc_id, n_shared) for batch docs sharing >=
+    WINNOW_MIN_SHARED indexed fingerprints with a corpus doc."""
+    idx = spark.read.parquet(path)
+    bfps = winnow_fingerprints(batch_docs)
+    return (
+        bfps.alias("b")
+        .join(idx.alias("c"), "h")
+        .groupBy(
+            F.col("b.doc_id").alias("new_doc_id"),
+            F.col("c.doc_id").alias("corpus_doc_id"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+def winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: split documents into corpus (doc_id % 10 != 0)
+    and batch (doc_id % 10 == 0), build the persisted index from the
+    corpus, probe the batch — the substring-level admission decision a
+    streaming ingest would make."""
+    import hashlib
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "text"
+    )
+    corpus = docs.where(F.pmod("doc_id", F.lit(WINNOW_INC_BATCH_MOD)) != 0)
+    batch = docs.where(F.pmod("doc_id", F.lit(WINNOW_INC_BATCH_MOD)) == 0)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/hbasewd_wnidx/{spark.sparkContext.applicationId}/{tag}"
+    build_winnow_index(spark, corpus, path)
+    return probe_winnow_index(spark, batch, path)
+
+
+def winnow_incremental_oracle() -> str:
+    """Full-recompute SQL twin restricted to (batch x corpus) pairs
+    with the corpus-side stop-gram cap — equals the index probe by
+    construction."""
+    k, w, m = SUB_K, WINNOW_W, WINNOW_INC_BATCH_MOD
+    return f"""
+    WITH g AS (
+      SELECT doc_id, greatest(length(text) - {k - 1}, 0) AS n_pos,
+             unnest(generate_series(1, greatest(length(text) - {k - 1}, 0))) AS i,
+             unnest({_sql_gram_hashes_duckdb()}) AS h
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, i, n_pos,
+             min(h * {_POS_PACK} + i) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS p
+      FROM g
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, p // {_POS_PACK} AS h
+      FROM win WHERE i <= n_pos - {w - 1}
+    ),
+    corpus AS (SELECT doc_id, h FROM sel WHERE doc_id % {m} != 0),
+    cdf AS (SELECT h, count(*) AS ndocs FROM corpus GROUP BY h),
+    idx AS (
+      SELECT c.doc_id, c.h FROM corpus c JOIN cdf USING (h)
+      WHERE cdf.ndocs <= {WINNOW_MAX_DF}
+    ),
+    batch AS (SELECT doc_id, h FROM sel WHERE doc_id % {m} = 0)
+    SELECT b.doc_id AS new_doc_id, i.doc_id AS corpus_doc_id, count(*) AS n_shared
+    FROM batch b JOIN idx i ON b.h = i.h
+    GROUP BY 1, 2
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
     """

@@ -2473,7 +2473,12 @@ _register_dedup_clusters()
 
 
 def _register_winnow_clusters() -> None:
-    from hbasewd_spark.operators.dedup import winnow_clusters, winnow_clusters_oracle
+    from hbasewd_spark.operators.dedup import (
+        winnow_clusters,
+        winnow_clusters_oracle,
+        winnow_incremental,
+        winnow_incremental_oracle,
+    )
 
     REGISTRY["ext_dedup_winnow_clusters"] = QuerySpec(
         winnow_clusters,
@@ -2481,6 +2486,14 @@ def _register_winnow_clusters() -> None:
         "substring-level duplicate clusters: winnow pairs -> connected "
         "components -> canonical pick (boilerplate families doc-level "
         "MinHash never links); oracle is a DuckDB recursive CTE",
+    )
+    REGISTRY["ext_dedup_winnow_incremental"] = QuerySpec(
+        winnow_incremental,
+        winnow_incremental_oracle(),
+        "persisted winnow-fingerprint index probe: corpus fingerprints "
+        "(stop-gram-capped at build) on disk, batch joins by hash — "
+        "the substring twin of ext_dedup_incremental; corpus never "
+        "refingerprinted",
     )
 
 

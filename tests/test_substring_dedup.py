@@ -228,3 +228,38 @@ def test_winnow_differential_vs_python_reference(spark):
         got[r["doc_id"]].add(r["h"])
     for i, t in enumerate(texts):
         assert got[i] == _py_winnow(t), f"doc {i}: {t!r}"
+
+
+def test_winnow_index_probe_matches_direct_join(spark, tmp_path):
+    # building the persisted index then probing must equal the direct
+    # (batch x corpus) fingerprint join with the corpus-side cap
+    from hbasewd_spark.operators.dedup import (
+        WINNOW_MIN_SHARED,
+        build_winnow_index,
+        probe_winnow_index,
+    )
+
+    span = _distinct_filler("sharedspan", 80)
+    corpus_texts = [span + _distinct_filler(f"c{i}", 120) for i in range(4)]
+    batch_texts = [span + _distinct_filler("b0", 90), _distinct_filler("b1", 200)]
+    corpus = _docs(spark, corpus_texts)
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch_texts)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "wnidx")
+    build_winnow_index(spark, corpus, path)
+    got = {
+        (r["new_doc_id"], r["corpus_doc_id"]): r["n_shared"]
+        for r in probe_winnow_index(spark, batch, path).collect()
+    }
+    # batch doc 100 shares the span with every corpus doc; 101 with none
+    assert all((100, c) in got for c in range(4))
+    assert not any(new == 101 for new, _ in got)
+    assert all(n >= WINNOW_MIN_SHARED for n in got.values())
+    # probing again off the persisted relation is deterministic
+    again = {
+        (r["new_doc_id"], r["corpus_doc_id"]): r["n_shared"]
+        for r in probe_winnow_index(spark, batch, path).collect()
+    }
+    assert got == again
