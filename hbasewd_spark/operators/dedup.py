@@ -995,13 +995,24 @@ def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINNOW_MIN_SHARED winnowed fingerprints, after dropping
     stop-grams (fingerprints present in > WINNOW_MAX_DF documents).
     The blocked-join shape of MOSS: candidate generation is an
-    equi-join on the fingerprint hash, never an all-pairs product."""
+    equi-join on the fingerprint hash, never an all-pairs product.
+
+    The stop-gram cap is a window count over the hash partition, not
+    groupBy + join-back: the join shape re-ran the whole fingerprint
+    selection on the probe side (the relation is referenced twice),
+    and the window's exchange already hash-partitions ``keep`` by h —
+    exactly what the pair self-join wants."""
+    from pyspark.sql import Window
+
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     fps = winnow_fingerprints(docs)
-    rare = fps.groupBy("h").agg(F.count("*").alias("ndocs")).where(
-        F.col("ndocs") <= WINNOW_MAX_DF
+    keep = (
+        fps.select(
+            "doc_id", "h", F.count("*").over(Window.partitionBy("h")).alias("ndocs")
+        )
+        .where(F.col("ndocs") <= WINNOW_MAX_DF)
+        .drop("ndocs")
     )
-    keep = fps.join(rare.select("h"), "h")
     return (
         keep.alias("a")
         .join(
@@ -1253,14 +1264,20 @@ WINNOW_INC_BATCH_MOD = 10  # doc_id % 10 == 0 plays the "daily increment"
 
 
 def build_winnow_index(spark: SparkSession, corpus_docs: DataFrame, path: str) -> None:
-    """Persist the stop-gram-capped winnowed fingerprint relation."""
+    """Persist the stop-gram-capped winnowed fingerprint relation
+    (window-count cap — one selection pass, see winnow_neardup_pairs)."""
+    from pyspark.sql import Window
+
     fps = winnow_fingerprints(corpus_docs)
-    rare = fps.groupBy("h").agg(F.count("*").alias("ndocs")).where(
-        F.col("ndocs") <= WINNOW_MAX_DF
+    (
+        fps.select(
+            "doc_id", "h", F.count("*").over(Window.partitionBy("h")).alias("ndocs")
+        )
+        .where(F.col("ndocs") <= WINNOW_MAX_DF)
+        .select("doc_id", "h")
+        .write.mode("overwrite")
+        .parquet(path)
     )
-    fps.join(rare.select("h"), "h").select("doc_id", "h").write.mode(
-        "overwrite"
-    ).parquet(path)
 
 
 def probe_winnow_index(spark: SparkSession, batch_docs: DataFrame, path: str) -> DataFrame:
