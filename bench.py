@@ -86,11 +86,11 @@ def main() -> None:
         for _ in range(2_000_000):
             x = (x * 1099511628211) & 0xFFFFFFFFFFFFFFFF
         noise["alu_probe_s"] = round(time.time() - t0, 4)
-        # quiet-host references measured on this box (round 11, warm
-        # allocator): mem ~0.36 s, alu ~0.28 s. mem inflation >> alu
+        # quiet-host references measured on this box (round 11, true
+        # idle): mem ~0.32 s, alu ~0.18 s. mem inflation >> alu
         # inflation => memory-bandwidth wave.
-        noise["mem_inflation"] = round(noise["mem_probe_s"] / 0.36, 2)
-        noise["alu_inflation"] = round(noise["alu_probe_s"] / 0.28, 2)
+        noise["mem_inflation"] = round(noise["mem_probe_s"] / 0.32, 2)
+        noise["alu_inflation"] = round(noise["alu_probe_s"] / 0.18, 2)
         print(f"bench: host-noise probe {noise}", file=sys.stderr)
     except Exception as e:
         print(f"bench: noise probe FAILED: {e}", file=sys.stderr)
