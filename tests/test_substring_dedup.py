@@ -263,3 +263,25 @@ def test_winnow_index_probe_matches_direct_join(spark, tmp_path):
         for r in probe_winnow_index(spark, batch, path).collect()
     }
     assert got == again
+
+
+def test_xxhash_production_knob(spark):
+    # the xxhash64 path is the production hash (not oracle-reproducible);
+    # it must preserve the operator's STRUCTURE: identical docs still
+    # produce identical fingerprint sets, distinct-filler docs share
+    # nothing, and the winnowing guarantee holds
+    span = _distinct_filler("xxspan", GUARANTEE_LEN)
+    a = _distinct_filler("xa", 80) + span + _distinct_filler("xb", 80)
+    b = _distinct_filler("xc", 40) + span + _distinct_filler("xd", 120)
+    clean = _distinct_filler("xe", 200)
+    fp = winnow_fingerprints(_docs(spark, [a, b, clean]), hash_fn="xxhash64")
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["h"])
+        assert 0 <= r["h"] < (1 << 32)  # packing headroom holds
+    assert by_doc[0] & by_doc[1]  # shared span -> shared fingerprint
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+    import pytest
+
+    with pytest.raises(ValueError):
+        winnow_fingerprints(_docs(spark, [a]), hash_fn="sha1")
