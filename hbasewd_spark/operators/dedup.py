@@ -864,12 +864,15 @@ def _gram_hashes(k: int = SUB_K, hash_fn: str = "md5"):
     leave it (only 8-byte hashes explode/shuffle downstream).
 
     ``hash_fn``: "md5" (default) is the portable oracle-parity hash
-    every registry query uses; "xxhash64" is the PRODUCTION knob — the
-    JVM-intrinsic hash measured ~3x faster on the gram workload (60 s
-    of md5 at sf10), masked to the same 32-bit space so the winnowing
-    position packing (h * 2^30 + pos) keeps its int64 headroom. Same
-    plan shape, same collision class; not cross-engine reproducible,
-    so oracle-gated queries must stay on md5."""
+    every registry query uses; "xxhash64" is the engine-native
+    alternative, masked to the same 32-bit space so the winnowing
+    position packing (h * 2^30 + pos) keeps its int64 headroom.
+    Measured honestly at sf10: selection is only ~8% faster (47.2 s ->
+    43.3 s) — the O(n*w) slice-window scan and the fingerprint
+    distinct dominate, not hashing — so the knob is about avoiding a
+    cryptographic dependency, not a big win. Same plan shape, same
+    collision class; not cross-engine reproducible, so oracle-gated
+    queries must stay on md5."""
     idx = _gram_positions(F.length("text"), k)
     if hash_fn == "xxhash64":
         return F.transform(
