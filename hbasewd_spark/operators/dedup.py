@@ -1000,8 +1000,18 @@ def winnow_fingerprints(docs: DataFrame, hash_fn: str = "md5") -> DataFrame:
     starts = F.when(
         F.col("n_pos") >= w, F.sequence(F.lit(1), (F.col("n_pos") - (w - 1)).cast("int"))
     ).otherwise(F.array().cast("array<int>"))
+    # window min as a least() chain of element_at lookups, NOT
+    # array_min(slice(...)): slice allocates a fresh w-element array
+    # per window — 207M allocations at sf10 — while the chain is pure
+    # scalar comparisons in codegen (measured 44.5 s -> 28.7 s at sf10,
+    # identical selection)
     sel = F.array_distinct(
-        F.transform(starts, lambda j: F.array_min(F.slice("packed", j, w)))
+        F.transform(
+            starts,
+            lambda j: F.least(
+                *[F.element_at("packed", (j + t).cast("int")) for t in range(w)]
+            ),
+        )
     )
     return (
         staged.select("doc_id", F.explode(sel).alias("p"))
