@@ -1190,8 +1190,19 @@ def embed_gram_of(emb: DataFrame) -> DataFrame:
     partials = emb.select("embedding").mapInPandas(
         gram_partials, "i int, j int, n_part bigint, qq_part bigint"
     )
+    # cross-partition reduce in decimal(38,0), cast back to bigint
+    # (ADVICE r11): the per-partition int64 partial is bounded by batch
+    # size (~9e6 rows), but the CORPUS-level sum has the same 1e12
+    # per-row worst case — past ~9e12 rows an int64 sum would wrap
+    # silently (ANSI off) while the DuckDB oracle sums in HUGEINT. The
+    # decimal sum is exact to 1e38; the final bigint cast yields NULL
+    # (loud, never wrong-valued) in the astronomically-out-of-range
+    # case. 2080 groups — the wider accumulator costs nothing.
     return partials.groupBy("i", "j").agg(
-        F.sum("n_part").alias("n_vecs"), F.sum("qq_part").alias("sum_qq")
+        F.sum("n_part").alias("n_vecs"),
+        F.sum(F.col("qq_part").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("sum_qq"),
     )
 
 

@@ -7,9 +7,15 @@ from pyspark.sql import functions as F
 
 from hbasewd_spark.operators.graph import (
     PR_SCALE,
+    _event_transition_graph,
+    _pr_iteration,
     pagerank,
     pagerank_event_transitions,
 )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
 
 
 def _edges(spark, rows):
@@ -89,15 +95,23 @@ def test_empty_node_set(spark):
 
 @pytest.mark.parametrize("iters", [1, 3])
 def test_event_transition_query_shape(spark, sf_dir, iters):
-    # the registry query: one row per observed props.k, ranks positive,
-    # mass conserved within floor loss
-    df = pagerank_event_transitions(spark, sf_dir)
-    rows = df.collect()
+    # the extracted transition graph under a PARAMETERIZED iteration
+    # count (ADVICE r11: the old form never threaded iters through, so
+    # both cases ran identical code): one row per observed props.k,
+    # ranks positive, mass conserved within floor loss
+    edges, nodes = _event_transition_graph(spark, sf_dir)
+    rows = pagerank(edges, nodes, iters=iters).collect()
     assert len(rows) > 0
     total = sum(r["rank_e9"] for r in rows)
     assert total <= PR_SCALE
     assert total >= PR_SCALE - 10_000  # floor losses only
     assert all(r["rank_e9"] > 0 for r in rows)
+    # and the registry wrapper (hardcoded iters=3) agrees with the
+    # threaded call at 3 iterations
+    if iters == 3:
+        assert {r["node"]: r["rank_e9"] for r in rows} == _ranks(
+            pagerank_event_transitions(spark, sf_dir)
+        )
 
 
 def test_driver_and_distributed_paths_agree(spark):
@@ -110,3 +124,111 @@ def test_driver_and_distributed_paths_agree(spark):
     a = _ranks(pagerank(e, n, iters=3))
     b = _ranks(pagerank(e, n, iters=3, small_graph_edges=0))
     assert a == b
+
+
+def test_int_weight_column_does_not_overflow(spark):
+    # ADVICE r11 (medium): the distributed edge-probability expression
+    # multiplied an un-widened weight by the int literal 1e9 — any
+    # IntegerType weight >= 3 wrapped int32 silently. Weights here are
+    # int-typed and >= 3; the distributed path must match the driver
+    # path (which always widened) bit for bit.
+    rows = [(i % 5, (i * 2 + 1) % 5, 3 + i % 7) for i in range(20)]
+    e = spark.createDataFrame(rows, "src int, dst int, w int")
+    n = _nodes(spark, range(5))
+    a = _ranks(pagerank(e, n, iters=3))  # driver path (casts internally)
+    b = _ranks(pagerank(e, n, iters=3, small_graph_edges=0))
+    assert a == b
+    assert all(v > 0 for v in b.values())
+    assert PR_SCALE - 100 <= sum(b.values()) <= PR_SCALE
+
+
+def test_large_v_shuffle_path_bit_identical(spark):
+    # VERDICT r11 #1: above broadcast_nodes_max the rank relation must
+    # reach the edge join as a shuffle join — force the regime
+    # (both thresholds 0) and assert bit-identical ranks vs the driver
+    # path on a graph with dangling + isolated + weighted structure
+    rows = [(i % 9, (i * 5) % 9, 1 + i % 3) for i in range(30)]
+    e = _edges(spark, rows)
+    n = _nodes(spark, range(11))
+    a = _ranks(pagerank(e, n, iters=3))
+    b = _ranks(
+        pagerank(e, n, iters=3, small_graph_edges=0, broadcast_nodes_max=0)
+    )
+    assert a == b
+
+
+def test_large_v_iteration_plan_has_no_rank_broadcast(spark):
+    # the big_v iteration body must contain NO BroadcastHashJoin — the
+    # |V|-row rank relation joins via shuffle; the only broadcast left
+    # is the 1-row dangling aggregate (BroadcastNestedLoopJoin). The
+    # small regime keeps the broadcast (asserted as the control so this
+    # test fails loudly if the plan probe itself goes blind).
+    e = spark.createDataFrame(
+        [(0, 1, 10**9), (1, 2, 10**9), (2, 0, 10**9)], "src int, dst int, p bigint"
+    )
+    nodes = _nodes(spark, range(3))
+    r = nodes.select("node", F.lit(PR_SCALE // 3).cast("bigint").alias("r"))
+    srcs = e.select("src").distinct()
+    big = _pr_iteration(e, r, srcs, nodes, base=1, n_nodes=3, big_v=True)
+    assert "BroadcastHashJoin" not in _plan(big)
+    small = _pr_iteration(e, r, srcs, nodes, base=1, n_nodes=3, big_v=False)
+    assert "BroadcastHashJoin" in _plan(small)
+
+
+def test_null_k_events_are_filtered(spark, tmp_path):
+    # ADVICE r11: an events row whose props lacks $.k used to put NULL
+    # in the node set — the driver path crashed, the distributed path
+    # silently dropped transitions. Extraction now filters the row from
+    # the sequence; the graph and ranks come out NULL-free.
+    import datetime
+
+    from hbasewd_spark.operators.graph import _EDGE_CACHE, clear_graph_caches
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + datetime.timedelta(minutes=m), m, f'{{"k": {m % 3}}}' if m % 4 else "{}")
+        for m in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, props string"
+    )
+    sf = str(tmp_path / "nullk")
+    ev.write.parquet(f"{sf}/events.parquet")
+    clear_graph_caches()
+    try:
+        edges, nodes = _event_transition_graph(spark, sf)
+        node_vals = [r["node"] for r in nodes.collect()]
+        assert None not in node_vals and sorted(node_vals) == [0, 1, 2]
+        assert edges.where(F.col("src").isNull() | F.col("dst").isNull()).count() == 0
+        ranks = _ranks(pagerank_event_transitions(spark, sf))
+        assert None not in ranks
+        assert PR_SCALE - 100 <= sum(ranks.values()) <= PR_SCALE
+    finally:
+        clear_graph_caches()
+
+
+def test_edge_cache_evicts_on_rekey(spark, sf_dir, tmp_path):
+    # VERDICT r11 #2: two sf_dirs through the extraction must leave at
+    # most ONE persisted edge relation — the evicted frame is actually
+    # unpersisted, not just dropped from the dict
+    import datetime
+
+    from hbasewd_spark.operators.graph import _EDGE_CACHE, clear_graph_caches
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t0 + datetime.timedelta(minutes=m), m, f'{{"k": {m % 2}}}') for m in range(10)],
+        "user_id long, ts timestamp, event_id long, props string",
+    )
+    sf2 = str(tmp_path / "evicted")
+    ev.write.parquet(f"{sf2}/events.parquet")
+    clear_graph_caches()
+    try:
+        first_edges, _ = _event_transition_graph(spark, sf_dir)
+        assert first_edges.storageLevel.useMemory  # persisted
+        _event_transition_graph(spark, sf2)
+        assert len(_EDGE_CACHE) == 1
+        assert list(_EDGE_CACHE) == [(spark.sparkContext.applicationId, sf2)]
+        assert not first_edges.storageLevel.useMemory  # evicted AND unpersisted
+    finally:
+        clear_graph_caches()
