@@ -1117,13 +1117,18 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_spans_of(docs)
 
 
-def substring_dup_spans_of(docs: DataFrame) -> DataFrame:
-    """The span-removal pipeline over any (doc_id, text) frame — the
-    seam tests and incremental callers use for corpora not on disk."""
+def _dup_spans_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, s, e): the maximal char spans [s, e] (1-based,
+    inclusive) every NON-CANONICAL occurrence of a duplicated k-gram
+    marks for removal — the shared core of the span ACCOUNTING
+    (:func:`substring_dup_spans_of`) and the span REWRITE
+    (:func:`substring_dup_rewrite_of`). Spans within one doc are
+    disjoint with s > prev_e by construction (overlapping/touching
+    marked grams merge into one island), so a rewrite can cut them in
+    one left-to-right pass."""
     from pyspark.sql import Window
 
     k = SUB_K
-    base = docs.select("doc_id", F.length("text").alias("n_chars"))
     ex = docs.select("doc_id", F.posexplode(_gram_hashes()).alias("idx", "h")).select(
         "doc_id", (F.col("idx") + 1).alias("i"), "h"
     )
@@ -1156,9 +1161,16 @@ def substring_dup_spans_of(docs: DataFrame) -> DataFrame:
         "i",
         F.sum("is_new").over(wd.rowsBetween(Window.unboundedPreceding, 0)).alias("grp"),
     )
-    spans = grouped.groupBy("doc_id", "grp").agg(
+    return grouped.groupBy("doc_id", "grp").agg(
         F.min("i").alias("s"), (F.max("i") + (k - 1)).alias("e")
-    )
+    ).select("doc_id", "s", "e")
+
+
+def substring_dup_spans_of(docs: DataFrame) -> DataFrame:
+    """The span-removal pipeline over any (doc_id, text) frame — the
+    seam tests and incremental callers use for corpora not on disk."""
+    base = docs.select("doc_id", F.length("text").alias("n_chars"))
+    spans = _dup_spans_of(docs)
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s") + 1).alias("removed_chars"),
@@ -1222,6 +1234,134 @@ def substring_spans_oracle() -> str:
            coalesce(p.removed_chars, 0) AS removed_chars,
            length(d.text) - coalesce(p.removed_chars, 0) AS kept_chars
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+def substring_dup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the REWRITE step completing Lee et al.'s
+    exact-substring dedup (cf. ACL'22 §4.2 — keep the corpus-wide
+    first occurrence of every duplicated span, CUT the rest): emits
+    the cleaned text itself, not just the accounting
+    (:func:`substring_dup_spans`). Docs with no duplicated grams pass
+    through byte-identical."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    return substring_dup_rewrite_of(docs)
+
+
+def substring_dup_rewrite_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, rewritten_text, kept_chars) over any (doc_id, text)
+    frame: every non-canonical duplicated span (see
+    :func:`_dup_spans_of` — disjoint, ascending, stubs within k-1
+    chars already merged into their islands) is cut from the text in
+    one left-to-right pass.
+
+    The cut is a single Catalyst ``aggregate`` over the collected span
+    array — a fold carrying (cursor, output): each span appends the
+    clean slice [cursor, s) and advances the cursor to e+1; the finish
+    lambda appends the tail. Row-local whole-stage codegen; no Python.
+
+    Scale shape: the span relation (docs-with-dups only, two ints per
+    span) is the small side — it groups to one array row per dirty doc
+    and joins back to the corpus on doc_id. When it fits an executor
+    the join broadcasts and NO text crosses an exchange; above that
+    the corpus shuffles on doc_id exactly once — unavoidable for any
+    operator whose OUTPUT is rewritten text, and still ~16x less
+    traffic than the gram relation the span computation already
+    shuffles (hashes only, never text)."""
+    spans = _dup_spans_of(docs)
+    span_arr = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("s").alias("s"), F.col("e").alias("e")))
+        ).alias("spans")
+    )
+    cut = F.aggregate(
+        "spans",
+        F.struct(
+            F.lit(1).cast("int").alias("pos"), F.lit("").alias("out")
+        ),
+        lambda acc, sp: F.struct(
+            (sp.e + 1).cast("int").alias("pos"),
+            F.concat(
+                acc.out, F.col("text").substr(acc.pos, sp.s - acc.pos)
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc.out,
+            F.col("text").substr(acc.pos, F.length("text") - acc.pos + 1),
+        ),
+    )
+    return (
+        docs.select("doc_id", "text")
+        .join(span_arr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("spans").isNull(), F.col("text"))
+            .otherwise(cut)
+            .alias("rewritten_text"),
+        )
+        .withColumn("kept_chars", F.length("rewritten_text"))
+    )
+
+
+def substring_rewrite_oracle() -> str:
+    """DuckDB twin of the span-cut: clean slices between consecutive
+    spans (lag window) + the tail, string_agg'd in span order."""
+    k = SUB_K
+    return f"""
+    WITH ex AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(length(text) - {k - 1}, 0))) AS i,
+             unnest({_sql_gram_hashes_duckdb()}) AS h
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i,
+             count(*) OVER (PARTITION BY h) AS c,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+      FROM ex
+    ),
+    dup_occ AS (SELECT doc_id, i FROM occ WHERE c > 1 AND rn > 1),
+    marked AS (
+      SELECT doc_id, i,
+             CASE WHEN max(i) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+                  OR i > max(i) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {k - 1}
+             THEN 1 ELSE 0 END AS is_new
+      FROM dup_occ
+    ),
+    grouped AS (
+      SELECT doc_id, i,
+             sum(is_new) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, grp, min(i) AS s, max(i) + {k - 1} AS e
+      FROM grouped GROUP BY doc_id, grp
+    ),
+    segs AS (
+      SELECT doc_id, s,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+      FROM spans
+    ),
+    pieces AS (
+      SELECT g.doc_id, g.s AS ord, substr(d.text, g.pe + 1, g.s - g.pe - 1) AS piece
+      FROM segs g JOIN documents d USING (doc_id)
+      UNION ALL
+      SELECT t.doc_id, 2147483647 AS ord, substr(d.text, t.mx + 1) AS piece
+      FROM (SELECT doc_id, max(e) AS mx FROM spans GROUP BY doc_id) t
+      JOIN documents d USING (doc_id)
+    ),
+    rw AS (
+      SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS rtext
+      FROM pieces GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(rw.rtext, d.text) AS rewritten_text,
+           length(coalesce(rw.rtext, d.text)) AS kept_chars
+    FROM documents d LEFT JOIN rw USING (doc_id)
     """
 
 

@@ -851,6 +851,15 @@ REGISTRY["ext_dedup_substring_spans"] = QuerySpec(
     "per-doc span count / removed chars / kept chars — a full rewrite "
     "plan, every document present",
 )
+REGISTRY["ext_dedup_substring_rewrite"] = QuerySpec(
+    DD.substring_dup_rewrite,
+    DD.substring_rewrite_oracle(),
+    "the REWRITE completing Lee et al. exact-substring dedup: emit the "
+    "cleaned text itself — non-canonical duplicated spans cut by a "
+    "row-local Catalyst fold over the collected span array; clean docs "
+    "pass through byte-identical (round-trip property: kept_chars == "
+    "length(rewritten_text) == the spans accounting's kept_chars)",
+)
 REGISTRY["ext_dedup_winnow"] = QuerySpec(
     DD.winnow_neardup_pairs,
     DD.winnow_pairs_oracle(),

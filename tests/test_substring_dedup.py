@@ -185,6 +185,139 @@ def test_no_gram_hash_in_filter_pushdown(spark, sf_dir):
                 )
 
 
+# ---------------------------------------------------------------------------
+# span rewrite (substring_dup_rewrite) — the cleaned-text emitter
+# ---------------------------------------------------------------------------
+
+
+def _py_rewrite(texts: list) -> dict:
+    """Pure-Python reference of the Lee-et-al. rewrite — shares NO code
+    with the Catalyst fold (hashlib md5, explicit corpus index, python
+    island merge + slicing). Canonical occurrence of a duplicated gram
+    = corpus-wide minimum (doc_id, position); every other occurrence
+    marks its k chars; overlapping/touching marks merge; spans cut."""
+    import hashlib
+
+    k = SUB_K
+    occ: dict = {}
+    grams: dict = {}
+    for d, t in enumerate(texts):
+        hs = [
+            int(hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()[:8], 16)
+            for i in range(max(len(t) - k + 1, 0))
+        ]
+        grams[d] = hs
+        for i, h in enumerate(hs):
+            occ.setdefault(h, []).append((d, i + 1))
+    out = {}
+    for d, t in enumerate(texts):
+        marked = [
+            i + 1
+            for i, h in enumerate(grams[d])
+            if len(occ[h]) > 1 and min(occ[h]) != (d, i + 1)
+        ]
+        spans = []
+        prev_max = None
+        for i in marked:  # ascending by construction
+            if prev_max is None or i > prev_max + (k - 1):
+                spans.append([i, i])
+            else:
+                spans[-1][1] = i
+            prev_max = i
+        pieces, pos = [], 1
+        for s, last_i in spans:
+            e = last_i + k - 1
+            pieces.append(t[pos - 1 : s - 1])
+            pos = e + 1
+        pieces.append(t[pos - 1 :])
+        out[d] = "".join(pieces)
+    return out
+
+
+def test_rewrite_identical_pair(spark):
+    # canonical doc passes through byte-identical; its twin is cut to ""
+    from hbasewd_spark.operators.dedup import substring_dup_rewrite_of
+
+    text = _distinct_filler("rwtwin", 120)
+    out = {
+        r["doc_id"]: r
+        for r in substring_dup_rewrite_of(_docs(spark, [text, text])).collect()
+    }
+    assert out[0]["rewritten_text"] == text and out[0]["kept_chars"] == len(text)
+    assert out[1]["rewritten_text"] == "" and out[1]["kept_chars"] == 0
+
+
+def test_rewrite_cuts_only_duplicated_blocks(spark):
+    # doc 1 repeats two non-adjacent blocks of doc 0: the rewrite must
+    # remove exactly those blocks and keep doc 1's own filler stitched
+    from hbasewd_spark.operators.dedup import substring_dup_rewrite_of
+
+    b1 = _distinct_filler("rwb1", 40)
+    b2 = _distinct_filler("rwb2", 40)
+    p1, p2, p3 = (
+        _distinct_filler("rwp1", 50),
+        _distinct_filler("rwp2", 50),
+        _distinct_filler("rwp3", 30),
+    )
+    doc0 = b1 + _distinct_filler("rwpad0", 60) + b2
+    doc1 = p1 + b1 + p2 + b2 + p3
+    out = {
+        r["doc_id"]: r
+        for r in substring_dup_rewrite_of(_docs(spark, [doc0, doc1])).collect()
+    }
+    assert out[0]["rewritten_text"] == doc0
+    assert out[1]["rewritten_text"] == p1 + p2 + p3
+
+
+def test_rewrite_round_trip_vs_spans_accounting(spark):
+    # the property the VERDICT asked for: kept_chars of the ACCOUNTING
+    # equals the LENGTH of the rewritten text, doc for doc — plus the
+    # emitted kept_chars column is that same length
+    from hbasewd_spark.operators.dedup import (
+        substring_dup_rewrite_of,
+        substring_dup_spans_of,
+    )
+
+    blk = _distinct_filler("rtblk", 35)
+    texts = [
+        blk + _distinct_filler(f"rt{i}", 60) + (blk if i % 2 else "")
+        for i in range(8)
+    ] + ["", "short", blk]
+    docs = _docs(spark, texts)
+    acct = {r["doc_id"]: r["kept_chars"] for r in substring_dup_spans_of(docs).collect()}
+    rw = {r["doc_id"]: r for r in substring_dup_rewrite_of(docs).collect()}
+    assert set(acct) == set(rw)
+    for d, kept in acct.items():
+        assert len(rw[d]["rewritten_text"]) == kept, d
+        assert rw[d]["kept_chars"] == kept, d
+
+
+def test_rewrite_differential_vs_python_reference(spark):
+    # hypothesis corpus (small alphabet -> natural cross-doc 20-gram
+    # repeats) + engineered twins; the python reference checks the
+    # rewritten TEXT byte-for-byte, not just lengths
+    from hypothesis import given, settings, strategies as st
+
+    from hbasewd_spark.operators.dedup import substring_dup_rewrite_of
+
+    texts: list = []
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(alphabet="ab .", min_size=0, max_size=120))
+    def collect(t):
+        texts.append(t)
+
+    collect()
+    texts.append(texts[-1] + texts[0])  # engineered shared spans
+    texts.append(texts[0])
+    want = _py_rewrite(texts)
+    got = {
+        r["doc_id"]: r["rewritten_text"]
+        for r in substring_dup_rewrite_of(_docs(spark, texts)).collect()
+    }
+    assert got == want
+
+
 def _py_winnow(text: str) -> set:
     """Pure-Python winnowing reference — shares NO code with the
     Catalyst implementation (hashlib md5, explicit window loop); the
