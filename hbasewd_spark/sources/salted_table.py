@@ -1137,9 +1137,13 @@ class SaltedTable:
             if len(rows) > self.ZONE_MAP_DRIVER_WARN_FILES:
                 warnings.warn(
                     f"zone map for {col!r} holds {len(rows)} file entries "
-                    f"on the driver; above ~{self.ZONE_MAP_DRIVER_WARN_FILES} "
-                    f"files move this planning step to a metastore/manifest "
-                    f"(see SCALE.md, driver-side metadata)",
+                    f"on the driver (past the "
+                    f"{self.ZONE_MAP_DRIVER_WARN_FILES}-file planning "
+                    f"threshold); use the manifest routes instead: "
+                    f"SaltedTable.manifest({col!r}) reads this relation AS "
+                    f"a DataFrame, and scan_merged(plan='spark') / "
+                    f"fast_count plan through it as Spark jobs "
+                    f"(SCALE.md, driver-side metadata)",
                     stacklevel=3,
                 )
             zm_cache[col] = rows
@@ -1167,6 +1171,59 @@ class SaltedTable:
                 .alias("n_nulls"),
             )
         )
+
+    def manifest(self, col: str | None = None) -> DataFrame:
+        """The per-table MANIFEST relation — ``(salt, file, lo, hi,
+        n_rows, n_nulls)``, one row per data file — readable AS a
+        DataFrame (VERDICT r11 #4; SCALE.md "driver-side metadata").
+        This is the metastore seam at 100 TB: every planning step that
+        outgrows the driver (shard cuts, wholly-inside/boundary count
+        classification, per-salt file audits) reads THIS relation as a
+        Spark job instead of collecting O(#files) zone rows —
+        :meth:`scan_merged` (``plan='spark'``/past-threshold ``auto``)
+        and :meth:`fast_count` route through it via
+        :meth:`_manifest_past_threshold`.
+
+        Source: the watermark-fresh persisted zone-map sidecar when
+        present (a metadata-only parquet read), else one column-pruned
+        scan (:meth:`zone_map`) — run ``build_zone_map(col)`` /
+        ``write(zone_map_cols=…)`` to make the manifest metadata-cheap.
+        ``salt`` is parsed from the Hive-style ``salt=N/`` path segment
+        (NULL for files outside a salt directory)."""
+        col = col or self.key_col
+        zdf = self._zone_sidecar_df(col)
+        if zdf is None:
+            zdf = self.zone_map(col)
+        return self._manifest_of(zdf)
+
+    def _manifest_of(self, zdf: DataFrame) -> DataFrame:
+        salt = F.regexp_extract("file", f"{SALT_COL}=([0-9]+)/", 1)
+        return zdf.select(
+            F.when(salt != "", salt.cast("int")).alias(SALT_COL),
+            "file",
+            "lo",
+            "hi",
+            "n_rows",
+            F.coalesce(F.col("n_nulls"), F.lit(0)).alias("n_nulls"),
+        )
+
+    def _manifest_past_threshold(self, col: str) -> DataFrame | None:
+        """The sidecar-backed manifest relation, but only when the
+        FRESH sidecar reports more files than the driver threshold —
+        the shared auto rule of :meth:`_plan_shards_spark` and
+        :meth:`_fast_count_spark` (below it, collecting the zone rows
+        is cheaper than extra Spark jobs). ``None`` means: use the
+        driver walk."""
+        zdf = self._zone_sidecar_df(col)
+        if zdf is None:
+            return None
+        counts = getattr(self, "_zone_counts", None) or {}
+        self._zone_counts = counts
+        if col not in counts:
+            counts[col] = zdf.count()  # parquet footer count, tiny
+        if counts[col] <= self.ZONE_MAP_DRIVER_WARN_FILES:
+            return None
+        return self._manifest_of(zdf)
 
     def pruned_scan(self, col: str, lo: Any = None, hi: Any = None) -> DataFrame:
         """Scan only the files whose ``col`` zone [lo_f, hi_f] overlaps
@@ -1708,18 +1765,15 @@ class SaltedTable:
         ``auto`` when there is no fresh sidecar or it is below the warn
         threshold (collecting it is cheaper than 3 extra jobs)."""
         spark, key_col = self.spark, self.key_col
-        zdf = self._zone_sidecar_df(key_col)
-        if zdf is None:
-            if auto:
+        if auto:
+            zdf = self._manifest_past_threshold(key_col)
+            if zdf is None:
                 return None
-            zdf = self.zone_map(key_col)  # explicit: one column-pruned scan
-        elif auto:
-            counts = getattr(self, "_zone_counts", None) or {}
-            self._zone_counts = counts
-            if key_col not in counts:
-                counts[key_col] = zdf.count()  # parquet footer count, tiny
-            if counts[key_col] <= self.ZONE_MAP_DRIVER_WARN_FILES:
-                return None
+        else:
+            # explicit plan='spark': the manifest relation regardless
+            # of threshold (sidecar when fresh, else one column-pruned
+            # scan)
+            zdf = self.manifest(key_col)
 
         dt = data_schema[key_col].dataType
         tn = dt.typeName()
@@ -2275,14 +2329,8 @@ class SaltedTable:
         boundary-file list, O(#boundary) ≈ 2 files per bucket on
         key-sorted layouts."""
         key_col = self.key_col
-        zdf = self._zone_sidecar_df(key_col)
+        zdf = self._manifest_past_threshold(key_col)
         if zdf is None:
-            return None
-        counts = getattr(self, "_zone_counts", None) or {}
-        self._zone_counts = counts
-        if key_col not in counts:
-            counts[key_col] = zdf.count()  # parquet footer count, tiny
-        if counts[key_col] <= self.ZONE_MAP_DRIVER_WARN_FILES:
             return None
 
         unbounded = start is None and stop is None
