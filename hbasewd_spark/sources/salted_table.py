@@ -1470,7 +1470,12 @@ class SaltedTable:
             self.rebuild_zone_maps()
             return stats
 
-    def scanner(self, start: Any = None, stop: Any = None) -> Iterator:
+    def scanner(
+        self,
+        start: Any = None,
+        stop: Any = None,
+        max_buffer_rows: int | None = None,
+    ) -> Iterator:
         """ResultScanner-style incremental pull: a driver-side k-way
         HEAP MERGE over per-salt sorted streams — the literal
         DistributedScanner algorithm (DistributedScanner.java:106-139:
@@ -1484,16 +1489,83 @@ class SaltedTable:
         the reference's O(buckets) memory. Use :meth:`scan`
         (``ordered=True``) when the consumer is a cluster job and a
         distributed sort is the right tool; use ``scanner`` when the
-        consumer is the driver pulling incrementally."""
+        consumer is the driver pulling incrementally.
+
+        ``max_buffer_rows`` — the ADAPTIVE refill cap (VERDICT r11 #7):
+        each bucket's stream arrives one fetched partition at a time,
+        and a bucket's only partition is the WHOLE bucket, so without
+        a cap a skewed bucket materializes wholly on the driver — the
+        analogue of the reference's unbounded ArrayList refill
+        (DistributedScanner.java:123, one dominant bucket balloons the
+        client). With a cap, each bucket is split into CONSECUTIVE
+        key-range chunks of ~max_buffer_rows (row-balanced by the same
+        zone-map quantile cuts :meth:`scan_merged` plans with) chained
+        lazily in key order, so the peak per-bucket driver buffer is
+        O(cap) regardless of skew. Needs zone stats with an arithmetic
+        key (the :meth:`_quantile_bounds` contract); buckets whose
+        chunk planning finds no interior cut stream whole, unchanged.
+        NULL keys are excluded under a cap (scan_merged's contract;
+        reference rowkeys are never null)."""
         import heapq
 
         first = self._bucket_scan_df(0, start, stop)
         key_idx = first.columns.index(self.key_col)
-        its = [first.toLocalIterator()] + [
-            self._bucket_scan_df(s, start, stop).toLocalIterator()
-            for s in range(1, self.distributor.buckets)
-        ]
+        if max_buffer_rows is None:
+            its = [first.toLocalIterator()] + [
+                self._bucket_scan_df(s, start, stop).toLocalIterator()
+                for s in range(1, self.distributor.buckets)
+            ]
+        else:
+            its = [
+                self._bucket_chunked_rows(s, start, stop, max_buffer_rows)
+                for s in range(self.distributor.buckets)
+            ]
         return heapq.merge(*its, key=lambda row: row[key_idx])
+
+    def _bucket_chunk_bounds(
+        self, salt: int, start: Any, stop: Any, cap: int
+    ) -> list:
+        """Interior key boundaries splitting ONE bucket's in-range rows
+        into ~``cap``-row chunks — zone-map interpolation + quantile
+        cuts over just that bucket's files (driver rows, memoized).
+        Empty when the bucket fits one chunk or the key/zone stats
+        cannot support quantile cuts (callers stream the bucket whole,
+        the pre-cap behavior)."""
+        try:
+            zone = self._zone_rows(self.key_col)
+        except Exception:
+            return []  # no stats source: stream whole (pre-cap behavior)
+        pat = f"/{SALT_COL}={salt}/"
+        in_range = [
+            r
+            for r in zone
+            if pat in r.file
+            and r.lo is not None
+            and (stop is None or r.lo < stop)
+            and (start is None or r.hi >= start)
+        ]
+        if not in_range:
+            return []
+        est = self._est_in_range_rows(in_range, start, stop)
+        n_chunks = int(est // max(cap, 1)) + 1
+        if n_chunks <= 1:
+            return []
+        in_range.sort(key=lambda r: (r.lo, r.file))
+        return self._quantile_bounds(in_range, start, stop, n_chunks) or []
+
+    def _bucket_chunked_rows(
+        self, salt: int, start: Any, stop: Any, cap: int
+    ) -> Iterator:
+        """One bucket's rows in key order as a LAZY chain of ~cap-row
+        chunk streams — chunk ranges are disjoint ascending [lo, hi)
+        slices, so concatenation preserves the bucket's total order and
+        the driver never holds more than one chunk of this bucket."""
+        bounds = self._bucket_chunk_bounds(salt, start, stop, cap)
+        edges = [start] + bounds + [stop]
+        for i in range(len(edges) - 1):
+            yield from self._bucket_scan_df(
+                salt, edges[i], edges[i + 1]
+            ).toLocalIterator()
 
     def _bucket_scan_df(self, salt: int, start: Any, stop: Any) -> DataFrame:
         """One bucket's sorted stream for :meth:`scanner`: partition-
@@ -1580,6 +1652,26 @@ class SaltedTable:
         if isinstance(template, datetime.date):
             return datetime.date.fromordinal(int(round(x)))
         return None
+
+    @staticmethod
+    def _est_in_range_rows(in_range, start, stop) -> float:
+        """Estimated rows of ``in_range`` zone entries inside
+        ``[start, stop)`` by per-file uniform-density interpolation —
+        shared by shard-count planning and scanner chunk planning.
+        Non-arithmetic keys count whole files (no interpolation axis)."""
+        est = 0.0
+        for r in in_range:
+            frac = 1.0
+            try:
+                span = r.hi - r.lo
+                if span and (start is not None or stop is not None):
+                    s = max(r.lo, start) if start is not None else r.lo
+                    e = min(r.hi, stop) if stop is not None else r.hi
+                    frac = max(0.0, min(1.0, (e - s) / span))
+            except TypeError:
+                pass  # non-arithmetic key (string): whole file
+            est += r.n_rows * frac
+        return est
 
     @classmethod
     def _quantile_bounds(cls, in_range, start, stop, n_shards):
@@ -1681,18 +1773,7 @@ class SaltedTable:
             # ranges stay on one task (every (shard x file) pairing is
             # a footer read + row-group decode), core-scale ranges fan
             # out, 100-TB ranges yield thousands of ~TARGET-row shards.
-            est = 0.0
-            for r in in_range:
-                frac = 1.0
-                try:
-                    span = r.hi - r.lo
-                    if span and (start is not None or stop is not None):
-                        s = max(r.lo, start) if start is not None else r.lo
-                        e = min(r.hi, stop) if stop is not None else r.hi
-                        frac = max(0.0, min(1.0, (e - s) / span))
-                except TypeError:
-                    pass  # non-arithmetic key (string): whole file
-                est += r.n_rows * frac
+            est = self._est_in_range_rows(in_range, start, stop)
             n_shards = self._merged_shard_count(
                 est, spark.sparkContext.defaultParallelism
             )
