@@ -311,6 +311,13 @@ def main() -> None:
     timed("dedup_winnow", lambda: Q.REGISTRY["ext_dedup_winnow"].fn(spark, SF_DIR).count())
     timed("pagerank", lambda: Q.REGISTRY["ext_graph_pagerank"].fn(spark, SF_DIR).count())
 
+    # 45-46. round-12: the span ACCOUNTING (the family's most
+    # shuffle-heavy window — row_number over the gram-hash partition;
+    # VERDICT r11 #2 wanted its scale number on record) and the span
+    # REWRITE (emits cleaned text — the Lee et al. removal step)
+    timed("dedup_spans", lambda: Q.REGISTRY["ext_dedup_substring_spans"].fn(spark, SF_DIR).count())
+    timed("dedup_rewrite", lambda: Q.REGISTRY["ext_dedup_substring_rewrite"].fn(spark, SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     try:
         _report_vs_history(
