@@ -401,19 +401,37 @@ def pagerank(
         # now both scale-adaptive paths share the cast.
         F.expr(f"(CAST({weight} AS BIGINT) * {PR_SCALE}) DIV ow").alias("p"),
     )
+    persisted = []
     if big_v:
-        # pin the big operand's partitioning ONCE (localCheckpoint
-        # preserves outputPartitioning): every iteration's contribution
-        # join then shuffles only the |V|-row rank relation while the
-        # |E|-row edge relation stays put
-        e = e.repartition("src").localCheckpoint()
-        nodes = nodes.repartition("node").localCheckpoint()
-    srcs = e.select("src").distinct().localCheckpoint()
+        # pin the big operands' partitioning ONCE via persist —
+        # InMemoryRelation PRESERVES outputPartitioning (localCheckpoint
+        # under AQE does not: the rewritten LogicalRDD reports unknown
+        # partitioning and every iteration re-exchanged the edge
+        # relation, plan-tested) — so each iteration's joins shuffle
+        # only the |V|-row rank relation while edges/nodes/srcs stay put
+        e = e.repartition("src").persist()
+        nodes = nodes.repartition("node").persist()
+        srcs = e.select("src").distinct().persist()
+        persisted = [e, nodes, srcs]
+        # MATERIALIZE before planning the first iteration: an
+        # un-executed cached adaptive plan reports unknown output
+        # partitioning and the joins would re-exchange the edge
+        # relation every round (plan-tested); two tiny jobs buy
+        # exchange-free reuse for all iterations (srcs.count() fills
+        # e's cache in passing — srcs derives from it)
+        srcs.count()
+        nodes.count()
+    else:
+        srcs = e.select("src").distinct().localCheckpoint()
     base = (3 * PR_SCALE) // (PR_D_DEN * n_nodes)
     r = nodes.select("node", F.lit(PR_SCALE // n_nodes).cast("bigint").alias("r"))
     for _ in range(iters):
-        # N rows; the checkpoint cuts the doubling lineage
+        # N rows; the checkpoint cuts the doubling lineage (and, being
+        # eager, runs every job referencing the persisted operands
+        # before they are released below)
         r = _pr_iteration(e, r, srcs, nodes, base, n_nodes, big_v).localCheckpoint()
+    for df in persisted:
+        df.unpersist()
     return r.select("node", F.col("r").alias("rank_e9"))
 
 
