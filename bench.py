@@ -314,9 +314,17 @@ def main() -> None:
     # 45-46. round-12: the span ACCOUNTING (the family's most
     # shuffle-heavy window — row_number over the gram-hash partition;
     # VERDICT r11 #2 wanted its scale number on record) and the span
-    # REWRITE (emits cleaned text — the Lee et al. removal step)
-    timed("dedup_spans", lambda: Q.REGISTRY["ext_dedup_substring_spans"].fn(spark, SF_DIR).count())
-    timed("dedup_rewrite", lambda: Q.REGISTRY["ext_dedup_substring_rewrite"].fn(spark, SF_DIR).count())
+    # REWRITE (emits cleaned text — the Lee et al. removal step).
+    # NOT .count(): both end in a LEFT join whose right side has unique
+    # keys, so Catalyst's outer-join elimination prunes the entire gram
+    # pipeline out of a bare count (measured 0.4s "spans" at sf10 vs
+    # 21.8s for coverage on the same relation — a fake number). The
+    # value aggregates force every row's kept_chars, i.e. the full
+    # window/fold pipeline, while collecting only one driver row.
+    timed("dedup_spans", lambda: Q.REGISTRY["ext_dedup_substring_spans"].fn(spark, SF_DIR)
+          .agg(F.sum("kept_chars"), F.sum("n_dup_spans")).collect())
+    timed("dedup_rewrite", lambda: Q.REGISTRY["ext_dedup_substring_rewrite"].fn(spark, SF_DIR)
+          .agg(F.sum("kept_chars")).collect())
 
     total = round(sum(timings.values()), 3)
     try:

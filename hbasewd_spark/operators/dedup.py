@@ -1132,6 +1132,16 @@ def _dup_spans_of(docs: DataFrame) -> DataFrame:
     ex = docs.select("doc_id", F.posexplode(_gram_hashes()).alias("idx", "h")).select(
         "doc_id", (F.col("idx") + 1).alias("i"), "h"
     )
+    # canonicality = row_number over (h) ordered by (doc_id, i) — kept
+    # deliberately after r12 measured the two "obvious" optimizations
+    # SLOWER or unsafe: (a) an orderless count+min(struct) single-spec
+    # window (one sort by h instead of rank's (h, doc_id, i) sort)
+    # costs 115-140s at sf10 vs row_number's ~57-97s — struct
+    # allocation + comparison across the 207M-row relation swamps the
+    # saved sort keys (sorting is dominated by the h exchange either
+    # way; the rank itself is a streaming frame); (b) min over a packed
+    # doc_id*2^30+i bigint overflows int64 for arbitrary (key-shifted)
+    # doc_ids — ANSI kills the job, non-ANSI would corrupt silently.
     wc = Window.partitionBy("h")
     wr = Window.partitionBy("h").orderBy("doc_id", "i")
     dup_occ = (
