@@ -1132,26 +1132,23 @@ def _dup_spans_of(docs: DataFrame) -> DataFrame:
     ex = docs.select("doc_id", F.posexplode(_gram_hashes()).alias("idx", "h")).select(
         "doc_id", (F.col("idx") + 1).alias("i"), "h"
     )
-    # canonicality = row_number over (h) ordered by (doc_id, i) — kept
-    # deliberately after r12 measured the two "obvious" optimizations
-    # SLOWER or unsafe: (a) an orderless count+min(struct) single-spec
-    # window (one sort by h instead of rank's (h, doc_id, i) sort)
-    # costs 115-140s at sf10 vs row_number's ~57-97s — struct
-    # allocation + comparison across the 207M-row relation swamps the
-    # saved sort keys (sorting is dominated by the h exchange either
-    # way; the rank itself is a streaming frame); (b) min over a packed
-    # doc_id*2^30+i bigint overflows int64 for arbitrary (key-shifted)
-    # doc_ids — ANSI kills the job, non-ANSI would corrupt silently.
-    wc = Window.partitionBy("h")
+    # canonicality = row_number over (h) ordered by (doc_id, i), and
+    # NOTHING else: rn > 1 already implies the gram occurs more than
+    # once, so the count-over-h window the accounting used to share
+    # with coverage was pure redundancy here — dropping it removes a
+    # whole second WindowExec pass (and its partition buffering) over
+    # the exploded gram relation. Two further "optimizations" were
+    # measured and rejected at sf10 (r12): an orderless
+    # count+min(struct) single-spec window runs 2x SLOWER than the
+    # rank (struct allocation + comparison per row swamps the saved
+    # sort keys — the h exchange dominates the sort either way), and a
+    # packed doc_id*2^30+i bigint min overflows int64 for arbitrary
+    # key-shifted doc_ids (ANSI kills the job; non-ANSI would corrupt
+    # silently).
     wr = Window.partitionBy("h").orderBy("doc_id", "i")
     dup_occ = (
-        ex.select(
-            "doc_id",
-            "i",
-            F.count("*").over(wc).alias("c"),
-            F.row_number().over(wr).alias("rn"),
-        )
-        .where((F.col("c") > 1) & (F.col("rn") > 1))
+        ex.select("doc_id", "i", F.row_number().over(wr).alias("rn"))
+        .where(F.col("rn") > 1)
         .select("doc_id", "i")
     )
     # gaps-and-islands: a new span starts when this gram no longer
@@ -1209,11 +1206,10 @@ def substring_spans_oracle() -> str:
     ),
     occ AS (
       SELECT doc_id, i,
-             count(*) OVER (PARTITION BY h) AS c,
              row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
       FROM ex
     ),
-    dup_occ AS (SELECT doc_id, i FROM occ WHERE c > 1 AND rn > 1),
+    dup_occ AS (SELECT doc_id, i FROM occ WHERE rn > 1),
     marked AS (
       SELECT doc_id, i,
              CASE WHEN max(i) OVER (PARTITION BY doc_id ORDER BY i
@@ -1326,11 +1322,10 @@ def substring_rewrite_oracle() -> str:
     ),
     occ AS (
       SELECT doc_id, i,
-             count(*) OVER (PARTITION BY h) AS c,
              row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
       FROM ex
     ),
-    dup_occ AS (SELECT doc_id, i FROM occ WHERE c > 1 AND rn > 1),
+    dup_occ AS (SELECT doc_id, i FROM occ WHERE rn > 1),
     marked AS (
       SELECT doc_id, i,
              CASE WHEN max(i) OVER (PARTITION BY doc_id ORDER BY i
