@@ -1018,11 +1018,19 @@ def winnow_fingerprints(docs: DataFrame, hash_fn: str = "md5") -> DataFrame:
             ),
         )
     )
-    return (
-        staged.select("doc_id", F.explode(sel).alias("p"))
-        .select("doc_id", F.expr(f"p DIV {_POS_PACK}").alias("h"))
-        .distinct()
+    # per-doc h dedup is ROW-LOCAL (r12 optimization): the old shape
+    # exploded packed values and ran a global .distinct() on
+    # (doc_id, h) — a full extra shuffle of the fingerprint stream
+    # before every consumer. Dropping the position bits (shiftright by
+    # the pack width; _POS_PACK is 2^30 so the shift IS the integer
+    # division) and array_distinct-ing inside the row produces the
+    # identical distinct (doc_id, h) set with zero exchanges: the
+    # selection pipeline is now shuffle-free end to end.
+    pack_bits = _POS_PACK.bit_length() - 1
+    hsel = F.array_distinct(
+        F.transform(sel, lambda p: F.shiftright(p, pack_bits))
     )
+    return staged.select("doc_id", F.explode(hsel).alias("h"))
 
 
 def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1032,31 +1040,39 @@ def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The blocked-join shape of MOSS: candidate generation is an
     equi-join on the fingerprint hash, never an all-pairs product.
 
-    The stop-gram cap is a window count over the hash partition, not
-    groupBy + join-back: the join shape re-ran the whole fingerprint
-    selection on the probe side (the relation is referenced twice),
-    and the window's exchange already hash-partitions ``keep`` by h —
-    exactly what the pair self-join wants."""
-    from pyspark.sql import Window
-
+    Pair generation (r12 optimization) is ONE aggregation per hash,
+    not a self-join: the earlier keep-vs-keep equi-join referenced the
+    selection pipeline twice, and Spark materialized the entire
+    scan -> gram-hash -> window-min subtree TWICE per run (the plan
+    carried two full copies; selection is the dominant linear cost —
+    ~29 s of the 74 s sf10 run). groupBy(h).collect_list gives each
+    fingerprint's doc set in a single pass, the DF cap is
+    size(ds) <= MAX_DF on the collected array (same predicate as the
+    old window count), and the a<b pairs explode row-locally from the
+    sorted array — identical pair multiset, half the selection work,
+    and one exchange (the groupBy) instead of the window + join's two."""
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     fps = winnow_fingerprints(docs)
-    keep = (
-        fps.select(
-            "doc_id", "h", F.count("*").over(Window.partitionBy("h")).alias("ndocs")
+    grouped = (
+        fps.groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= WINNOW_MAX_DF))
+    )
+    # all a<b pairs of the (ascending) doc array: for element i, pair
+    # with every later element — bounded by MAX_DF^2/2 per fingerprint
+    pairs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + F.lit(2), F.size("ds")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .where(F.col("ndocs") <= WINNOW_MAX_DF)
-        .drop("ndocs")
     )
     return (
-        keep.alias("a")
-        .join(
-            keep.alias("b"),
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )

@@ -418,3 +418,34 @@ def test_xxhash_production_knob(spark):
 
     with pytest.raises(ValueError):
         winnow_fingerprints(_docs(spark, [a]), hash_fn="sha1")
+
+
+def test_winnow_pairs_single_selection_pass(spark, sf_dir):
+    # r12 optimization lock: pair generation is groupBy(h) +
+    # row-local a<b expansion of the collected doc array — NOT a
+    # keep-vs-keep self-join, which materialized the whole
+    # scan -> gram-hash -> window-min selection subtree twice (two
+    # parquet scans in the plan) and paid an extra global distinct
+    # exchange on (doc_id, h). The plan must read the corpus once and
+    # contain no join at all.
+    from hbasewd_spark.operators.dedup import winnow_neardup_pairs
+
+    plan = winnow_neardup_pairs(spark, sf_dir)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    tree = plan.split("\n\n")[0]  # the numbered operator tree
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree, tree
+
+
+def test_winnow_fingerprints_shuffle_free(spark):
+    # the selection pipeline (gram hashes -> packed window-min ->
+    # per-doc h dedup) is row-local end to end: array_distinct inside
+    # the row replaced the old global .distinct() on (doc_id, h), so a
+    # bare fingerprint scan plans with zero exchanges.
+    fp = winnow_fingerprints(_docs(spark, ["abc" * 50, "xyz" * 40]))
+    plan = fp._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, tree
