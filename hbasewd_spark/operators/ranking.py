@@ -22,6 +22,8 @@ the operator contract, mirrored in the oracle.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hbasewd_spark.functions.text import sql_tokens, tokens
@@ -35,45 +37,60 @@ BM25_TOPK = 20
 
 
 def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, score) for every document containing a query term."""
+    """(doc_id, score) for every document containing a query term.
+
+    r12 optimization — ONE tokenize pass instead of four: the old
+    shape derived doclen, stats, tf and dfreq as four separate
+    aggregations over the exploded token stream, and because the
+    stream is referenced from four subtrees Spark tokenized and
+    exploded the full corpus four times (four parquet scans in the
+    plan) and shuffled doc-keyed token counts through three joins.
+    Now a single groupBy(doc_id) over one exploded stream carries the
+    document length AND one conditional count per query term
+    (map-side-combinable, so only |docs| slim rows cross the
+    exchange); the corpus statistics (n_docs, avgdl, per-term df)
+    are ONE further aggregate of that per-doc relation, broadcast
+    back as a 1-row cross join. Per-term scores become row-local
+    arithmetic — the tf/dfreq/doclen joins disappear entirely.
+
+    Exactness is preserved expression-by-expression: tf_t equals the
+    old per-(doc,term) count, df_t the old per-term doc count, avgdl
+    the identical sum/count double, and s_t the same
+    idf * (tf * (k1+1)) / denom IEEE tree folded in the same
+    declaration order (a doc-term with tf_t = 0 contributes the same
+    0.0 the old coalesce(sum(..), 0.0) produced)."""
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     tk = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    doclen = tk.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = doclen.agg(
+    per_doc = tk.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    stats = per_doc.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
     )
-    tf = (
-        tk.where(F.col("tok").isin(*BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df_t"))
     k1, b = BM25_K1, BM25_B
-    idf = F.log((F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0)
-    denom = F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
-    term_score = idf * (F.col("tf") * (k1 + 1.0)) / denom
-    scored = (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(doclen, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "tok", term_score.alias("s"))
+    matched = per_doc.where(
+        reduce(lambda a, t: a | (F.col(f"tf_{t}") > 0), BM25_TERMS[1:],
+               F.col(f"tf_{BM25_TERMS[0]}") > 0)
     )
-    # fixed fold order: one conditional aggregate per term, added in
-    # declaration order — never a SUM whose double fold order floats
-    per_term = [
-        F.coalesce(
-            F.sum(F.when(F.col("tok") == t, F.col("s"))), F.lit(0.0)
-        ).alias(f"s_{t}")
-        for t in BM25_TERMS
-    ]
+    scored = matched.crossJoin(F.broadcast(stats))
     total = None
     for t in BM25_TERMS:
-        c = F.col(f"s_{t}")
-        total = c if total is None else total + c
-    return scored.groupBy("doc_id").agg(*per_term).select(
-        "doc_id", F.round(total, 6).alias("score")
-    )
+        tf = F.col(f"tf_{t}")
+        df_t = F.col(f"df_{t}")
+        idf = F.log((F.col("n_docs") - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        denom = tf + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
+        s_t = F.when(tf > 0, idf * (tf * (k1 + 1.0)) / denom).otherwise(F.lit(0.0))
+        total = s_t if total is None else total + s_t
+    return scored.select("doc_id", F.round(total, 6).alias("score"))
 
 
 def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
