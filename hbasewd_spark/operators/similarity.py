@@ -762,30 +762,59 @@ def semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", "cid", _dot(diff, diff).alias("dist2"))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
-        .select("cid", "vec_id", "v")
+        # nv staged once per member: the pair test divides a single
+        # dot by the two staged norms — the identical
+        # dot/(sqrt(dot aa)*sqrt(dot bb)) tree `cosine` builds, minus
+        # recomputing each member's norm fold once per PAIR (2/3 of
+        # the pair work for 64-dim vectors)
+        .select("cid", "vec_id", "v", _norm(F.col("v")).alias("nv"))
     )
-    a = assigned.select("cid", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = assigned.select("cid", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    removed = (
-        a.join(b, "cid")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .where(cosine(F.col("va"), F.col("vb")) >= SEMDEDUP_TAU)
-        .select("cid", "vec_b")
-        .distinct()
+    # r12 optimization — ONE assignment pass, no pair join: `assigned`
+    # used to be referenced three times (both sides of the
+    # within-cluster pair join + the members count), so the broadcast
+    # argmin over the full corpus was planned and executed three
+    # times. Collecting each cell once (groupBy cid, sorted members)
+    # makes the pair space a ROW-LOCAL fold: member j is removed iff
+    # some earlier member i < j in the same (bounded-size) cell is
+    # cosine-close — the identical witness rule, the identical cosine
+    # expression tree (same fold order, same IEEE doubles), evaluated
+    # once per unordered pair exactly like the join produced. Plan:
+    # three argmin subtrees + two shuffles + SMJ -> one argmin subtree
+    # + one groupBy(cid) exchange.
+    cells = assigned.groupBy("cid").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").alias("vec_id"),
+                    F.col("v").alias("v"),
+                    F.col("nv").alias("nv"),
+                )
+            )
+        ).alias("ms")
     )
-    members = assigned.groupBy("cid").agg(F.count("*").alias("n_members"))
-    rem = removed.groupBy("cid").agg(
-        F.count("*").alias("n_removed"),
-        F.sum("vec_b").alias("removed_checksum"),
+    rem_ids = F.filter(
+        F.transform(
+            "ms",
+            lambda m, j: F.when(
+                F.exists(
+                    F.slice("ms", F.lit(1), j),
+                    lambda p: _dot(p.v, m.v) / (p.nv * m.nv) >= SEMDEDUP_TAU,
+                ),
+                m.vec_id,
+            ),
+        ),
+        lambda x: x.isNotNull(),
     )
-    return (
-        members.join(rem, "cid", "left_outer")
-        .select(
-            "cid",
-            "n_members",
-            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
-            F.coalesce("removed_checksum", F.lit(0)).alias("removed_checksum"),
-        )
+    staged = cells.select(
+        "cid", F.size("ms").cast("long").alias("n_members"), rem_ids.alias("rem")
+    )
+    return staged.select(
+        "cid",
+        "n_members",
+        F.size("rem").cast("long").alias("n_removed"),
+        F.aggregate("rem", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "removed_checksum"
+        ),
     )
 
 

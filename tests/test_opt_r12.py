@@ -27,3 +27,17 @@ def test_bm25_two_corpus_passes(spark, sf_dir):
     assert tree.count("Scan parquet") == 2, tree
     for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
         assert j not in tree, tree
+
+
+def test_semdedup_single_assignment_pass(spark, sf_dir):
+    # r12: the within-cell dedup is a row-local fold over each
+    # collected cell, so the broadcast-argmin assignment subtree
+    # appears ONCE (two scans total: corpus + centroid seed), and the
+    # old pair self-join + members/removed join are gone.
+    from hbasewd_spark.operators.similarity import semdedup_summary
+
+    tree = _tree(semdedup_summary(spark, sf_dir), spark)
+    assert tree.count("Scan parquet") == 2, tree
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert j not in tree, tree
+    assert tree.count("Window (") == 1, tree  # the argmin rk only
