@@ -158,12 +158,17 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     window anywhere in the plan. Every division is IEEE double over
     exactly-summed BIGINTs, so results are bit-identical cross-engine."""
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
+    # r12 optimization: per_src feeds totals, max_ratio and the final
+    # select — four lazy references that each re-ran the corpus
+    # tokenize+aggregate. The relation is |sources| rows; one eager
+    # localCheckpoint makes every downstream step re-aggregate it
+    # instead (corpus passes 4 -> 1).
     per_src = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(tokens("text")).cast("long")).alias("n_tokens"),
     ).withColumn(
         "w", F.substring("source", 4, 10).cast("int") % _N_TARGET_CLASSES + 1
-    )
+    ).localCheckpoint()
     totals = per_src.agg(
         F.sum("n_tokens").alias("tot_tokens"), F.sum("w").alias("tot_w")
     )
@@ -251,7 +256,14 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbasewd_spark.operators.sampling import _SPACE, sample_bucket
 
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    # r12 optimization: the per-lang count is referenced through
+    # `rates` twice (the resample join AND the final output), and
+    # `total` references it again — lazily that re-ran the full corpus
+    # count THREE times (the plan carried three scan+agg subtrees).
+    # The relation is bounded (|languages| rows), so one eager
+    # localCheckpoint pins it: corpus passes drop 3 -> 2 (count +
+    # resample), which is the operator's floor.
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs")).localCheckpoint()
     w = F.sqrt(F.col("n_docs").cast("double"))
     wq = F.floor(w * _WQUANT + F.lit(0.5)).cast("long")
     total = counts.agg(
