@@ -274,10 +274,25 @@ def main() -> None:
     # dedup, semantic dedup in k-means cells
     timed("tpch_q21", lambda: Q.REGISTRY["rel_q21_waiting_suppliers"].fn(spark, SF_DIR).count())
     timed("passage_dedup", lambda: Q.REGISTRY["ext_passage_dedup"].fn(spark, SF_DIR).count())
-    timed("semdedup", lambda: Q.REGISTRY["ext_semdedup"].fn(spark, SF_DIR).count())
+    # NOT .count() (r12 measurement fix, same artifact as dedup_spans/
+    # dedup_rewrite below): the per-cell removal columns are pure
+    # projections over the grouped cells, so a bare count prunes the
+    # whole pair-dedup fold (and, in the pre-r12 join shape, eliminated
+    # the entire pair join + two of three assignment subtrees via
+    # outer-join elimination — the recorded ~1.2s was assignment-only).
+    # Summing n_removed/removed_checksum forces every cell's fold while
+    # collecting one driver row.
+    timed("semdedup", lambda: Q.REGISTRY["ext_semdedup"].fn(spark, SF_DIR)
+          .agg(F.sum("n_removed"), F.sum("removed_checksum")).collect())
 
     # 28-29. round-4: temperature-scaled resampling, embedding outliers
-    timed("temperature_mixture", lambda: Q.REGISTRY["ext_temperature_mixture"].fn(spark, SF_DIR).count())
+    # NOT .count() (r12 measurement fix): the query ends in a LEFT join
+    # whose right side (per-lang sampled counts) has unique keys, so
+    # outer-join elimination dropped the entire resample scan from a
+    # bare count — the recorded number covered only the per-lang count
+    # aggregate. Summing sampled_n forces the resample pass.
+    timed("temperature_mixture", lambda: Q.REGISTRY["ext_temperature_mixture"].fn(spark, SF_DIR)
+          .agg(F.sum("sampled_n")).collect())
     timed("embed_outliers", lambda: Q.REGISTRY["ext_embed_outliers"].fn(spark, SF_DIR).count())
 
     # 30-32. round-5: incremental dedup against the persisted LSH index

@@ -355,7 +355,15 @@ def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbasewd_spark.functions.text import quality_score
 
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    qd = docs.select("lang", quality_score("text").alias("quality"))
+    # r12 optimization — the docstring's "at scale you'd persist the
+    # score column instead" shape, realized: qd is referenced by both
+    # the percentile aggregate and the survivor count, so the
+    # regex-heavy quality_score used to run over the full text twice.
+    # The slim (lang, double) relation checkpoints once; both
+    # consumers re-read 16-byte rows instead of re-scoring text.
+    qd = docs.select(
+        "lang", quality_score("text").alias("quality")
+    ).localCheckpoint()
     qd.createOrReplaceTempView("qcal_qd")
     cuts = spark.sql(
         f"""
