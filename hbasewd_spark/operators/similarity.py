@@ -56,6 +56,16 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cos_staged(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with the two norms STAGED as columns (r12): the
+    expression tree is identical — dot / (norm_a * norm_b), same IEEE
+    order — but each side's norm fold is computed once per ROW before
+    a join fans it out, instead of once per PAIR. For 64-dim vectors
+    that removes 2/3 of the per-pair fold work in every cross/equi
+    join scorer below."""
+    return _dot(a, b) / (na * nb)
+
+
 def sql_dot(a: str, b: str) -> str:
     """DuckDB twin of :func:`_dot` (same fold order).
 
@@ -76,15 +86,24 @@ def brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
-    corpus = emb.select("vec_id", _dvec("embedding").alias("v"))
+    corpus = emb.select("vec_id", _dvec("embedding").alias("v")).select(
+        "vec_id", "v", _norm(F.col("v")).alias("nv")
+    )
     queries = (
         emb.where(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), _dvec("embedding").alias("q"))
+        .select("query_id", "q", _norm(F.col("q")).alias("nq"))
     )
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cosine(F.col("q"), F.col("v")).alias("cos_sim"))
+        .select(
+            "query_id",
+            "vec_id",
+            _cos_staged(
+                F.col("q"), F.col("v"), F.col("nq"), F.col("nv")
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
@@ -118,18 +137,25 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
-    corpus = emb.select("vec_id", _dvec("embedding").alias("v"))
+    corpus = emb.select("vec_id", _dvec("embedding").alias("v")).select(
+        "vec_id", "v", _norm(F.col("v")).alias("nv")
+    )
     cents = (
         emb.where(F.col("vec_id") < N_CENTROIDS)
         .select(F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("cv"))
+        .select("cent_id", "cv", _norm(F.col("cv")).alias("ncv"))
     )
     ac = corpus.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("sim")
+        "vec_id",
+        "v",
+        "nv",
+        "cent_id",
+        _cos_staged(F.col("v"), F.col("cv"), F.col("nv"), F.col("ncv")).alias("sim"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id").asc())
     return (
         ac.withColumn("rk", F.row_number().over(w_assign)).where(F.col("rk") == 1)
-        .select("vec_id", "v", F.col("cent_id").alias("cell"))
+        .select("vec_id", "v", "nv", F.col("cent_id").alias("cell"))
     )
 
 
@@ -141,29 +167,47 @@ def _ivf_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (
         emb.where(F.col("vec_id") < N_CENTROIDS)
         .select(F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("cv"))
+        .select("cent_id", "cv", _norm(F.col("cv")).alias("ncv"))
     )
     queries = (
         emb.where(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), _dvec("embedding").alias("q"))
+        .select("query_id", "q", _norm(F.col("q")).alias("nq"))
     )
     qc = queries.crossJoin(F.broadcast(cents)).select(
-        "query_id", "q", "cent_id", cosine(F.col("q"), F.col("cv")).alias("sim")
+        "query_id",
+        "q",
+        "nq",
+        "cent_id",
+        _cos_staged(F.col("q"), F.col("cv"), F.col("nq"), F.col("ncv")).alias("sim"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cent_id").asc())
     return (
         qc.withColumn("rk", F.row_number().over(w_probe)).where(F.col("rk") <= NPROBE)
-        .select("query_id", "q", F.col("cent_id").alias("cell"))
+        .select("query_id", "q", "nq", F.col("cent_id").alias("cell"))
     )
 
 
 def _ivf_rerank(assigned: DataFrame, probes: DataFrame) -> DataFrame:
-    """Exact cosine re-rank over the probed cells only."""
+    """Exact cosine re-rank over the probed cells only. Accepts inputs
+    with or without pre-staged norms (the persisted index carries none
+    — its on-disk layout is unchanged by the r12 norm staging)."""
     from pyspark.sql import Window
 
+    if "nv" not in assigned.columns:
+        assigned = assigned.select("*", _norm(F.col("v")).alias("nv"))
+    if "nq" not in probes.columns:
+        probes = probes.select("*", _norm(F.col("q")).alias("nq"))
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cosine(F.col("q"), F.col("v")).alias("cos_sim"))
+        .select(
+            "query_id",
+            "vec_id",
+            _cos_staged(
+                F.col("q"), F.col("v"), F.col("nq"), F.col("nv")
+            ).alias("cos_sim"),
+        )
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
@@ -231,9 +275,15 @@ def _assign_cells(spark: SparkSession, sf_dir: str, cents: DataFrame) -> DataFra
     from pyspark.sql import Window
 
     emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
-    corpus = emb.select("vec_id", _dvec("embedding").alias("v"))
+    corpus = emb.select("vec_id", _dvec("embedding").alias("v")).select(
+        "vec_id", "v", _norm(F.col("v")).alias("nv")
+    )
+    cents = cents.select("cent_id", "cv", _norm(F.col("cv")).alias("ncv"))
     ac = corpus.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("sim")
+        "vec_id",
+        "v",
+        "cent_id",
+        _cos_staged(F.col("v"), F.col("cv"), F.col("nv"), F.col("ncv")).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id").asc())
     return (
@@ -251,9 +301,14 @@ def _probes_against(spark: SparkSession, sf_dir: str, cents: DataFrame) -> DataF
     queries = (
         emb.where(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), _dvec("embedding").alias("q"))
+        .select("query_id", "q", _norm(F.col("q")).alias("nq"))
     )
+    cents = cents.select("cent_id", "cv", _norm(F.col("cv")).alias("ncv"))
     qc = queries.crossJoin(F.broadcast(cents)).select(
-        "query_id", "q", "cent_id", cosine(F.col("q"), F.col("cv")).alias("sim")
+        "query_id",
+        "q",
+        "cent_id",
+        _cos_staged(F.col("q"), F.col("cv"), F.col("nq"), F.col("ncv")).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cent_id").asc())
     return (
@@ -320,16 +375,24 @@ def train_ivf_centroids(
     from pyspark.sql import Window
 
     emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
-    corpus = emb.select("vec_id", _dvec("embedding").alias("v"))
+    corpus = emb.select("vec_id", _dvec("embedding").alias("v")).select(
+        "vec_id", "v", _norm(F.col("v")).alias("nv")
+    )
     cents = (
         emb.where(F.col("vec_id") < k)
         .select(F.col("vec_id").cast("int").alias("cent_id"), _dvec("embedding").alias("cv"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id").asc())
     for _ in range(iters):
+        staged_cents = cents.select("cent_id", "cv", _norm(F.col("cv")).alias("ncv"))
         assigned = (
-            corpus.crossJoin(F.broadcast(cents))
-            .select("vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("sim"))
+            corpus.crossJoin(F.broadcast(staged_cents))
+            .select(
+                "vec_id",
+                "v",
+                "cent_id",
+                _cos_staged(F.col("v"), F.col("cv"), F.col("nv"), F.col("ncv")).alias("sim"),
+            )
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") == 1)
         )
@@ -424,23 +487,30 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.pow(F.lit(2.0), F.col("pid") % NEARDUP_BAND_BITS).cast("bigint")
         ).alias("band_sig")
     )
-    feat = corpus.join(bsig, "vec_id")
+    feat = corpus.join(bsig, "vec_id").select(
+        "*", _norm(F.col("v")).alias("nv")
+    )
     a = feat.select(
         "label", "band", "band_sig",
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nv").alias("na"),
     )
     b = feat.select(
         "label", "band", "band_sig",
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
     )
     cand = (
         a.join(b, ["label", "band", "band_sig"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("label", "vec_a", "vec_b", "va", "vb")
+        .select("label", "vec_a", "vec_b", "va", "vb", "na", "nb")
         .dropDuplicates(["label", "vec_a", "vec_b"])
     )
     return cand.select(
-        "label", "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+        "label",
+        "vec_a",
+        "vec_b",
+        _cos_staged(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("cos_sim"),
     ).where(F.col("cos_sim") >= NEARDUP_TAU)
 
 
@@ -690,13 +760,26 @@ def lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
     corpus = emb.select("vec_id", _dvec("embedding").alias("v"))
     sig = _lsh_signatures(spark, sf_dir)
-    bucketed = corpus.join(sig, "vec_id")
-    a = bucketed.select(F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = bucketed.select(F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    bucketed = corpus.join(sig, "vec_id").select(
+        "*", _norm(F.col("v")).alias("nv")
+    )
+    a = bucketed.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"), F.col("nv").alias("na"),
+    )
+    b = bucketed.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"), F.col("nv").alias("nb"),
+    )
     return (
         a.join(b, "bucket")
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("bucket", "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select(
+            "bucket",
+            "vec_a",
+            "vec_b",
+            _cos_staged(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("cos_sim"),
+        )
         .where(F.col("cos_sim") >= 0.25)
     )
 
