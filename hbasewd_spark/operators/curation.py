@@ -101,7 +101,13 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (agg + join back); the per-doc rollup re-shuffles (doc_id,
     is_dup) pairs. Payload text never shuffles."""
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    segs = _segments(docs)
+    # r12 optimization: segs feeds both the first-occurrence aggregate
+    # and the mark join, so the tokenize+md5 segmentation generator ran
+    # twice (two Generate subtrees in the plan). The relation is slim
+    # (doc_id, seg_key, fp — no text); one eager checkpoint trades a
+    # ~24 B/row serialize for the second full segmentation pass, the
+    # same persist-the-projection stance quality_calibration documents.
+    segs = _segments(docs).localCheckpoint()
     firsts = segs.groupBy("fp").agg(F.min("seg_key").alias("first_key"))
     marked = segs.join(firsts, "fp").select(
         "doc_id", (F.col("seg_key") != F.col("first_key")).alias("is_dup")

@@ -227,13 +227,25 @@ def unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical on every engine."""
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
     tk = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    counts = tk.groupBy("tok").agg(F.count("*").alias("freq"))
+    # r12 optimization: tk fed both the vocabulary count and the join's
+    # probe side, so the corpus tokenized+exploded twice. Pre-reducing
+    # to per-(doc, tok) occurrence counts (map-side combinable) and
+    # checkpointing that slim relation tokenizes ONCE, and the freq
+    # join now moves one row per distinct (doc, tok) instead of one per
+    # token occurrence — strictly fewer shuffle bytes. Values are
+    # identical: n_tok = sum(nn), sum_freq = sum(nn * freq) with the
+    # multiply in decimal so the overflow envelope matches the old
+    # per-occurrence decimal sum.
+    tkc = (
+        tk.groupBy("doc_id", "tok").agg(F.count("*").alias("nn")).localCheckpoint()
+    )
+    counts = tkc.groupBy("tok").agg(F.sum("nn").alias("freq"))
     return (
-        tk.join(counts, "tok")
+        tkc.join(counts, "tok")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tok"),
-            F.sum(F.col("freq").cast("decimal(38,0)"))
+            F.sum("nn").alias("n_tok"),
+            F.sum(F.col("nn").cast("decimal(38,0)") * F.col("freq"))
             .cast("bigint")
             .alias("sum_freq"),
         )
