@@ -399,13 +399,22 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     via 4×8-bit block LSH (any pair within distance 3 shares at least
     one exact block — pigeonhole), then exact popcount verification."""
     sh = simhash_df(spark, sf_dir)
-    blocks = []
-    for blk in range(4):
-        b = F.shiftright(F.col("simhash"), blk * 8).bitwiseAND(F.lit(0xFF))
-        blocks.append(sh.select("doc_id", "simhash", F.lit(blk).alias("blk"), b.alias("bval")))
-    bdf = blocks[0]
-    for x in blocks[1:]:
-        bdf = bdf.unionByName(x)
+    # r12 optimization: the old shape unioned four per-block
+    # projections of sh (sh subtree x4) and then self-joined the union
+    # (x2) — the full explode+md5+bit-slice simhash pipeline executed
+    # EIGHT times per run. One posexplode emits the same four
+    # (blk, bval) rows per doc in a single pass, and the slim
+    # (doc_id, simhash, blk, bval) relation checkpoints once so both
+    # self-join sides read 20-byte rows. Identical candidate set.
+    bvals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), blk * 8).bitwiseAND(F.lit(0xFF))
+            for blk in range(4)
+        ]
+    )
+    bdf = sh.select(
+        "doc_id", "simhash", F.posexplode(bvals).alias("blk", "bval")
+    ).localCheckpoint()
     a, b = bdf.alias("a"), bdf.alias("b")
     cand = (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bval") == F.col("b.bval")))
@@ -511,7 +520,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    g = _gram_sets(spark, sf_dir)
+    # r12 optimization: g feeds the df aggregation, the blocking
+    # relation (referenced twice via the candidate self-join), the
+    # length-ratio screen and both verify sides — lazily the
+    # normalize+gram computation ran ~7x per query. Checkpoint the
+    # (doc_id, lang, grams) relation once; every consumer reads it.
+    g = _gram_sets(spark, sf_dir).localCheckpoint()
     # the df ceiling is a 1-row broadcast relation, not an eager
     # .count() at plan-construction time (ADVICE r5: building the
     # DataFrame must not run a Spark job — registry walks, test_plans
@@ -532,6 +546,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= NGRAM_BLOCK_B)
         .select("gram", "doc_id")
+        # tiny (<= B rows per doc) and self-joined below — checkpoint
+        # so the df-join + top-B window run once, not twice
+        .localCheckpoint()
     )
     cand = (
         block.alias("x")
