@@ -238,9 +238,13 @@ def test_training_layout_shapes(spark, sf_dir):
     assert "Join" not in psh and "Window" not in psh
 
     puf = _plan(unigram_familiarity(spark, sf_dir))
-    # an equi-join on the token key, strategy chosen by statistics;
-    # partial (map-side) vocabulary counts either way
-    assert "Join" in puf and "partial_count" in puf
+    # an equi-join on the token key, strategy chosen by statistics.
+    # r12: the corpus pre-reduces to per-(doc, tok) occurrence counts
+    # and checkpoints once (tokenize runs once, the freq join moves
+    # one row per distinct pair), so the vocabulary aggregate is now a
+    # partial SUM of those counts over the checkpointed relation.
+    assert "Join" in puf and "partial_sum" in puf
+    assert "ExistingRDD" in puf  # the single-tokenize checkpoint
 
 
 def test_drift_scrub_codedetect_shapes(spark, sf_dir):
@@ -426,7 +430,10 @@ def test_passage_dedup_min_agg_not_window(spark, sf_dir):
     plan = _plan(passage_dedup(spark, sf_dir))
     assert "Window" not in plan
     assert "partial_min" in plan  # map-side combine per fingerprint
-    assert "Generate explode" in plan  # inline segmentation, no shuffle
+    # r12: segmentation runs ONCE in the checkpoint job (it used to
+    # run twice — once per segs reference); the query plan reads the
+    # checkpointed slim relation instead of re-generating.
+    assert "ExistingRDD" in plan
 
 
 def test_semdedup_assignment_broadcasts_centroids(spark, sf_dir):
