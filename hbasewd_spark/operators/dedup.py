@@ -283,11 +283,30 @@ def _minhash_dedup_pairs_uncached(spark: SparkSession, sf_dir: str) -> DataFrame
     feats = _cached_features(spark, sf_dir)
     sh = feats.select("doc_id", F.array_distinct("hs").alias("hset"))
     bands = _bands_of(feats)
-    a, b = bands.alias("a"), bands.alias("b")
+    # Candidate generation (r12): ONE aggregation per LSH bucket, not a
+    # self-join — the winnow shape. Each (band, band_hash) group holds
+    # distinct doc_ids (one band row per doc), so the sorted collect_list
+    # expands the identical a<b pair set row-locally; the bands relation
+    # crosses one exchange (the groupBy) instead of the self-join's two.
+    # A hot bucket costs |bucket|^2/2 pairs either way — same bound the
+    # join had; no semantics change, so no cap is added here.
+    grouped = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    bucket_pairs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + F.lit(2), F.size("ds")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_hash") == F.col("b.band_hash")))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.select(F.explode(bucket_pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("hs_a"))
