@@ -1834,11 +1834,19 @@ def ext_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok")).where(
         F.length("tok") >= 4
     )
-    tf = tk.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # r12 optimization (guide §3.3): tf is consumed by THREE branches
+    # (df_t, n_docs, the scored join). Deriving all of them from the tf
+    # aggregation was only lazily shared — the column sets required by
+    # each branch differ, so planning-time ReuseExchange never matched
+    # and the tokenize+explode+count pipeline executed three times
+    # (3 parquet scans / 3 Generates in the before-plan). The slim
+    # (doc_id, tok, tf) relation — the same per-(doc, tok) pre-reduce
+    # unigram_familiarity checkpoints — is pinned once; every branch
+    # re-reads 3-column rows instead of re-tokenizing the corpus.
+    tf = (
+        tk.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).localCheckpoint()
+    )
     df_t = tf.groupBy("tok").agg(F.count("*").alias("df_t"))
-    # N from tf, not tk: the tf aggregation's exchange then appears in
-    # all three branches and ReuseExchange computes tokenize+tf ONCE
-    # (deriving N from tk re-tokenizes the whole corpus a second time)
     n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(df_t, "tok")
@@ -2020,37 +2028,49 @@ def ext_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbasewd_spark.operators.topk import global_topk
 
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    tk = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tk = docs.select("doc_id", "lang", "source", F.explode(tokens("text")).alias("tok"))
+    # r12 optimization (guide §2.3/§3.3): tk fed both the vocabulary
+    # count and the per-doc probe, so the corpus was tokenized+exploded
+    # TWICE, and a third documents scan joined (lang, source) back on.
+    # Pre-reduce the stream to per-(doc, tok) occurrence counts — the
+    # map-side-combinable unigram_familiarity shape — carrying the
+    # doc's (lang, source) through the grouping (doc_id is unique, so
+    # the groups are identical), and pin that slim relation once. The
+    # vocabulary is a re-aggregation (sum nn ≡ count per tok), the
+    # per-doc probe weights matches by nn (sum nn ≡ token count), and
+    # the final rollup reads lang/source straight off the checkpoint —
+    # one tokenize pass, no documents re-scan, integer-identical counts.
+    tkc = (
+        tk.groupBy("doc_id", "lang", "source", "tok")
+        .agg(F.count("*").alias("nn"))
+        .localCheckpoint()
+    )
     vocab = global_topk(
-        tk.groupBy("tok").agg(F.count("*").alias("n")),
+        tkc.groupBy("tok").agg(F.sum("nn").alias("n")),
         [F.col("n").desc(), F.col("tok").asc()],
         VOCAB_TOP_K,
         rk_name=None,
     ).select("tok")
     per_doc = (
-        tk.join(F.broadcast(vocab.withColumn("in_v", F.lit(1))), "tok", "left")
-        .groupBy("doc_id")
+        tkc.join(F.broadcast(vocab.withColumn("in_v", F.lit(1))), "tok", "left")
+        .groupBy("doc_id", "lang", "source")
         .agg(
-            F.count("*").alias("n_tok"),
-            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.sum("nn").alias("n_tok"),
+            F.sum(F.when(F.col("in_v").isNull(), F.col("nn")).otherwise(F.lit(0))).alias("n_oov"),
         )
         .select(
-            "doc_id",
+            "lang",
+            "source",
             (F.col("n_oov").cast("double") / F.col("n_tok").cast("double")).alias(
                 "oov_frac"
             ),
         )
     )
-    return (
-        docs.select("doc_id", "lang", "source")
-        .join(per_doc, "doc_id")
-        .groupBy("lang", "source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.col("oov_frac").cast("decimal(18,12)"))
-            .cast("double")
-            .alias("sum_oov_frac"),
-        )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("oov_frac").cast("decimal(18,12)"))
+        .cast("double")
+        .alias("sum_oov_frac"),
     )
 
 
