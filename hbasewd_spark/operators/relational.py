@@ -1499,9 +1499,61 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, each map-side combinable, joined on user_id — the
     standard product-analytics funnel at data-warehouse scale.
 
-    Identical SQL runs on both engines (timestamp mins are exact)."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(FUNNEL_ORACLE)
+    r12 optimization (guide §2.4/§3.3): the previous shape ran
+    FUNNEL_ORACLE's CTE chain on Spark too, and Catalyst inlines every
+    CTE reference — s1 feeds s2 AND the stage rollup, s2 feeds s3 AND
+    the rollup, so the plan re-executed the shared subtrees and
+    scanned events SEVEN times. The DataFrame form pins each bounded
+    per-user aggregate (one row per user) with a localCheckpoint, so
+    the three stage passes each scan events exactly once (view-min;
+    clicks joined to s1; purchases joined to s2) and the final stage
+    CASE joins three slim checkpointed relations. The per-user
+    aggregate doubles as the DISTINCT user set, removing the oracle's
+    fourth scan. DuckDB keeps the CTE text (oracle only needs to be
+    correct, not fast); min-of-timestamp semantics are exact on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    day = F.expr("INTERVAL '24' HOUR")
+    # one row per distinct user (the oracle's u) + first-view time (s1).
+    # A NULL user_id groups here like SQL's GROUP BY, but every oracle
+    # join is an equality on user_id (never matches NULL), so the stage
+    # CASE below pins NULL users to stage 0 explicitly.
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"))
+        .localCheckpoint()
+    )
+    s1 = users.where(F.col("t1").isNotNull() & F.col("user_id").isNotNull())
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where((F.col("ts") >= F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+        .localCheckpoint()
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((F.col("ts") >= F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stages = (
+        users.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            F.when(F.col("user_id").isNull(), F.lit(0))
+            .when(F.col("t3").isNotNull(), F.lit(3))
+            .when(F.col("t2").isNotNull(), F.lit(2))
+            .when(F.col("t1").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("stage")
+        )
+    )
+    return stages.groupBy("stage").agg(F.count("*").alias("n_users"))
 
 
 # ---------------------------------------------------------------------------
