@@ -468,27 +468,46 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for dissimilar ones; production near-dup at τ≈0.9 discriminates
     far more sharply with wider bands). Verification is exact cosine
     on candidates only; recall is part of the operator contract and
-    the oracle mirrors the same bands bit-for-bit."""
+    the oracle mirrors the same bands bit-for-bit.
+
+    r12 optimization (guide §2.4/§8): (1) band signatures are computed
+    ROW-LOCALLY against a 1-row broadcast plane array — the former
+    (corpus x planes) explode + (vec_id, band) groupBy + join-back
+    shuffled the corpus twice before any pairing; the band list
+    derives from the planes actually present (floor(pid/BB) over the
+    collected array), so missing planes degrade exactly like the old
+    per-pid grouping. (2) The per-band feature relation is pinned once
+    (the self-join's sides previously re-executed the whole signature
+    pipeline — 6 parquet scans). (3) Exact cosine is computed on the
+    band match and the τ filter applied BEFORE the cross-band dedup,
+    so the distinct exchange carries slim (label, ids, one double)
+    rows instead of both 64-dim vectors; duplicates of a pair carry a
+    bit-identical cos_sim (same fold on same operands), so dedup keeps
+    the same single row per pair."""
     emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
     corpus = emb.select("vec_id", "label", _dvec("embedding").alias("v"))
-    planes = (
-        emb.where(F.col("vec_id") < NEARDUP_BANDS * NEARDUP_BAND_BITS)
-        .select(F.col("vec_id").cast("int").alias("pid"), _dvec("embedding").alias("pv"))
+    bb = F.lit(NEARDUP_BAND_BITS)
+    band_of = lambda p: F.floor(p["pid"] / bb).cast("int")  # noqa: E731
+    sig_of = lambda band: F.aggregate(  # noqa: E731 — Σ bit·2^(pid%BB) over the band's planes
+        F.filter("ps", lambda p: band_of(p) == band),
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc
+        + F.when(_dot(F.col("v"), p["pv"]) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        * F.pow(F.lit(2.0), p["pid"] % bb).cast("bigint"),
     )
-    dotted = corpus.crossJoin(F.broadcast(planes)).select(
-        "vec_id", "pid",
-        F.when(_dot(F.col("v"), F.col("pv")) >= 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
-    )
-    bsig = dotted.groupBy(
-        "vec_id", F.floor(F.col("pid") / NEARDUP_BAND_BITS).cast("int").alias("band")
-    ).agg(
-        F.sum(
-            F.col("bit")
-            * F.pow(F.lit(2.0), F.col("pid") % NEARDUP_BAND_BITS).cast("bigint")
-        ).alias("band_sig")
-    )
-    feat = corpus.join(bsig, "vec_id").select(
-        "*", _norm(F.col("v")).alias("nv")
+    feat = (
+        corpus.crossJoin(F.broadcast(_planes_row(emb, NEARDUP_BANDS * NEARDUP_BAND_BITS)))
+        .select(
+            "vec_id", "label", "v", _norm(F.col("v")).alias("nv"),
+            F.explode(
+                F.transform(
+                    F.array_distinct(F.transform("ps", band_of)),
+                    lambda band: F.struct(band.alias("band"), sig_of(band).alias("band_sig")),
+                )
+            ).alias("bs"),
+        )
+        .select("vec_id", "label", "v", "nv", "bs.band", "bs.band_sig")
+        .localCheckpoint()
     )
     a = feat.select(
         "label", "band", "band_sig",
@@ -500,18 +519,18 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
         F.col("nv").alias("nb"),
     )
-    cand = (
+    return (
         a.join(b, ["label", "band", "band_sig"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("label", "vec_a", "vec_b", "va", "vb", "na", "nb")
+        .select(
+            "label",
+            "vec_a",
+            "vec_b",
+            _cos_staged(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= NEARDUP_TAU)
         .dropDuplicates(["label", "vec_a", "vec_b"])
     )
-    return cand.select(
-        "label",
-        "vec_a",
-        "vec_b",
-        _cos_staged(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("cos_sim"),
-    ).where(F.col("cos_sim") >= NEARDUP_TAU)
 
 
 def embedding_neardup_oracle() -> str:
@@ -730,38 +749,61 @@ def kmeans_one_iter_oracle() -> str:
 LSH_BITS = 8
 
 
-def _lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, bucket) — signed-random-projection signature: the sign
-    pattern of each vector's dot products with ``LSH_BITS`` hyperplanes
-    (deterministic: the lowest-vec_id vectors), packed into an integer
-    bucket id. One broadcast join + one vec_id-keyed aggregation."""
-    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
-    corpus = emb.select("vec_id", _dvec("embedding").alias("v"))
+def _planes_row(emb: DataFrame, n_planes: int) -> DataFrame:
+    """ONE row holding every hyperplane as a (pid, pv) struct array —
+    broadcast-cross-joined so per-vector signatures become row-local
+    arithmetic (r12): the former (corpus x planes) explode + groupBy
+    shuffled |corpus| x n_planes slim rows and then joined the
+    signature relation back onto the corpus (a second corpus-sized
+    exchange); folding over the collected plane array computes the
+    identical integer signature with ZERO exchanges. ``array_sort`` on
+    the struct array is only for a deterministic display order —
+    signatures are integer sums, exact in any order."""
     planes = (
-        emb.where(F.col("vec_id") < LSH_BITS)
+        emb.where(F.col("vec_id") < n_planes)
         .select(F.col("vec_id").cast("int").alias("pid"), _dvec("embedding").alias("pv"))
     )
-    dotted = corpus.crossJoin(F.broadcast(planes)).select(
-        "vec_id", "pid",
-        F.when(_dot(F.col("v"), F.col("pv")) >= 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
-    )
-    return dotted.groupBy("vec_id").agg(
-        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("pid")).cast("bigint")).alias("bucket")
+    return planes.agg(F.array_sort(F.collect_list(F.struct("pid", "pv"))).alias("ps"))
+
+
+def _lsh_bucket(v: Column) -> Column:
+    """Row-local twin of the former ``_lsh_signatures`` aggregation:
+    bucket = Σ bit(pid)·2^pid over the collected planes. The per-term
+    expression (sign test, pow(2.0, pid) cast bigint) is unchanged;
+    the sum is integer, so the fold order cannot matter."""
+    return F.aggregate(
+        F.col("ps"),
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc
+        + F.when(_dot(v, p["pv"]) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        * F.pow(F.lit(2.0), p["pid"]).cast("bigint"),
     )
 
 
 def lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed-random-projection LSH near-dup: bucket every vector by its
-    hyperplane signature (``_lsh_signatures``), then compare only
-    same-bucket pairs with exact cosine. At 100 TB the bucket id is the
-    partition key, so candidate generation is an equi-join on a 2^8
-    domain instead of an n² cross product; recall is tunable via bits
-    and multi-probe."""
+    hyperplane signature, then compare only same-bucket pairs with
+    exact cosine. At 100 TB the bucket id is the partition key, so
+    candidate generation is an equi-join on a 2^8 domain instead of an
+    n² cross product; recall is tunable via bits and multi-probe.
+
+    r12 optimization (guide §2.4): signatures are computed ROW-LOCALLY
+    against a 1-row broadcast plane array (no corpus-sized signature
+    shuffle, no join back onto the corpus), and the bucketed relation
+    is pinned once — the self-join's two sides previously re-executed
+    the whole signature pipeline (mirrored subtrees, 6 parquet scans).
+    The empty-plane guard (size(ps) > 0) reproduces the former inner
+    join's behavior when no plane vectors exist."""
     emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
     corpus = emb.select("vec_id", _dvec("embedding").alias("v"))
-    sig = _lsh_signatures(spark, sf_dir)
-    bucketed = corpus.join(sig, "vec_id").select(
-        "*", _norm(F.col("v")).alias("nv")
+    bucketed = (
+        corpus.crossJoin(F.broadcast(_planes_row(emb, LSH_BITS)))
+        .where(F.size("ps") > 0)
+        .select(
+            "vec_id", "v", _lsh_bucket(F.col("v")).alias("bucket"),
+            _norm(F.col("v")).alias("nv"),
+        )
+        .localCheckpoint()
     )
     a = bucketed.select(
         F.col("bucket"), F.col("vec_id").alias("vec_a"),
