@@ -442,7 +442,13 @@ def passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is the sorted keep-set, not a window — no single-partition
     sort anywhere."""
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), spark)
-    slim = _segments(docs, with_text=False)
+    # r12 optimization (guide §3.3), mirroring passage_dedup's fix: the
+    # slim segment relation feeds the first-occurrence aggregate AND
+    # the keep-set join, so the tokenize+md5 segmentation generator ran
+    # twice (two Generate subtrees in the before-plan). Pin the slim
+    # (doc_id, seg_key, seg_idx, fp) projection once — segment text
+    # still never materializes anywhere.
+    slim = _segments(docs, with_text=False).localCheckpoint()
     firsts = slim.groupBy("fp").agg(F.min("seg_key").alias("first_key"))
     keep_sets = (
         slim.join(firsts, "fp")

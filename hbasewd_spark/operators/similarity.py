@@ -653,7 +653,13 @@ def kmeans_one_iter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
-    corpus = emb.select("vec_id", _dvec("embedding").alias("v"))
+    # r12 optimization (guide §3.3): corpus feeds both assignment
+    # rounds (a1 inside the centroid-update broadcast build, then a2),
+    # so the scan + float->double conversion ran twice, behind two
+    # separate round-robin ensure_min_parallelism exchanges. Pinning it
+    # matches the multi-iteration kmeans_clusters, which already
+    # checkpoints its corpus.
+    corpus = emb.select("vec_id", _dvec("embedding").alias("v")).localCheckpoint()
     cents0 = emb.where(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").cast("int").alias("cid"), _dvec("embedding").alias("cv")
     )

@@ -545,6 +545,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(eu_supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum(_rev()).cast("decimal(25,4)").alias("value_dec"))
+        # r12 optimization (guide §3.3): vals feeds the global total AND
+        # the threshold filter; the two consumers require different
+        # column sets, so ReuseExchange never matched and the whole
+        # lineitem aggregation ran twice (8 scans in the before-plan —
+        # the docstring's "no second pass over the fact" was only
+        # lazily true). The |parts|-row aggregate pins once.
+        .localCheckpoint()
     )
     total = vals.agg(F.sum("value_dec").cast("decimal(38,4)").alias("total_dec"))
     return (
