@@ -117,7 +117,17 @@ def incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs O(|delta aggregate|), never a re-scan of history; the base
     would be read from the materialized store. Decimal sums make the
     merge exact — a double partial-sum would drift under re-aggregation
-    order."""
+    order.
+
+    r12 optimization (guide §2.4): the base and delta partials used to
+    be two separately-filtered scans of orders (2 parquet scans, the
+    full table read twice with complementary pushed filters). A
+    partition flag (o_orderdate >= cutoff) in the grouping key yields
+    the IDENTICAL partial-aggregate rows from ONE scan — the merge by
+    re-aggregation (counts add, decimal sums add, min/max nest) is
+    unchanged, which is the property the operator demonstrates. The
+    isNotNull guard reproduces the old filters' joint behavior of
+    dropping NULL order dates."""
     orders = load_table(spark, sf_dir, "orders")
     # month boundary typed DATE on both engines (Spark date_trunc
     # returns TIMESTAMP, DuckDB's returns DATE for a DATE input — the
@@ -126,21 +136,19 @@ def incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
         F.col("o_orderstatus").alias("status"),
     ]
-
-    def partials(df: DataFrame) -> DataFrame:
-        return df.groupBy(*keys).agg(
+    cutoff = F.lit(MV_CUTOFF).cast("timestamp")
+    parts = (
+        orders.where(F.col("o_orderdate").isNotNull())
+        .groupBy(*keys, (F.col("o_orderdate") >= cutoff).alias("is_delta"))
+        .agg(
             F.count("*").alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("sv"),
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
         )
-
-    cutoff = F.lit(MV_CUTOFF).cast("timestamp")
-    base = partials(orders.where(F.col("o_orderdate") < cutoff))
-    delta = partials(orders.where(F.col("o_orderdate") >= cutoff))
+    )
     return (
-        base.unionByName(delta)
-        .groupBy("month", "status")
+        parts.groupBy("month", "status")
         .agg(
             F.sum("n").alias("n"),
             F.sum("sv").cast("double").alias("sum_totalprice"),
