@@ -1203,6 +1203,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(F.sum(_revenue()).cast("decimal(25,4)").cast("double").alias("total_revenue"))
+        # r12 optimization (guide §3.3): the docstring's "computed
+        # ONCE" was only lazily true — rev feeds the max subquery AND
+        # the equality join, and Catalyst inlined the quarterly
+        # lineitem aggregation into both (2 fact scans). Pinning the
+        # |suppliers|-row aggregate makes it literal.
+        .localCheckpoint()
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     supp = load_table(spark, sf_dir, "supplier")

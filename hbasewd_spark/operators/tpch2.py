@@ -615,13 +615,27 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     promo = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
     li_promo = li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
-    per_ps = (
-        li_promo.where(F.year("l_shipdate") == _Q20_YEAR)
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(dec("l_quantity")).cast("double").alias("qty_year"))
+    # r12 optimization (guide §2.4): per_ps and per_p were two full
+    # promo-filtered passes over the fact. One grouping with the year
+    # membership as a key bit yields both: the in-year slice IS per_ps
+    # (each (part, supp, true) group is unique — no re-aggregation),
+    # and per-part totals re-aggregate the exact decimal partials
+    # (addition is exact, so the split cannot change the value). A
+    # NULL l_shipdate lands in a NULL in_year group, which the per_ps
+    # filter drops just like the old year() predicate did.
+    g = (
+        li_promo.groupBy(
+            "l_partkey", "l_suppkey",
+            (F.year("l_shipdate") == _Q20_YEAR).alias("in_year"),
+        )
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .localCheckpoint()
     )
-    per_p = li_promo.groupBy("l_partkey").agg(
-        F.sum(dec("l_quantity")).cast("double").alias("qty_all")
+    per_ps = g.where(F.col("in_year")).select(
+        "l_partkey", "l_suppkey", F.col("q").cast("double").alias("qty_year")
+    )
+    per_p = g.groupBy("l_partkey").agg(
+        F.sum("q").cast("double").alias("qty_all")
     )
     dominant = (
         per_ps.join(per_p, "l_partkey")
