@@ -448,14 +448,16 @@ def test_semdedup_assignment_broadcasts_centroids(spark, sf_dir):
 
 
 def test_incremental_mv_merge_is_partial_aggregated(spark, sf_dir):
-    """Both the base/delta partials and the merge must be map-side
-    combinable (partial_sum present), and orders is scanned exactly
-    twice (base slice + delta slice) with the cutoff pushed down."""
+    """Both the flag-partitioned partials and the merge must be
+    map-side combinable (partial_sum present), and orders is scanned
+    exactly ONCE (r12: the base/delta split is a grouping bit, not two
+    complementary-filtered scans) with the NULL-date guard pushed
+    down."""
     from hbasewd_spark.operators.rollup import incremental_mv_merge
 
     plan = _plan(incremental_mv_merge(spark, sf_dir))
     assert "partial_sum" in plan
-    assert plan.count("orders.parquet") == 2
+    assert plan.count("orders.parquet") == 1
     assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
 
 
