@@ -372,10 +372,12 @@ def main() -> None:
             print(f"bench: shuffle audit -> {side}", file=sys.stderr)
         except Exception as e:
             print(f"bench: shuffle sidecar FAILED: {e}", file=sys.stderr)
-    print(json.dumps(build_payload(total, timings, errors, sf)))
+    print(json.dumps(build_payload(total, timings, errors, sf, noise)))
 
 
-def build_payload(total: float, timings: dict, errors: dict, sf: str) -> dict:
+def build_payload(
+    total: float, timings: dict, errors: dict, sf: str, noise: dict | None = None
+) -> dict:
     """The single driver-contract stdout line. Keep it COMPACT: the
     driver captures only the tail of stdout (~2000 chars observed); a
     45-query payload with float timings is ~1.1 KB and proven parseable
@@ -389,6 +391,19 @@ def build_payload(total: float, timings: dict, errors: dict, sf: str) -> dict:
         "queries": dict(timings, **{k: {"err": v[:60]} for k, v in errors.items()}),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Noise-probe fields IN the driver-contract line (VERDICT r12 #1):
+    # twice now a round record was taken inside a host-contention wave
+    # (r10 66.5 s, r12 160 s) and proving it took a forensic session.
+    # probe_mem_x / probe_alu_x = this run's memory-bandwidth and ALU
+    # micro-probe times over the quiet-host references, so a
+    # contaminated sample is machine-detectable from the record alone
+    # (~1.0 = quiet host; >>1 memory-side = contention wave). ~45
+    # chars; the payload stays well under the 1800-char tail window.
+    if noise:
+        if "mem_inflation" in noise:
+            payload["probe_mem_x"] = noise["mem_inflation"]
+        if "alu_inflation" in noise:
+            payload["probe_alu_x"] = noise["alu_inflation"]
     if errors:
         payload["n_errors"] = len(errors)
     # Hard backstop, engaged on SIZE alone (not only when errors exist

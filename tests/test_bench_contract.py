@@ -59,6 +59,25 @@ def test_sf_field_is_numeric_when_numeric():
     assert payload["sf"] == 0.01
 
 
+def test_noise_probe_fields_on_the_line_and_bounded():
+    # VERDICT r12 #1: the host-noise probe ratios ride the stdout line
+    # so a contention-contaminated record is machine-detectable. Full
+    # suite + probe fields must still clear the tail window.
+    timings = _fake_timings(50)
+    noise = {"mem_probe_s": 0.64, "alu_probe_s": 0.28,
+             "mem_inflation": 2.0, "alu_inflation": 1.56}
+    payload = bench.build_payload(
+        round(sum(timings.values()), 3), timings, {}, "0.1", noise
+    )
+    assert payload["probe_mem_x"] == 2.0
+    assert payload["probe_alu_x"] == 1.56
+    assert len(json.dumps(payload)) < 1800
+    # a failed probe (empty dict / None) must not add fields or crash
+    for bad in ({}, None):
+        p2 = bench.build_payload(1.0, {"a": 1.0}, {}, "0.1", bad)
+        assert "probe_mem_x" not in p2 and "probe_alu_x" not in p2
+
+
 def test_error_free_oversize_suite_trims_instead_of_blinding():
     # the r10 review gap: the degrade tiers only engaged when errors
     # existed, so an error-free suite that simply GREW (34 -> 45
