@@ -273,6 +273,28 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached(_PAIRS_CACHE, spark, sf_dir, _minhash_dedup_pairs_uncached)
 
 
+def _expand_bucket_pairs(grouped: DataFrame) -> DataFrame:
+    """(doc_a, doc_b): every a<b pair of each bucket row's sorted
+    distinct ``ds`` id array, STREAMED (r13, VERDICT r12 #2).
+
+    Two chained generators: ``posexplode(ds)`` picks each doc_a with
+    its position, then the bare-id suffix ``slice(ds, ia+2, |ds|)``
+    explodes into its doc_b partners. The pair *multiset* is identical
+    to the r12 single-expression flatten/transform build (ds is sorted
+    and per-bucket distinct), but no quadratic value ever exists: the
+    generators pipeline in whole-stage codegen, each suffix slice is
+    at most |ds| 8-byte ids (the same order as the collected bucket
+    row itself), and pairs stream straight into the consumer — for
+    the candidate `.distinct()`, a spillable exchange. A degenerate
+    hot bucket therefore costs the pair COUNT (which it always did,
+    join or not) but never |bucket|^2/2 structs of single-row memory.
+    Locked by tests/test_opt_r13.py (exactness + 1M-doc hot bucket)."""
+    return grouped.select(F.posexplode("ds").alias("ia", "doc_a"), "ds").select(
+        "doc_a",
+        F.explode(F.slice("ds", F.col("ia") + 2, F.size("ds"))).alias("doc_b"),
+    )
+
+
 def _minhash_dedup_pairs_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: LSH candidates (same band hash in any band),
     verified with exact Jaccard >= threshold over the *hashed* shingle
@@ -285,30 +307,20 @@ def _minhash_dedup_pairs_uncached(spark: SparkSession, sf_dir: str) -> DataFrame
     bands = _bands_of(feats)
     # Candidate generation (r12): ONE aggregation per LSH bucket, not a
     # self-join — the winnow shape. Each (band, band_hash) group holds
-    # distinct doc_ids (one band row per doc), so the sorted collect_list
-    # expands the identical a<b pair set row-locally; the bands relation
-    # crosses one exchange (the groupBy) instead of the self-join's two.
-    # A hot bucket costs |bucket|^2/2 pairs either way — same bound the
-    # join had; no semantics change, so no cap is added here.
+    # distinct doc_ids (one band row per doc), so the sorted collected
+    # array expands the identical a<b pair set row-locally; the bands
+    # relation crosses one exchange (the groupBy) instead of the
+    # self-join's two. r13 (VERDICT r12 #2): the expansion is STREAMED
+    # (see :func:`_expand_bucket_pairs`) — the r12 flatten/transform
+    # shape built the whole |bucket|^2/2 pair array as ONE in-row value
+    # before explode, so a degenerate hot bucket cost quadratic memory
+    # in a single row where the old join streamed/spilled.
     grouped = (
         bands.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .where(F.size("ds") >= 2)
     )
-    bucket_pairs = F.flatten(
-        F.transform(
-            "ds",
-            lambda x, i: F.transform(
-                F.slice("ds", i + F.lit(2), F.size("ds")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    cand = (
-        grouped.select(F.explode(bucket_pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    cand = _expand_bucket_pairs(grouped).distinct()
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("hs_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hs_b"))
     verified = (

