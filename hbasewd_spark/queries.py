@@ -1256,7 +1256,10 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = ST.stream_events(spark, sf_dir)
     agg = ST.windowed_agg_stream(stream)
-    return ST.run_stream_to_memory(spark, agg, "stream_windowed_agg_out")
+    return ST.run_stream_to_memory(
+        spark, agg, "stream_windowed_agg_out",
+        state_partitions=ST.scaled_state_partitions(spark, sf_dir),
+    )
 
 
 @q(
@@ -1287,7 +1290,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ST.stream_events(spark, sf_dir)
     feats = ST.user_features(spark, sf_dir)
     agg = ST.stream_static_enrich(stream, feats)
-    return ST.run_stream_to_memory(spark, agg, "stream_static_enrich_out")
+    return ST.run_stream_to_memory(
+        spark, agg, "stream_static_enrich_out",
+        state_partitions=ST.scaled_state_partitions(spark, sf_dir),
+    )
 
 
 @q(
@@ -1309,7 +1315,10 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = ST.stream_events(spark, sf_dir)
     agg = ST.sliding_window_stream(stream)
-    return ST.run_stream_to_memory(spark, agg, "stream_sliding_window_out")
+    return ST.run_stream_to_memory(
+        spark, agg, "stream_sliding_window_out",
+        state_partitions=ST.scaled_state_partitions(spark, sf_dir),
+    )
 
 
 _SESSION_WINDOW_ORACLE = """
@@ -1345,7 +1354,10 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = ST.stream_events(spark, sf_dir)
     agg = ST.session_window_stream(stream)
-    return ST.run_stream_to_memory(spark, agg, "stream_session_window_out")
+    return ST.run_stream_to_memory(
+        spark, agg, "stream_session_window_out",
+        state_partitions=ST.scaled_state_partitions(spark, sf_dir),
+    )
 
 
 def _stream_dedup_duck() -> str:
@@ -2424,7 +2436,10 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = ST.stream_events(spark, sf_dir)
     joined = ST.stream_stream_join(stream)
-    return ST.run_stream_append_to_memory(spark, joined, "stream_stream_join_out")
+    return ST.run_stream_append_to_memory(
+        spark, joined, "stream_stream_join_out",
+        state_partitions=ST.scaled_state_partitions(spark, sf_dir),
+    )
 
 
 _IDX_PROBES = ("scan", "merge", "vector")
