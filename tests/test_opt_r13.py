@@ -107,6 +107,32 @@ def test_semdedup_witness_fold_exact_small(spark):
     assert sorted(got.collect()[0].rem) == sorted(expected)
 
 
+def test_curation_gate_regexes_run_once(spark, sf_dir):
+    # r13 (VERDICT r12 #7): the quality+lang gate is fenced behind an
+    # explode(array(struct)) generator, so predicate pushdown can no
+    # longer inline the regex pipeline into a pre-exchange Filter AND
+    # a post-exchange Project — the full formatted plan must carry the
+    # quality expression in exactly ONE node (the Generate), and the
+    # fingerprint fold in exactly one node AFTER the alive filter.
+    from hbasewd_spark.queries import REGISTRY
+
+    df = REGISTRY["ext_pipeline_corpus_curation"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # count plan NODES carrying each expression (a node's detail is one
+    # line; the fingerprint fold contains its modulus constant twice
+    # within the single expression, so substring counts overshoot)
+    assert sum("0.4 * least(1.0" in ln for ln in plan.splitlines()) == 1, (
+        "quality pipeline duplicated"
+    )
+    assert sum("998244353" in ln for ln in plan.splitlines()) == 1, (
+        "fingerprint fold duplicated"
+    )
+    tree = plan.split("\n\n")[0]
+    assert "Generate" in tree, tree
+
+
 def test_scaled_state_partitions_is_input_derived(spark, sf_dir):
     # VERDICT r12 #8: state-store count derives from input volume —
     # MB-scale bench tables get 1 store; the ceiling is the session's
