@@ -107,7 +107,7 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc_id, seg_key, fp — no text); one eager checkpoint trades a
     # ~24 B/row serialize for the second full segmentation pass, the
     # same persist-the-projection stance quality_calibration documents.
-    segs = _segments(docs).localCheckpoint()
+    segs = _segments(docs).localCheckpoint(eager=False)
     firsts = segs.groupBy("fp").agg(F.min("seg_key").alias("first_key"))
     marked = segs.join(firsts, "fp").select(
         "doc_id", (F.col("seg_key") != F.col("first_key")).alias("is_dup")
@@ -174,7 +174,7 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(tokens("text")).cast("long")).alias("n_tokens"),
     ).withColumn(
         "w", F.substring("source", 4, 10).cast("int") % _N_TARGET_CLASSES + 1
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     totals = per_src.agg(
         F.sum("n_tokens").alias("tot_tokens"), F.sum("w").alias("tot_w")
     )
@@ -269,7 +269,7 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The relation is bounded (|languages| rows), so one eager
     # localCheckpoint pins it: corpus passes drop 3 -> 2 (count +
     # resample), which is the operator's floor.
-    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs")).localCheckpoint()
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs")).localCheckpoint(eager=False)
     w = F.sqrt(F.col("n_docs").cast("double"))
     wq = F.floor(w * _WQUANT + F.lit(0.5)).cast("long")
     total = counts.agg(
@@ -369,7 +369,7 @@ def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers re-read 16-byte rows instead of re-scoring text.
     qd = docs.select(
         "lang", quality_score("text").alias("quality")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     qd.createOrReplaceTempView("qcal_qd")
     cuts = spark.sql(
         f"""
@@ -448,7 +448,7 @@ def passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice (two Generate subtrees in the before-plan). Pin the slim
     # (doc_id, seg_key, seg_idx, fp) projection once — segment text
     # still never materializes anywhere.
-    slim = _segments(docs, with_text=False).localCheckpoint()
+    slim = _segments(docs, with_text=False).localCheckpoint(eager=False)
     firsts = slim.groupBy("fp").agg(F.min("seg_key").alias("first_key"))
     keep_sets = (
         slim.join(firsts, "fp")

@@ -445,7 +445,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bdf = sh.select(
         "doc_id", "simhash", F.posexplode(bvals).alias("blk", "bval")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     a, b = bdf.alias("a"), bdf.alias("b")
     cand = (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bval") == F.col("b.bval")))
@@ -556,11 +556,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length-ratio screen and both verify sides — lazily the
     # normalize+gram computation ran ~7x per query. Checkpoint the
     # (doc_id, lang, grams) relation once; every consumer reads it.
-    g = _gram_sets(spark, sf_dir).localCheckpoint()
+    # r13 (ADVICE r12 #2): every construction-time localCheckpoint in
+    # the engine is LAZY (eager=False) — the plan barrier and
+    # one-materialization-per-consumer-set benefit are identical, but
+    # construction runs no Spark job, restoring the ADVICE-r5 invariant
+    # (registry walks, test_plans and .explain() construct without
+    # executing; a full plan-only registry walk dropped from minutes to
+    # seconds). The RDD materializes inside the first action, exactly
+    # where bench/time_registry already account for it.
+    g = _gram_sets(spark, sf_dir).localCheckpoint(eager=False)
     # the df ceiling is a 1-row broadcast relation, not an eager
     # .count() at plan-construction time (ADVICE r5: building the
-    # DataFrame must not run a Spark job — registry walks, test_plans
-    # and .explain() all construct without executing)
+    # DataFrame must not run a Spark job)
     cap = load_table(spark, sf_dir, "documents").agg(
         F.greatest(
             F.lit(NGRAM_DF_CAP_FLOOR).cast("long"),
@@ -579,7 +586,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram", "doc_id")
         # tiny (<= B rows per doc) and self-joined below — checkpoint
         # so the df-join + top-B window run once, not twice
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cand = (
         block.alias("x")

@@ -117,13 +117,13 @@ def connected_components(
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     lbl = (
         bidir.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     for _ in range(max_iter):
@@ -156,7 +156,7 @@ def connected_components(
                 F.col("a.id").alias("id"),
                 F.least(F.col("a.lbl"), F.coalesce(F.col("b.lbl"), F.col("a.lbl"))).alias("lbl"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             jumped.alias("n")
@@ -383,7 +383,7 @@ def pagerank(
     # node set: one materialization, then every round reads N rows, not
     # the source scan. localCheckpoint is distributed (executor blocks,
     # never a driver collect), so a huge node domain is fine here.
-    nodes = nodes.select("node").localCheckpoint()
+    nodes = nodes.select("node").localCheckpoint(eager=False)
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.select(
@@ -422,14 +422,14 @@ def pagerank(
         srcs.count()
         nodes.count()
     else:
-        srcs = e.select("src").distinct().localCheckpoint()
+        srcs = e.select("src").distinct().localCheckpoint(eager=False)
     base = (3 * PR_SCALE) // (PR_D_DEN * n_nodes)
     r = nodes.select("node", F.lit(PR_SCALE // n_nodes).cast("bigint").alias("r"))
     for _ in range(iters):
         # N rows; the checkpoint cuts the doubling lineage (and, being
         # eager, runs every job referencing the persisted operands
         # before they are released below)
-        r = _pr_iteration(e, r, srcs, nodes, base, n_nodes, big_v).localCheckpoint()
+        r = _pr_iteration(e, r, srcs, nodes, base, n_nodes, big_v).localCheckpoint(eager=False)
     for df in persisted:
         df.unpersist()
     return r.select("node", F.col("r").alias("rank_e9"))

@@ -190,7 +190,7 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             rk_name=None,
         )
         .select("doc_id", "score")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     mx = cand.agg(F.max("score").alias("max_score"))
     emb = load_table(spark, sf_dir, "embeddings").select(

@@ -1208,7 +1208,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the equality join, and Catalyst inlined the quarterly
         # lineitem aggregation into both (2 fact scans). Pinning the
         # |suppliers|-row aggregate makes it literal.
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     supp = load_table(spark, sf_dir, "supplier")
@@ -1526,19 +1526,31 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A NULL user_id groups here like SQL's GROUP BY, but every oracle
     # join is an equality on user_id (never matches NULL), so the stage
     # CASE below pins NULL users to stage 0 explicitly.
+    # has_view mirrors the oracle's s1 membership (ADVICE r12 #4): s1
+    # GROUPs every user with ANY view event, so a user whose only view
+    # rows carry a NULL ts still lands at stage 1 (t1 NULL, s1.user_id
+    # NOT NULL). Keying stage 1 on t1 IS NOT NULL instead would demote
+    # exactly those users to stage 0. The s2/s3 paths are unaffected:
+    # e.ts >= NULL never matches, so filtering NULL-t1 users out of the
+    # click join below is equivalence-preserving and cheaper.
     users = (
         ev.groupBy("user_id")
-        .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"))
-        .localCheckpoint()
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+            F.max(F.col("event_type") == "view").alias("has_view"),
+        )
+        .localCheckpoint(eager=False)
     )
-    s1 = users.where(F.col("t1").isNotNull() & F.col("user_id").isNotNull())
+    s1 = users.where(F.col("t1").isNotNull() & F.col("user_id").isNotNull()).select(
+        "user_id", "t1"
+    )
     s2 = (
         ev.where(F.col("event_type") == "click")
         .join(s1, "user_id")
         .where((F.col("ts") >= F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     s3 = (
         ev.where(F.col("event_type") == "purchase")
@@ -1554,7 +1566,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("user_id").isNull(), F.lit(0))
             .when(F.col("t3").isNotNull(), F.lit(3))
             .when(F.col("t2").isNotNull(), F.lit(2))
-            .when(F.col("t1").isNotNull(), F.lit(1))
+            .when(F.col("has_view"), F.lit(1))
             .otherwise(F.lit(0))
             .alias("stage")
         )

@@ -48,7 +48,7 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # eager localCheckpoint costs one tiny serialize and every
         # coarser level now truly re-aggregates it: one full-data
         # pass, 3 scans -> 1.
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _up(child: DataFrame, unit: str) -> DataFrame:

@@ -403,7 +403,7 @@ def train_ivf_centroids(
             .groupBy("cent_id")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
             .select("cent_id", F.transform("dm", lambda s: s["m"]).alias("cv"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return sorted((r.cent_id, list(r.cv)) for r in cents.collect())
 
@@ -507,7 +507,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bs"),
         )
         .select("vec_id", "label", "v", "nv", "bs.band", "bs.band_sig")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = feat.select(
         "label", "band", "band_sig",
@@ -588,7 +588,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"), spark)
-    corpus = emb.select("vec_id", _dvec("embedding").alias("v")).localCheckpoint()
+    corpus = emb.select("vec_id", _dvec("embedding").alias("v")).localCheckpoint(eager=False)
     cents = (
         emb.where(F.col("vec_id") < KMEANS_K)
         .select(F.col("vec_id").cast("int").alias("cid"), _dvec("embedding").alias("cv"))
@@ -617,7 +617,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
             .select("cid", F.transform("dm", lambda s: s["m"]).alias("cv"))
         )
-        assigned = assign(means.localCheckpoint())
+        assigned = assign(means.localCheckpoint(eager=False))
 
     return assigned.groupBy("cid").agg(
         F.count("*").alias("n_members"),
@@ -659,7 +659,7 @@ def kmeans_one_iter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # separate round-robin ensure_min_parallelism exchanges. Pinning it
     # matches the multi-iteration kmeans_clusters, which already
     # checkpoints its corpus.
-    corpus = emb.select("vec_id", _dvec("embedding").alias("v")).localCheckpoint()
+    corpus = emb.select("vec_id", _dvec("embedding").alias("v")).localCheckpoint(eager=False)
     cents0 = emb.where(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").cast("int").alias("cid"), _dvec("embedding").alias("cv")
     )
@@ -809,7 +809,7 @@ def lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "v", _lsh_bucket(F.col("v")).alias("bucket"),
             _norm(F.col("v")).alias("nv"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = bucketed.select(
         F.col("bucket"), F.col("vec_id").alias("vec_a"),

@@ -551,7 +551,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lineitem aggregation ran twice (8 scans in the before-plan —
         # the docstring's "no second pass over the fact" was only
         # lazily true). The |parts|-row aggregate pins once.
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     total = vals.agg(F.sum("value_dec").cast("decimal(38,4)").alias("total_dec"))
     return (
@@ -629,7 +629,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.year("l_shipdate") == _Q20_YEAR).alias("in_year"),
         )
         .agg(F.sum(dec("l_quantity")).alias("q"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     per_ps = g.where(F.col("in_year")).select(
         "l_partkey", "l_suppkey", F.col("q").cast("double").alias("qty_year")

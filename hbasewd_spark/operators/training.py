@@ -237,7 +237,7 @@ def unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiply in decimal so the overflow envelope matches the old
     # per-occurrence decimal sum.
     tkc = (
-        tk.groupBy("doc_id", "tok").agg(F.count("*").alias("nn")).localCheckpoint()
+        tk.groupBy("doc_id", "tok").agg(F.count("*").alias("nn")).localCheckpoint(eager=False)
     )
     counts = tkc.groupBy("tok").agg(F.sum("nn").alias("freq"))
     return (

@@ -1884,7 +1884,7 @@ def ext_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unigram_familiarity checkpoints — is pinned once; every branch
     # re-reads 3-column rows instead of re-tokenizing the corpus.
     tf = (
-        tk.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).localCheckpoint()
+        tk.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).localCheckpoint(eager=False)
     )
     df_t = tf.groupBy("tok").agg(F.count("*").alias("df_t"))
     n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -2083,7 +2083,7 @@ def ext_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tkc = (
         tk.groupBy("doc_id", "lang", "source", "tok")
         .agg(F.count("*").alias("nn"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     vocab = global_topk(
         tkc.groupBy("tok").agg(F.sum("nn").alias("n")),
