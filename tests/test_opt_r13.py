@@ -107,6 +107,42 @@ def test_semdedup_witness_fold_exact_small(spark):
     assert sorted(got.collect()[0].rem) == sorted(expected)
 
 
+def test_event_funnel_null_ts_view_is_stage_one(spark, tmp_path):
+    # ADVICE r12 #4: a user whose ONLY view events carry a NULL ts is
+    # stage 1 under FUNNEL_ORACLE (s1 GROUPs every user with any view
+    # row; the stage CASE keys on s1.user_id IS NOT NULL), so the
+    # DataFrame form must key stage 1 on "has any view event", not on
+    # t1 IS NOT NULL.
+    import datetime
+
+    from hbasewd_spark.operators.relational import event_funnel
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    hour = datetime.timedelta(hours=1)
+    rows = [
+        # user 1: full funnel view -> click -> purchase inside windows
+        (1, t0, 1, "view", 1.0, None),
+        (2, t0 + hour, 1, "click", 1.0, None),
+        (3, t0 + 2 * hour, 1, "purchase", 1.0, None),
+        # user 2: view with NULL ts only -> stage 1 (the ADVICE corner)
+        (4, None, 2, "view", 1.0, None),
+        # user 3: click only -> stage 0
+        (5, t0, 3, "click", 1.0, None),
+        # user 4: NULL-ts view plus a click (can't qualify: ts >= NULL
+        # never matches) -> still stage 1
+        (6, None, 4, "view", 1.0, None),
+        (7, t0, 4, "click", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.stage: r.n_users for r in event_funnel(spark, str(tmp_path)).collect()}
+    assert got == {3: 1, 1: 2, 0: 1}, got
+
+
 def test_curation_gate_regexes_run_once(spark, sf_dir):
     # r13 (VERDICT r12 #7): the quality+lang gate is fenced behind an
     # explode(array(struct)) generator, so predicate pushdown can no
